@@ -1,0 +1,239 @@
+"""HTML boilerplate stripping (main-content extraction).
+
+The north-rule fusion stage (SURVEY.md §7 step 4): not present in the
+reference library — the reference's own cleanup slot is
+``converters/whitespace.rs`` (R5) and this stage extends it for HTML turn
+payloads. The heuristics follow the publicly described Readability /
+Boilerpipe family (tag-density + text-to-link ratio scoring):
+
+1. parse HTML (stdlib ``html.parser``) into a light DOM;
+2. drop pure-boilerplate subtrees (``script style noscript nav header footer
+   aside form iframe button svg``);
+3. score candidate containers (``article main section div body td``) by
+   non-link text length discounted by link density (link-farm penalty);
+4. emit the best-scoring subtree as plain text and as markdown
+   (headings -> ``#``/``##``/``###``, ``li`` -> ``- ``, table rows ->
+   `` | ``-joined cells), then run the reference's R5 cleanup.
+
+Deterministic: ties broken by document order.
+"""
+
+from __future__ import annotations
+
+import re
+from html import unescape
+from html.parser import HTMLParser
+
+from .cleanup import cleanup_markdown, cleanup_plain_text
+
+STRIP_TAGS = frozenset({
+    "script", "style", "noscript", "nav", "header", "footer", "aside",
+    "form", "iframe", "button", "svg", "template",
+})
+CANDIDATE_TAGS = frozenset({"article", "main", "section", "div", "body", "td"})
+BLOCK_TAGS = frozenset({
+    "p", "div", "section", "article", "main", "ul", "ol", "li", "table",
+    "tr", "blockquote", "pre", "h1", "h2", "h3", "h4", "h5", "h6", "body",
+    "html", "figure", "figcaption",
+})
+VOID_TAGS = frozenset({
+    "br", "hr", "img", "input", "meta", "link", "area", "base", "col",
+    "embed", "source", "track", "wbr",
+})
+
+_WS = re.compile(r"\s+")
+
+
+class _Node:
+    __slots__ = ("tag", "children", "parent")
+
+    def __init__(self, tag: str, parent=None):
+        self.tag = tag
+        self.children: list = []  # str | _Node
+        self.parent = parent
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = _Node("#root")
+        self.cur = self.root
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if self._skip_depth > 0:
+            if tag in STRIP_TAGS or tag not in VOID_TAGS:
+                if tag not in VOID_TAGS:
+                    self._skip_depth += 1
+            return
+        if tag in STRIP_TAGS:
+            self._skip_depth = 1
+            return
+        if tag in VOID_TAGS:
+            self.cur.children.append(_Node(tag, self.cur))
+            return
+        node = _Node(tag, self.cur)
+        self.cur.children.append(node)
+        self.cur = node
+
+    def handle_endtag(self, tag):
+        if self._skip_depth > 0:
+            self._skip_depth -= 1
+            return
+        # close the nearest matching open tag
+        node = self.cur
+        while node is not self.root and node.tag != tag:
+            node = node.parent
+        if node is not self.root:
+            self.cur = node.parent
+
+    def handle_data(self, data):
+        if self._skip_depth == 0 and data:
+            self.cur.children.append(data)
+
+
+def _metrics(node: _Node, in_link: bool = False) -> tuple[int, int, int]:
+    """(text_len, link_text_len, p_count) for a subtree."""
+    text_len = 0
+    link_len = 0
+    p_count = 0
+    for child in node.children:
+        if isinstance(child, str):
+            t = _WS.sub(" ", child).strip()
+            text_len += len(t)
+            if in_link:
+                link_len += len(t)
+        else:
+            if child.tag == "p":
+                p_count += 1
+            tl, ll, pc = _metrics(child, in_link or child.tag == "a")
+            text_len += tl
+            link_len += ll
+            p_count += pc
+    return text_len, link_len, p_count
+
+
+def _iter_nodes(node: _Node):
+    yield node
+    for child in node.children:
+        if isinstance(child, _Node):
+            yield from _iter_nodes(child)
+
+
+def select_main_content(root: _Node) -> _Node:
+    """Pick the candidate container with the best content score."""
+    best = root
+    best_score = -1.0
+    for node in _iter_nodes(root):
+        if node.tag not in CANDIDATE_TAGS:
+            continue
+        text_len, link_len, p_count = _metrics(node)
+        if text_len == 0:
+            continue
+        link_density = link_len / text_len
+        score = (text_len - link_len) * (1.0 - link_density) * (1.0 + 0.1 * p_count)
+        if score > best_score:
+            best = node
+            best_score = score
+    return best
+
+
+_HEADING_PREFIX = {"h1": "# ", "h2": "## ", "h3": "### "}
+
+
+def _render(node: _Node, out: list[str], markdown: bool) -> None:
+    tag = node.tag
+    if tag == "br":
+        out.append("\n")
+        return
+    if tag in VOID_TAGS:
+        return
+    is_block = tag in BLOCK_TAGS
+    if is_block and out and not (out[-1].endswith("\n")):
+        out.append("\n")
+    prefix = ""
+    if tag in _HEADING_PREFIX:
+        prefix = _HEADING_PREFIX[tag] if markdown else ""
+    elif tag in ("h4", "h5", "h6"):
+        prefix = "#### "[:0] if not markdown else "#### "
+    elif tag == "li":
+        prefix = "- "
+    if prefix:
+        out.append(prefix)
+
+    if tag == "tr":
+        cells: list[str] = []
+        for child in node.children:
+            if isinstance(child, _Node) and child.tag in ("td", "th"):
+                sub: list[str] = []
+                _render_inline(child, sub)
+                cells.append("".join(sub).strip())
+        out.append(" | ".join(c for c in cells))
+        out.append("\n")
+        return
+
+    for child in node.children:
+        if isinstance(child, str):
+            out.append(_WS.sub(" ", child))
+        else:
+            _render(child, out, markdown)
+
+    if is_block:
+        if tag in ("p", "blockquote", "table", "ul", "ol") or tag in _HEADING_PREFIX:
+            out.append("\n\n")
+        else:
+            out.append("\n")
+
+
+def _render_inline(node: _Node, out: list[str]) -> None:
+    for child in node.children:
+        if isinstance(child, str):
+            out.append(_WS.sub(" ", child))
+        else:
+            _render_inline(child, out)
+
+
+def _finalize(raw: str) -> str:
+    lines = [ln.strip() for ln in raw.split("\n")]
+    text = "\n".join(lines)
+    text = re.sub(r"\n{3,}", "\n\n", text)
+    return text.strip()
+
+
+def strip_html(html_text: str) -> tuple[str, str]:
+    """Return ``(plain_text, markdown)`` of the main content."""
+    builder = _TreeBuilder()
+    try:
+        builder.feed(unescape_entities_safe(html_text))
+        builder.close()
+    except Exception:  # noqa: BLE001 - malformed HTML: fall back to tag strip
+        plain = _WS.sub(" ", re.sub(r"<[^>]+>", " ", html_text)).strip()
+        return cleanup_plain_text(plain), cleanup_markdown(plain)
+    main = select_main_content(builder.root)
+    out_plain: list[str] = []
+    _render(main, out_plain, markdown=False)
+    out_md: list[str] = []
+    _render(main, out_md, markdown=True)
+    plain = cleanup_plain_text(_finalize("".join(out_plain)))
+    md = cleanup_markdown(_finalize("".join(out_md)))
+    return plain, md
+
+
+def unescape_entities_safe(text: str) -> str:
+    # HTMLParser(convert_charrefs=True) already unescapes character data;
+    # pre-unescaping would corrupt markup like &lt;tag&gt;. Identity hook.
+    return text
+
+
+def looks_like_html(text: str) -> bool:
+    """Payload-kind detector helper: tag density check."""
+    head = text[:4096]
+    tags = head.count("<")
+    closers = head.count(">")
+    if tags < 3 or closers < 3:
+        return False
+    lowered = head.lower()
+    if any(m in lowered for m in ("<html", "<body", "<div", "<p>", "<article",
+                                  "<head", "<!doctype", "<section", "<span")):
+        return True
+    return tags / max(len(head), 1) > 0.01 and "</" in head

@@ -1,0 +1,86 @@
+"""Per-turn payload dispatcher: detect kind -> extract.
+
+One turn's ``text`` payload is one of (FIXTURES.md §1):
+
+* ``pdf``   — a PDF-style document (header ``%PDF``): full S1->R1 path via
+  ``document.PdfDocument`` (parse, interpret, span post-process, assemble);
+* ``html``  — boilerplate-laden HTML: Readability-style main-content strip;
+* ``plain`` — passthrough + the reference's page-artifact cleanup
+  (``/root/reference/src/converters/whitespace.rs:91-114,339-345``).
+
+``extract_payload`` never raises: malformed payloads yield
+``status='error'`` rows (mirrors the reference's 100%-success design goal,
+``/root/reference/README.md:21`` — a poison payload must not fail a job).
+"""
+
+from __future__ import annotations
+
+from .assemble import assemble_text
+from .cleanup import cleanup_plain_text, remove_page_artifacts
+from .document import PdfDocument
+from .htmlstrip import looks_like_html, strip_html
+from .interpret import TextSpan
+from .markdown import convert_page_from_spans
+
+PAYLOAD_PDF = "pdf"
+PAYLOAD_HTML = "html"
+PAYLOAD_PLAIN = "plain"
+
+
+def detect_payload_kind(text: str) -> str:
+    head = text.lstrip()[:16]
+    if head.startswith("%PDF"):
+        return PAYLOAD_PDF
+    if looks_like_html(text):
+        return PAYLOAD_HTML
+    return PAYLOAD_PLAIN
+
+
+def spans_to_records(spans: list[TextSpan]) -> list[dict]:
+    """TextSpan -> plain dicts matching the Arrow list<struct> span schema."""
+    return [
+        {
+            "text": s.text,
+            "x": float(s.x), "y": float(s.y),
+            "w": float(s.width), "h": float(s.height),
+            "font": s.font_name, "size": float(s.font_size),
+            "bold": bool(s.bold), "seq": int(s.sequence),
+        }
+        for s in spans
+    ]
+
+
+def extract_payload(text: str, want_markdown: bool = True) -> dict:
+    """Extract one turn payload. Returns a dict with keys:
+    ``kind, extracted_text, markdown, spans, status, error``."""
+    kind = detect_payload_kind(text)
+    try:
+        if kind == PAYLOAD_PDF:
+            doc = PdfDocument(text.encode("utf-8"))
+            pages = doc.pages()
+            page_texts: list[str] = []
+            page_mds: list[str] = []
+            all_spans: list[dict] = []
+            for page in pages:
+                spans = doc.extract_spans(page)
+                page_texts.append(assemble_text(spans) if spans else "")
+                if want_markdown:
+                    page_mds.append(convert_page_from_spans(spans))
+                all_spans.extend(spans_to_records(spans))
+            extracted = "\n\n---\n\n".join(page_texts)
+            md = "\n---\n\n".join(page_mds) if want_markdown else ""
+            return {"kind": kind, "extracted_text": extracted, "markdown": md,
+                    "spans": all_spans, "status": "ok", "error": ""}
+        if kind == PAYLOAD_HTML:
+            plain, md = strip_html(text)
+            return {"kind": kind, "extracted_text": plain,
+                    "markdown": md if want_markdown else "",
+                    "spans": [], "status": "ok", "error": ""}
+        cleaned = cleanup_plain_text(remove_page_artifacts(text))
+        return {"kind": kind, "extracted_text": cleaned,
+                "markdown": cleaned if want_markdown else "",
+                "spans": [], "status": "ok", "error": ""}
+    except Exception as exc:  # noqa: BLE001 - row-level error absorption
+        return {"kind": kind, "extracted_text": "", "markdown": "",
+                "spans": [], "status": "error",
+                "error": f"{type(exc).__name__}: {exc}"[:500]}

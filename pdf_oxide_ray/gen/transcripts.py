@@ -1,0 +1,411 @@
+"""Deterministic synthetic transcript corpus generator (FIXTURES.md §1).
+
+Builds a Parquet ``transcripts`` table with the exact ``BASELINE.json:
+input_hint`` shape ``(conv_id: string, turn_idx: int32, role: string,
+text: string, tool: string, ts: timestamp[us])`` plus a ``golden`` companion
+table with the single-process oracle output per ``(conv_id, turn_idx)``.
+
+Payload mix per FIXTURES.md: ~60% PDF-style documents (real minimal PDFs:
+header, objects, classic xref table, trailer, startxref — exercising the
+full S1-S6 path incl. ASCII85+Flate filter chains and ToUnicode CMaps),
+~30% boilerplate-laden HTML, ~10% plain text with page artifacts.
+
+Determinism: everything derives from ``seed`` via per-turn
+``random.Random(hash)`` instances; no wall-clock, no global RNG state.
+Skew: 1% of conversations get 50x the median turn count (exercises salting).
+Turns are written shuffled so the pipeline must restore ordering.
+"""
+
+from __future__ import annotations
+
+import base64
+import hashlib
+import random
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..core.payload import extract_payload
+
+_WORDS = (
+    "analysis baseline cluster dataset engine framework gradient heuristic "
+    "inference kernel latency metric notebook operator pipeline query "
+    "runtime schema throughput utility vector workload compute stream "
+    "partition shuffle actor batch arrow tensor replica checkpoint manifest"
+).split()
+
+_SENTS_POOL = [
+    "The {a} {b} improves {c} across the {d}.",
+    "We measured the {a} of the {b} under heavy {c}.",
+    "A {a} based {b} reduces {c} by design.",
+    "Results for {a} and {b} match the {c} baseline.",
+    "This {a} documents the {b} used by the {c} stage.",
+]
+
+_NAV_LINKS = ["Home", "Products", "Pricing", "Blog", "About", "Careers",
+              "Contact", "Login", "Signup", "Docs"]
+
+SPAN_TYPE = pa.struct([
+    ("text", pa.string()), ("x", pa.float32()), ("y", pa.float32()),
+    ("w", pa.float32()), ("h", pa.float32()), ("font", pa.string()),
+    ("size", pa.float32()), ("bold", pa.bool_()), ("seq", pa.int32()),
+])
+
+TRANSCRIPT_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+    ("role", pa.string()), ("text", pa.string()),
+    ("tool", pa.string()), ("ts", pa.timestamp("us")),
+])
+
+GOLDEN_SCHEMA = pa.schema([
+    ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+    ("kind", pa.string()),
+    ("extracted_text", pa.string()), ("markdown", pa.string()),
+    ("spans", pa.list_(SPAN_TYPE)),
+])
+
+
+def _rng_for(seed: int, conv: str, turn: int) -> random.Random:
+    h = hashlib.sha256(f"{seed}:{conv}:{turn}".encode()).digest()
+    return random.Random(int.from_bytes(h[:8], "big"))
+
+
+def _sentence(rng: random.Random) -> str:
+    tmpl = rng.choice(_SENTS_POOL)
+    return tmpl.format(a=rng.choice(_WORDS), b=rng.choice(_WORDS),
+                       c=rng.choice(_WORDS), d=rng.choice(_WORDS))
+
+
+def _words(rng: random.Random, n: int) -> str:
+    return " ".join(rng.choice(_WORDS) for _ in range(n))
+
+
+# ---------------------------------------------------------------------------
+# PDF payload builder
+# ---------------------------------------------------------------------------
+
+def _esc_literal(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+class _PdfBuilder:
+    """Assemble a minimal classic-xref PDF as ASCII-safe text."""
+
+    def __init__(self) -> None:
+        self.objects: dict[int, bytes] = {}
+        self.next_num = 1
+
+    def add(self, body: bytes) -> int:
+        num = self.next_num
+        self.next_num += 1
+        self.objects[num] = body
+        return num
+
+    def add_stream(self, dict_entries: str, data: bytes) -> int:
+        body = (f"<< {dict_entries} /Length {len(data)} >>\nstream\n").encode() \
+            + data + b"\nendstream"
+        return self.add(body)
+
+    def build(self, root_num: int, broken_xref: bool = False) -> str:
+        out = bytearray(b"%PDF-1.7\n")
+        offsets: dict[int, int] = {}
+        for num in sorted(self.objects):
+            offsets[num] = len(out)
+            out += f"{num} 0 obj\n".encode() + self.objects[num] + b"\nendobj\n"
+        xref_pos = len(out)
+        n = max(self.objects) + 1
+        if broken_xref:
+            # corrupt startxref -> exercises S3 reconstruction
+            out += b"startxref\n999999999\n%%EOF\n"
+            return out.decode("latin-1")
+        out += f"xref\n0 {n}\n".encode()
+        out += b"0000000000 65535 f \n"
+        for num in range(1, n):
+            out += f"{offsets[num]:010d} 00000 n \n".encode()
+        out += (f"trailer\n<< /Size {n} /Root {root_num} 0 R >>\n"
+                f"startxref\n{xref_pos}\n%%EOF\n").encode()
+        return out.decode("latin-1")
+
+
+def _make_content_stream(rng: random.Random, two_column: bool,
+                         with_cmap_font: bool) -> bytes:
+    """Content stream exercising Td/TD/Tm/T*, Tj/TJ (incl. threshold
+    straddling offsets), hex strings, escapes, overdraw dup, out-of-order y."""
+    ops: list[str] = ["BT"]
+    y = 720.0
+    n_lines = rng.randint(3, 8)
+    lines: list[tuple[float, str]] = []
+
+    # heading line sometimes (exercises bold + heading rules downstream)
+    if rng.random() < 0.5:
+        size = rng.choice([16, 18, 24])
+        ops.append(f"/F2 {size} Tf")
+        ops.append(f"1 0 0 1 72 {y:.1f} Tm")
+        ops.append(f"({_esc_literal(_words(rng, rng.randint(2, 4)).title())}) Tj")
+        y -= size * 1.6
+
+    ops.append("/F1 12 Tf")
+    x_left = 72.0
+    for i in range(n_lines):
+        sent = _sentence(rng)
+        lines.append((y, sent))
+        y -= rng.choice([14.0, 14.0, 16.0, 30.0])  # occasional paragraph gap
+
+    if two_column:
+        col2 = [(ly, s) for ly, s in lines[len(lines) // 2:]]
+        lines = lines[: len(lines) // 2]
+
+    def emit_line(ly: float, sent: str, x: float) -> None:
+        mode = rng.random()
+        ops.append(f"1 0 0 1 {x:.1f} {ly:.1f} Tm")
+        if mode < 0.35:
+            ops.append(f"({_esc_literal(sent)}) Tj")
+        elif mode < 0.6:
+            # TJ array with word-boundary offsets straddling the -120 threshold
+            words = sent.split(" ")
+            parts = []
+            for k, w in enumerate(words):
+                parts.append(f"({_esc_literal(w)})")
+                if k < len(words) - 1:
+                    parts.append(str(rng.choice([-250, -280, -300])))
+            ops.append("[ " + " ".join(parts) + " ] TJ")
+        elif mode < 0.75:
+            # kerned fragments with small offsets (merge without space)
+            mid = max(1, len(sent) // 2)
+            ops.append(f"[ ({_esc_literal(sent[:mid])}) "
+                       f"{rng.choice([-20, -40, -80])} "
+                       f"({_esc_literal(sent[mid:])}) ] TJ")
+        elif mode < 0.9:
+            # hex string
+            hexed = sent.encode("latin-1").hex().upper()
+            ops.append(f"<{hexed}> Tj")
+        else:
+            # consecutive Tj runs on the same line (buffered into one span)
+            mid = max(1, len(sent) // 2)
+            ops.append(f"({_esc_literal(sent[:mid])}) Tj")
+            ops.append(f"({_esc_literal(sent[mid:])}) Tj")
+
+    for ly, sent in lines:
+        emit_line(ly, sent, x_left)
+    if two_column:
+        for ly, sent in col2:
+            emit_line(ly, sent, 330.0)
+
+    # overdrawn duplicate (exercises P2 dedup: same y, x within 2pt)
+    if lines and rng.random() < 0.4:
+        ly, sent = lines[0]
+        word = sent.split(" ")[0]
+        ops.append(f"1 0 0 1 {x_left + 0.5:.1f} {ly:.1f} Tm")
+        ops.append(f"({_esc_literal(word)}) Tj")
+
+    if with_cmap_font and rng.random() < 0.8:
+        ops.append("/F3 12 Tf")
+        ops.append(f"1 0 0 1 72 {y:.1f} Tm")
+        # codes 01..04 map via ToUnicode (incl. a ligature target)
+        ops.append("<0102030104> Tj")
+
+    ops.append("ET")
+    return "\n".join(ops).encode("latin-1")
+
+
+_CMAP_F3 = b"""/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+beginbfchar
+<01> <0066>
+<02> <0069>
+<04> <00660069>
+endbfchar
+beginbfrange
+<03> <03> <0067>
+endbfrange
+endcmap
+endcmap end
+"""
+
+
+def make_pdf_payload(rng: random.Random) -> str:
+    b = _PdfBuilder()
+    n_pages = 1 if rng.random() < 0.8 else 2
+    with_cmap = rng.random() < 0.5
+    use_filter = rng.random() < 0.3
+    broken_xref = rng.random() < 0.1
+
+    font1 = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                  b"/Encoding /WinAnsiEncoding >>")
+    font2 = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica-Bold "
+                  b"/Encoding /WinAnsiEncoding >>")
+    font_refs = f"/F1 {font1} 0 R /F2 {font2} 0 R"
+    if with_cmap:
+        cmap_stream = b.add_stream("/Type /CMap", _CMAP_F3)
+        font3 = b.add(
+            f"<< /Type /Font /Subtype /Type1 /BaseFont /Custom-Regular "
+            f"/ToUnicode {cmap_stream} 0 R >>".encode())
+        font_refs += f" /F3 {font3} 0 R"
+
+    page_nums = []
+    for _ in range(n_pages):
+        content = _make_content_stream(rng, two_column=rng.random() < 0.2,
+                                       with_cmap_font=with_cmap)
+        if use_filter:
+            data = base64.a85encode(zlib.compress(content)) + b"~>"
+            cnum = b.add_stream("/Filter [ /ASCII85Decode /FlateDecode ]", data)
+        else:
+            cnum = b.add_stream("", content)
+        pnum = b.add(
+            f"<< /Type /Page /Contents {cnum} 0 R "
+            f"/Resources << /Font << {font_refs} >> >> "
+            f"/MediaBox [ 0 0 612 792 ] >>".encode())
+        page_nums.append(pnum)
+
+    kids = " ".join(f"{p} 0 R" for p in page_nums)
+    pages = b.add(f"<< /Type /Pages /Kids [ {kids} ] /Count {len(page_nums)} >>"
+                  .encode())
+    root = b.add(f"<< /Type /Catalog /Pages {pages} 0 R >>".encode())
+    return b.build(root, broken_xref=broken_xref)
+
+
+# ---------------------------------------------------------------------------
+# HTML payload builder
+# ---------------------------------------------------------------------------
+
+def make_html_payload(rng: random.Random) -> str:
+    nav = "".join(f'<a href="/{w.lower()}">{w}</a> '
+                  for w in rng.sample(_NAV_LINKS, 6))
+    title = _words(rng, 3).title()
+    paras = "".join(f"<p>{_sentence(rng)} {_sentence(rng)}</p>\n"
+                    for _ in range(rng.randint(2, 5)))
+    items = "".join(f"<li>{_sentence(rng)}</li>" for _ in range(rng.randint(2, 4)))
+    table = ("<table><tr><th>name</th><th>value</th></tr>"
+             + "".join(f"<tr><td>{rng.choice(_WORDS)}</td>"
+                       f"<td>{rng.randint(1, 999)}</td></tr>"
+                       for _ in range(rng.randint(1, 3)))
+             + "</table>")
+    sub = f"<h2>{_words(rng, 2).title()}</h2>" if rng.random() < 0.6 else ""
+    footer_links = "".join(f'<a href="/f{i}">{w}</a>'
+                           for i, w in enumerate(rng.sample(_NAV_LINKS, 5)))
+    return f"""<!DOCTYPE html>
+<html><head><title>{title}</title>
+<style>body {{ margin: 0; }}</style>
+<script>var tracking = {rng.randint(1, 9)};</script>
+</head>
+<body>
+<nav>{nav}</nav>
+<header><a href="/">{rng.choice(_NAV_LINKS)}</a> | {_words(rng, 2)}</header>
+<div class="sidebar"><a href="/x1">ad one</a> <a href="/x2">ad two</a>
+<a href="/x3">ad three</a> <a href="/x4">ad four</a></div>
+<article>
+<h1>{title}</h1>
+{paras}{sub}
+<ul>{items}</ul>
+{table}
+</article>
+<footer>{footer_links} copyright {rng.randint(2015, 2026)}</footer>
+</body></html>"""
+
+
+# ---------------------------------------------------------------------------
+# Plain payload builder
+# ---------------------------------------------------------------------------
+
+def make_plain_payload(rng: random.Random) -> str:
+    lines = []
+    for _ in range(rng.randint(3, 8)):
+        lines.append(_sentence(rng))
+        if rng.random() < 0.3:
+            lines.append(rng.choice([
+                f"Page {rng.randint(1, 20)}",
+                f"- {rng.randint(1, 20)} -",
+                f"[{rng.randint(1, 20)}]",
+                "-" * rng.randint(5, 20),
+                "=" * rng.randint(5, 20),
+            ]))
+    return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# corpus assembly
+# ---------------------------------------------------------------------------
+
+def make_turn_payload(rng: random.Random) -> tuple[str, str]:
+    r = rng.random()
+    if r < 0.6:
+        return "pdf", make_pdf_payload(rng)
+    if r < 0.9:
+        return "html", make_html_payload(rng)
+    return "plain", make_plain_payload(rng)
+
+
+def generate_transcripts(n_convs: int, seed: int = 42,
+                         median_turns: int = 6,
+                         with_golden: bool = True
+                         ) -> tuple[pa.Table, pa.Table | None]:
+    """Build (transcripts, golden) Arrow tables. Rows are shuffled
+    (seed-stable) so ``turn_idx`` order must be restored by the pipeline."""
+    conv_ids: list[str] = []
+    turn_idxs: list[int] = []
+    roles: list[str] = []
+    texts: list[str] = []
+    tools: list[str] = []
+    tss: list[int] = []
+    g_rows: list[dict] = []
+
+    base_ts = 1_700_000_000_000_000  # fixed epoch-us base (no wall clock)
+    roles_cycle = ("user", "assistant", "tool")
+
+    for i in range(n_convs):
+        conv = f"conv{i:06d}"
+        conv_rng = _rng_for(seed, conv, -1)
+        # 1% of convs are hot: 50x median turns (FIXTURES.md skew rule)
+        if conv_rng.random() < 0.01:
+            n_turns = median_turns * 50
+        else:
+            n_turns = max(1, int(conv_rng.gauss(median_turns, 2)))
+        for t in range(n_turns):
+            rng = _rng_for(seed, conv, t)
+            kind, payload = make_turn_payload(rng)
+            role = roles_cycle[t % 3]
+            conv_ids.append(conv)
+            turn_idxs.append(t)
+            roles.append(role)
+            texts.append(payload)
+            tools.append("extractor" if role == "tool" else "")
+            tss.append(base_ts + i * 3_600_000_000 + t * 30_000_000)
+            if with_golden:
+                res = extract_payload(payload)
+                g_rows.append({
+                    "conv_id": conv, "turn_idx": t, "kind": res["kind"],
+                    "extracted_text": res["extracted_text"],
+                    "markdown": res["markdown"], "spans": res["spans"],
+                })
+
+    # deterministic shuffle
+    order = np.random.RandomState(seed).permutation(len(conv_ids))
+    table = pa.table({
+        "conv_id": pa.array([conv_ids[j] for j in order], pa.string()),
+        "turn_idx": pa.array([turn_idxs[j] for j in order], pa.int32()),
+        "role": pa.array([roles[j] for j in order], pa.string()),
+        "text": pa.array([texts[j] for j in order], pa.string()),
+        "tool": pa.array([tools[j] for j in order], pa.string()),
+        "ts": pa.array([tss[j] for j in order], pa.timestamp("us")),
+    }, schema=TRANSCRIPT_SCHEMA)
+
+    golden = None
+    if with_golden:
+        golden = pa.Table.from_pylist(g_rows, schema=GOLDEN_SCHEMA)
+    return table, golden
+
+
+def write_corpus(out_dir: str, n_convs: int, seed: int = 42,
+                 with_golden: bool = True) -> dict:
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    table, golden = generate_transcripts(n_convs, seed=seed,
+                                         with_golden=with_golden)
+    pq.write_table(table, f"{out_dir}/transcripts.parquet")
+    if golden is not None:
+        pq.write_table(golden, f"{out_dir}/golden.parquet")
+    return {"rows": table.num_rows, "convs": n_convs, "dir": out_dir}
