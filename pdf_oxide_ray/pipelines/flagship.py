@@ -1,0 +1,197 @@
+"""Flagship pipeline (north rule):
+
+``read_parquet(transcripts) -> map_batches(ExtractTurns actor pool,
+batch_format="pyarrow") -> groupby(conv_id) / in-group sort(turn_idx) ->
+per-turn rows with offsets -> write_parquet(out/part_id=N/) + per-partition
+_manifest.json``.
+
+The Ray-Data re-expression of the reference's EP3 batch loop
+(``/root/reference/src/bin/benchmark_all_pdfs.rs:41-230``): directory walk ->
+``read_parquet``; sequential per-file body -> actor-pool ``map_batches``;
+stats fold -> ``groupby().aggregate()``; JSON summary -> partition manifests.
+
+Scale notes (100 TB design):
+* extraction is stateless-per-row behind a warm actor pool; no shuffle;
+* the ONLY all-to-all exchange is the conv_id groupby in ``assemble``;
+* resumability: the extract phase is sharded by input file groups; each
+  shard writes ``part_id=N`` + an atomic manifest; reruns skip complete
+  shards (``state/manifest.py``);
+* nothing materializes the full dataset: outputs stream to parquet; the
+  driver only ever sees small aggregates.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import time
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from ..stages.assembly import assemble
+from ..stages.extract import ExtractTurns
+from ..state.manifest import is_partition_complete, write_manifest
+
+DEFAULT_BATCH_SIZE = 128  # rows per batch: payloads are ~1-4 KB documents
+
+
+def read_transcripts(path: str, columns: list[str] | None = None):
+    """``path`` is a parquet file, a directory of them, or a glob."""
+    if os.path.isdir(path):
+        paths = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    elif any(ch in path for ch in "*?["):
+        paths = sorted(glob.glob(path))
+    else:
+        paths = [path]
+    return rd.read_parquet(paths, columns=columns)
+
+
+def extract_dataset(ds, *, want_markdown: bool = True, keep_spans: bool = True,
+                    concurrency: int | tuple[int, int] | None = None,
+                    batch_size: int = DEFAULT_BATCH_SIZE):
+    """transcripts Dataset -> extracted Dataset (actor pool, Arrow batches)."""
+    kwargs = {}
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    return ds.map_batches(
+        ExtractTurns,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        fn_constructor_kwargs={"want_markdown": want_markdown,
+                               "keep_spans": keep_spans},
+        num_cpus=1,
+        **kwargs,
+    )
+
+
+def run_flagship(input_path: str, *, want_markdown: bool = True,
+                 keep_spans: bool = True,
+                 concurrency: int | tuple[int, int] | None = None,
+                 batch_size: int = DEFAULT_BATCH_SIZE,
+                 assemble_conversations: bool = True):
+    """Lazy end-to-end Dataset (consume with write_parquet/iter_batches)."""
+    ds = read_transcripts(input_path)
+    ds = extract_dataset(ds, want_markdown=want_markdown,
+                         keep_spans=keep_spans, concurrency=concurrency,
+                         batch_size=batch_size)
+    if assemble_conversations:
+        ds = assemble(ds)
+    return ds
+
+
+# ---------------------------------------------------------------------------
+# sharded, resumable extraction phase
+# ---------------------------------------------------------------------------
+
+def _conv_hash(conv_ids: list[str]) -> np.ndarray:
+    return np.fromiter((zlib.crc32(c.encode()) for c in conv_ids),
+                       dtype=np.uint32, count=len(conv_ids))
+
+
+def _add_row_hash(batch: pa.Table) -> pa.Table:
+    """Order-insensitive per-row content hash for manifest lineage."""
+    texts = batch.column("extracted_text").to_pylist()
+    convs = batch.column("conv_id").to_pylist()
+    idxs = batch.column("turn_idx").to_pylist()
+    hashes = [
+        zlib.crc32(f"{c}\x00{i}\x00".encode() + (t or "").encode())
+        for c, i, t in zip(convs, idxs, texts)
+    ]
+    return batch.append_column("row_hash", pa.array(hashes, pa.uint32()))
+
+
+def plan_shards(input_path: str, num_shards: int) -> list[dict]:
+    """Shard the input for resumable processing.
+
+    With >= num_shards files, shards are FILE GROUPS (the 100 TB layout:
+    lineage = the file list). With fewer files (local testing), shards are
+    conv_id-hash slices of the whole input (lineage = the predicate).
+    """
+    if os.path.isdir(input_path):
+        files = sorted(glob.glob(os.path.join(input_path, "*.parquet")))
+    else:
+        files = sorted(glob.glob(input_path)) or [input_path]
+    if len(files) >= num_shards:
+        chunks = [sorted(files[i::num_shards]) for i in range(num_shards)]
+        return [{"part_id": i, "files": chunk, "mode": "files"}
+                for i, chunk in enumerate(chunks) if chunk]
+    return [{"part_id": i, "files": files, "mode": "conv_hash",
+             "num_shards": num_shards} for i in range(num_shards)]
+
+
+def run_extraction_partitioned(input_path: str, out_dir: str, *,
+                               num_shards: int = 8,
+                               want_markdown: bool = True,
+                               keep_spans: bool = True,
+                               concurrency: int | tuple[int, int] | None = None,
+                               batch_size: int = DEFAULT_BATCH_SIZE) -> dict:
+    """Resumable extract phase: per-shard parquet + manifest; skip complete
+    shards on rerun. Returns summary with per-shard stats."""
+    os.makedirs(out_dir, exist_ok=True)
+    shards = plan_shards(input_path, num_shards)
+    summary = {"shards": [], "skipped": 0, "rows": 0, "errors": 0}
+    for shard in shards:
+        pid = shard["part_id"]
+        if is_partition_complete(out_dir, pid):
+            summary["skipped"] += 1
+            continue
+        t0 = time.perf_counter()
+        ds = rd.read_parquet(shard["files"])
+        if shard["mode"] == "conv_hash":
+            k, n = pid, shard["num_shards"]
+
+            def _filter(batch: pa.Table, k=k, n=n) -> pa.Table:
+                mask = _conv_hash(batch.column("conv_id").to_pylist()) % n == k
+                return batch.filter(pa.array(mask))
+
+            ds = ds.map_batches(_filter, batch_format="pyarrow")
+        ds = extract_dataset(ds, want_markdown=want_markdown,
+                             keep_spans=keep_spans, concurrency=concurrency,
+                             batch_size=batch_size)
+        ds = ds.map_batches(_add_row_hash, batch_format="pyarrow")
+        part_path = os.path.join(out_dir, f"part_id={pid}")
+        # stale partial output from a crashed/invalidated run must not leak
+        # into the rerun: write fresh to a temp dir, swap, then manifest
+        # (the manifest is the commit point).
+        tmp_path = os.path.join(out_dir, f".part_id={pid}.tmp")
+        if os.path.isdir(tmp_path):
+            shutil.rmtree(tmp_path)
+        ds.write_parquet(tmp_path)
+        if os.path.isdir(part_path):
+            shutil.rmtree(part_path)
+        os.replace(tmp_path, part_path)
+        # cheap column-scan for manifest stats (reads 3 columns only)
+        stats = rd.read_parquet(part_path,
+                                columns=["status", "n_chars", "row_hash"])
+        agg = stats.map_batches(
+            lambda b: pa.table({
+                "rows": pa.array([b.num_rows], pa.int64()),
+                "errors": pa.array(
+                    [int(np.sum(np.asarray(b.column("status")) == "error"))],
+                    pa.int64()),
+                "n_chars": pa.array(
+                    [int(np.sum(b.column("n_chars").to_numpy()))], pa.int64()),
+                "hash_sum": pa.array(
+                    [int(np.sum(b.column("row_hash").to_numpy(),
+                                dtype=np.uint64))], pa.int64()),
+            }),
+            batch_format="pyarrow").to_pandas()
+        rows = int(agg["rows"].sum())
+        errors = int(agg["errors"].sum())
+        n_chars = int(agg["n_chars"].sum())
+        content_hash = int(agg["hash_sum"].sum()) & ((1 << 63) - 1)
+        wall = time.perf_counter() - t0
+        m = write_manifest(out_dir, pid,
+                           inputs=shard["files"] if shard["mode"] == "files"
+                           else [f"{f}#conv_hash%{shard['num_shards']}=={pid}"
+                                 for f in shard["files"]],
+                           rows=rows, errors=errors, n_chars=n_chars,
+                           content_hash=content_hash, wall_sec=wall)
+        summary["shards"].append(m)
+        summary["rows"] += rows
+        summary["errors"] += errors
+    return summary

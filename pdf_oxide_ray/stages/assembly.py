@@ -1,0 +1,58 @@
+"""Conversation assembly: the only required shuffle (SURVEY.md §2.7).
+
+Restores stable ``(conv_id, turn_idx)`` ordering after the embarrassingly
+parallel extract stage and computes per-turn character offsets into the
+concatenated conversation text — the distributed analogue of the reference's
+multi-page concat in page order (``to_markdown_all`` / ``to_plain_text_all``,
+``/root/reference/src/document.rs:2317-2333,2366-2382``).
+
+Shuffle plan: ``groupby("conv_id")`` hash-partitions by conversation (the
+ONE partitioning key reused across stages); within each group an Arrow-level
+sort by ``turn_idx`` restores order — no global sort. Skew note: extraction
+is per-turn so hot conversations cost nothing there; in assembly a group is
+one conversation (bounded by turns-per-conv, not corpus size). For
+pathological conversations (millions of turns) the group fits because only
+(turn_idx, n_chars)-sized state is needed to compute offsets — text stays in
+the rows. TURN_SEPARATOR joins turns when a caller materializes full
+conversation text.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+TURN_SEPARATOR = "\n\n"
+
+
+def assemble_conversation(group: pd.DataFrame) -> pd.DataFrame:
+    """Per-group (one conversation): sort by turn_idx, compute offsets.
+
+    Adds ``turn_offset`` (char offset of this turn's text within the
+    ``TURN_SEPARATOR``-joined conversation text) and ``conv_turns``.
+    """
+    group = group.sort_values("turn_idx", kind="mergesort")
+    n_chars = group["n_chars"].to_numpy(dtype=np.int64)
+    sep = len(TURN_SEPARATOR)
+    ends = np.cumsum(n_chars + sep)
+    offsets = np.concatenate(([0], ends[:-1]))
+    group = group.assign(turn_offset=offsets,
+                         conv_turns=np.int32(len(group)))
+    return group
+
+
+def assemble(ds, batch_format: str = "pandas"):
+    """``extracted`` Dataset -> per-turn rows in stable conversation order."""
+    return ds.groupby("conv_id").map_groups(
+        assemble_conversation, batch_format=batch_format)
+
+
+def conversation_text(group: pd.DataFrame) -> pd.DataFrame:
+    """Optional rollup: one row per conversation with the joined text
+    (used by tests / small exports, not the 100 TB path)."""
+    group = group.sort_values("turn_idx", kind="mergesort")
+    return pd.DataFrame({
+        "conv_id": [group["conv_id"].iloc[0]],
+        "n_turns": [len(group)],
+        "conversation_text": [TURN_SEPARATOR.join(group["extracted_text"])],
+    })

@@ -1,0 +1,119 @@
+"""Span post-processing + text assembly tests with mock-span builders
+(mirrors reference tests/test_converters.rs:13-47 mock_word pattern and
+FIXTURES.md §2 cases)."""
+
+from pdf_oxide_ray.core.assemble import assemble_text, should_insert_space
+from pdf_oxide_ray.core.interpret import TextSpan
+from pdf_oxide_ray.core.spans_post import (
+    deduplicate_overlapping_spans, detect_span_columns, merge_adjacent_spans,
+    postprocess_spans, simple_sort_spans,
+)
+
+_SEQ = [0]
+
+
+def mock_word(text, x, y, size=12.0, bold=False, width=None):
+    _SEQ[0] += 1
+    return TextSpan(text=text, x=x, y=y,
+                    width=width if width is not None else len(text) * size * 0.5,
+                    height=size, font_name="F1", font_size=size, bold=bold,
+                    mcid=None, sequence=_SEQ[0])
+
+
+def test_sort_y_desc_then_x_asc():
+    spans = [mock_word("b", 100, 700), mock_word("a", 50, 700),
+             mock_word("top", 50, 720)]
+    out = simple_sort_spans(spans)
+    assert [s.text for s in out] == ["top", "a", "b"]
+
+
+def test_sort_stability_on_same_rounded_y():
+    s1 = mock_word("first", 50, 700.2)
+    s2 = mock_word("second", 50, 699.8)  # same rounded y, same x
+    out = simple_sort_spans([s1, s2])
+    assert [s.text for s in out] == ["first", "second"]
+
+
+def test_dedup_overlapping():
+    spans = [mock_word("Hello", 72, 700), mock_word("Hello", 73.5, 700),
+             mock_word("World", 120, 700)]
+    out = deduplicate_overlapping_spans(spans)
+    assert [s.text for s in out] == ["Hello", "World"]
+
+
+def test_merge_fragments_no_space():
+    a = mock_word("Intr", 72, 700, width=20)
+    b = mock_word("oduction", 92, 700, width=40)  # gap 0 -> concat
+    out = merge_adjacent_spans([a, b])
+    assert [s.text for s in out] == ["Introduction"]
+
+
+def test_merge_with_space_on_gap():
+    a = mock_word("Wang", 72, 700, width=24)
+    b = mock_word("Zhenyu", 98, 700, width=36)  # gap 2pt -> space
+    out = merge_adjacent_spans([a, b])
+    assert [s.text for s in out] == ["Wang Zhenyu"]
+
+
+def test_no_merge_across_column_gap():
+    a = mock_word("left", 72, 700, width=20)
+    b = mock_word("right", 330, 700, width=25)
+    out = merge_adjacent_spans([a, b])
+    assert [s.text for s in out] == ["left", "right"]
+
+
+def test_two_column_detection():
+    spans = []
+    for y in range(700, 600, -14):
+        spans.append(mock_word("l", 50, y, width=230))
+        spans.append(mock_word("r", 330, y, width=230))
+    cols = detect_span_columns(spans)
+    assert len(cols) == 2
+
+
+def test_column_aware_order():
+    spans = [mock_word("L1", 50, 700, width=100), mock_word("R1", 400, 700, width=100),
+             mock_word("L2", 50, 680, width=100), mock_word("R2", 400, 680, width=100),
+             mock_word("L3", 50, 660, width=100), mock_word("R3", 400, 660, width=100)]
+    out = postprocess_spans(spans)
+    texts = [s.text for s in out]
+    assert texts == ["L1", "L2", "L3", "R1", "R2", "R3"]
+
+
+def test_assemble_single_line_space():
+    a = mock_word("Hello", 72, 700, width=30)
+    b = mock_word("world", 110, 700, width=30)  # gap 8 > 0.25*12
+    assert assemble_text([a, b]) == "Hello world"
+
+
+def test_assemble_no_space_tight():
+    a = mock_word("Hel", 72, 700, width=30)
+    b = mock_word("lo", 103, 700, width=12)  # gap 1 < 3
+    assert assemble_text([a, b]) == "Hel lo".replace(" ", "") or True
+    # gap 1pt < 0.25*12=3 -> no space inserted by assembly
+    assert assemble_text([a, b]) == "Hello"
+
+
+def test_assemble_line_breaks_clamped():
+    a = mock_word("para1", 72, 700)
+    b = mock_word("para2", 72, 700 - 14.4)   # 1 line height -> 1 break
+    c = mock_word("para3", 72, 700 - 14.4 - 100)  # big gap -> 3 breaks max
+    out = assemble_text([a, b, c])
+    assert out == "para1\npara2\n\n\npara3"
+
+
+def test_should_insert_space_limits():
+    a = mock_word("a", 72, 700, width=10)
+    far = mock_word("b", 72 + 10 + 100, 700)  # gap 100 > 5*12 -> no space
+    assert not should_insert_space(a, far)
+    diff_line = mock_word("b", 90, 690)
+    assert not should_insert_space(a, diff_line)
+
+
+def test_fixtures_heading_small_cases():
+    # 24pt bold -> separate line handling is markdown's job; here ensure
+    # assembly puts heading on its own line via y-gap breaks
+    h = mock_word("Title", 72, 730, size=24, bold=True)
+    b = mock_word("body", 72, 700)
+    out = assemble_text([h, b])
+    assert out.startswith("Title\n")
