@@ -1,16 +1,16 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (nor in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+* ``entry()`` — flagship extraction pipeline (north rule) over the
+  deterministic synthetic transcripts corpus at sf0.001 scale (the
+  ``BASELINE.json: input_hint`` table shape; synthesised + cached under
+  /tmp because /root/testdata carries no transcripts table).
+* ``queries()`` — one callable per implemented operator family
+  (SURVEY.md §2 + the training-data ops) over ``sf_dir``'s tables, plus the
+  flagship/golden rows-only entries on the matching synthetic corpus scale.
+* ``oracle_sql()`` — DuckDB twins for every SQL-expressible query.
 """
 
 from __future__ import annotations
@@ -20,25 +20,64 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001 scale; returns the assembled per-turn
+    Dataset (driver checks rows >= 0 and a stable schema)."""
+    from pdf_oxide_ray.gen.cache import transcripts_path
+    from pdf_oxide_ray.pipelines.flagship import run_flagship
+
+    path = transcripts_path("sf0.001", with_golden=False)
+    return run_flagship(path, keep_spans=False)
+
+
+def _flagship_queries() -> dict[str, Callable[[str], Any]]:
+    """Rows-only entries exercising the north-rule pipeline per sf_dir
+    scale (text extraction is not SQL-expressible)."""
+
+    def extract_transcripts(sf_dir: str):
+        from pdf_oxide_ray.gen.cache import tag_for_sf_dir, transcripts_path
+        from pdf_oxide_ray.pipelines.flagship import run_flagship
+
+        path = transcripts_path(tag_for_sf_dir(sf_dir), with_golden=False)
+        ds = run_flagship(path, keep_spans=False)
+        return ds.select_columns(["conv_id", "turn_idx", "kind", "status",
+                                  "n_chars", "turn_offset", "conv_turns"])
+
+    def golden_parity(sf_dir: str):
+        """Self-check row: distributed output vs single-process oracle."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from pdf_oxide_ray.gen.cache import (golden_path, tag_for_sf_dir,
+                                             transcripts_path)
+        from pdf_oxide_ray.pipelines.flagship import run_flagship
+
+        tag = tag_for_sf_dir(sf_dir)
+        out = run_flagship(transcripts_path(tag, with_golden=True),
+                           keep_spans=False).to_pandas()
+        golden = pq.read_table(golden_path(tag)).to_pandas()
+        merged = out.merge(
+            golden[["conv_id", "turn_idx", "extracted_text"]],
+            on=["conv_id", "turn_idx"], suffixes=("", "_gold"))
+        return pd.DataFrame({
+            "n_rows": [len(out)],
+            "n_matched": [int((merged["extracted_text"]
+                               == merged["extracted_text_gold"]).sum())],
+            "n_errors": [int((out["status"] == "error").sum())],
+        })
+
+    return {"extract_transcripts": extract_transcripts,
+            "golden_parity": golden_parity}
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from pdf_oxide_ray.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = dict(QUERIES)
+    out.update(_flagship_queries())
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from pdf_oxide_ray.queries import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

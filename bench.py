@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+   "turns": T, "turns_per_sec": R}
+
+Headline = flagship extraction+assembly (north rule) over the synthetic
+transcripts corpus at the scale matching $GRAFT_SF_DIR (default
+/root/testdata/sf0.1 -> ~110k turns). Query timings cover the operator
+families over the real testdata tables.
+
+--scaling: run the headline twice in FRESH processes at num_cpus=8 and 32
+on the same input and report both throughputs + scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "category_stats", "revenue_by_flag", "top_events", "ordered_assembly",
+    "join_customer_orders", "join_lineitem_orders", "dedup_exact",
+    "minhash_dedup", "embedding_knn", "token_counts", "quality_score",
+]
+
+
+def ensure_bench_corpus(tag: str) -> str:
+    """Parallel-generated (no golden) corpus for the bench scale."""
+    from pdf_oxide_ray.gen.cache import CACHE_ROOT, SF_CONVS
+    from pdf_oxide_ray.gen.parallel import write_corpus_parallel
+
+    out = os.path.join(CACHE_ROOT, f"{tag}-s42-bench")
+    marker = os.path.join(out, "_complete")
+    if os.path.exists(marker):
+        return os.path.join(out, "transcripts")
+    path = write_corpus_parallel(out, SF_CONVS[tag], seed=42)
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return path
+
+
+def run_bench() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from pdf_oxide_ray.gen.cache import tag_for_sf_dir
+    from pdf_oxide_ray.pipelines.flagship import run_flagship
+
+    tag = tag_for_sf_dir(SF_DIR)
+    corpus = ensure_bench_corpus(tag)
+
+    # warm OS page cache (untimed): one full read of the input
+    import pyarrow.dataset as pads
+
+    n_turns = sum(f.count_rows() for f in
+                  pads.dataset(corpus).get_fragments())
+
+    # headline: flagship extraction + assembly, consumed via streaming count
+    t0 = time.perf_counter()
+    ds = run_flagship(corpus, keep_spans=True, want_markdown=True)
+    rows = 0
+    for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        rows += batch.num_rows
+    headline = time.perf_counter() - t0
+
+    timings: dict[str, float] = {"flagship_extract": round(headline, 3)}
+
+    from pdf_oxide_ray.queries import QUERIES
+
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        try:
+            QUERIES[name](SF_DIR)
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            timings[name] = -1.0
+            print(f"bench query {name} failed: {exc}", file=sys.stderr)
+
+    result = {
+        "metric": "flagship extraction+assembly wall time "
+                  f"({tag} synthetic transcripts corpus)",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": tag,
+        "num_cpus": NUM_CPUS,
+        "turns": rows,
+        "turns_per_sec": round(rows / headline, 1),
+        "input_turns": n_turns,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, __file__], env=env,
+                             capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (flagship extraction, "
+                  f"num_cpus {lo} vs {hi}, fresh processes, same input)",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "turns_per_sec_8": r_lo["turns_per_sec"],
+        "turns_per_sec_32": r_hi["turns_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "sf": r_hi["sf"],
+        "turns": r_hi["turns"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

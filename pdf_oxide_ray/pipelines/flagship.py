@@ -54,9 +54,14 @@ def extract_dataset(ds, *, want_markdown: bool = True, keep_spans: bool = True,
                     concurrency: int | tuple[int, int] | None = None,
                     batch_size: int = DEFAULT_BATCH_SIZE):
     """transcripts Dataset -> extracted Dataset (actor pool, Arrow batches)."""
-    kwargs = {}
-    if concurrency is not None:
-        kwargs["concurrency"] = concurrency
+    if concurrency is None:
+        # size the pool to the session: leave headroom for read/shuffle/write
+        # stages so the pool never starves them
+        import ray
+
+        total = int(ray.cluster_resources().get("CPU", 8)) if \
+            ray.is_initialized() else 8
+        concurrency = max(1, total - 2)
     return ds.map_batches(
         ExtractTurns,
         batch_format="pyarrow",
@@ -64,7 +69,7 @@ def extract_dataset(ds, *, want_markdown: bool = True, keep_spans: bool = True,
         fn_constructor_kwargs={"want_markdown": want_markdown,
                                "keep_spans": keep_spans},
         num_cpus=1,
-        **kwargs,
+        concurrency=concurrency,
     )
 
 

@@ -1,0 +1,617 @@
+"""Driver-contract queries: one entry per operator family (SURVEY.md §2),
+each with a DuckDB oracle twin in ``ORACLE_SQL`` where SQL-expressible.
+
+Column names match the oracle SQL exactly (the driver's compare sorts
+columns by name before hashing). Float aggregate outputs are rounded to 6
+decimals on BOTH sides so binary summation-order noise cannot flip the
+value hash.
+
+Shuffle discipline per query is noted in each docstring: pre-aggregated
+partials before every groupby, broadcast for small sides, bucketed hash join
+for large-large.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Sum
+
+from .functions import dedup as fdedup
+from .functions import similarity as fsim
+from .functions import textops as ftext
+from .stages.joins import broadcast_join, bucketed_hash_join
+
+
+def _pq(sf_dir: str, table: str, columns: list[str] | None = None):
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                           columns=columns)
+
+
+def _round6(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+    for c in cols:
+        df[c] = np.round(df[c].astype(np.float64), 6)
+    return df
+
+
+# ---------------------------------------------------------------------------
+# grouped aggregates (partial-agg pattern: combine per batch, then a SMALL
+# groupby over partials — the wide shuffle carries one row per key per batch)
+# ---------------------------------------------------------------------------
+
+def q_turn_counts(sf_dir: str) -> pd.DataFrame:
+    """events: count per user (groupby over per-batch partial counts)."""
+    ds = _pq(sf_dir, "events", ["user_id"])
+    partial = ds.map_batches(
+        lambda b: b.groupby("user_id", as_index=False).agg(n=("user_id", "size")),
+        batch_format="pandas")
+    out = partial.groupby("user_id").aggregate(Sum("n", alias_name="n")).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def q_category_stats(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-shaped rollup over lineitem (mirrors the reference's
+    per-category stats fold, validate_dataset.rs:31-141)."""
+    ds = _pq(sf_dir, "lineitem",
+             ["l_returnflag", "l_linestatus", "l_quantity",
+              "l_extendedprice", "l_discount"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = b.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            sum_qty=("l_quantity", "sum"),
+            sum_price=("l_extendedprice", "sum"),
+            disc_sum=("l_discount", "sum"),
+            n=("l_quantity", "size"))
+        return g
+
+    agg = ds.map_batches(partial, batch_format="pandas") \
+        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_price", alias_name="sum_price"),
+            Sum("disc_sum", alias_name="disc_sum"),
+            Sum("n", alias_name="n")).to_pandas()
+    agg["avg_disc"] = agg["disc_sum"] / agg["n"]
+    agg["n"] = agg["n"].astype("int64")
+    agg = agg.drop(columns=["disc_sum"])
+    return _round6(agg, ["sum_qty", "sum_price", "avg_disc"])
+
+
+def q_revenue_by_flag(sf_dir: str) -> pd.DataFrame:
+    """Filter + project + grouped sum; predicate applied vectorized."""
+    ds = _pq(sf_dir, "lineitem",
+             ["l_returnflag", "l_extendedprice", "l_discount", "l_shipdate"])
+    cutoff = pd.Timestamp("1996-01-01")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_shipdate"] < cutoff]
+        rev = b["l_extendedprice"] * (1.0 - b["l_discount"])
+        return pd.DataFrame({"l_returnflag": b["l_returnflag"],
+                             "revenue": rev}) \
+            .groupby("l_returnflag", as_index=False).sum()
+
+    out = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("l_returnflag") \
+        .aggregate(Sum("revenue", alias_name="revenue")).to_pandas()
+    return _round6(out, ["revenue"])
+
+
+def q_events_hourly(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1h window: groupby(event_type, hour) count + avg."""
+    ds = _pq(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(hour=b["ts"].dt.floor("h"))
+        return b.groupby(["event_type", "hour"], as_index=False).agg(
+            n=("value", "size"), value_sum=("value", "sum"))
+
+    agg = ds.map_batches(partial, batch_format="pandas") \
+        .groupby(["event_type", "hour"]).aggregate(
+            Sum("n", alias_name="n"),
+            Sum("value_sum", alias_name="value_sum")).to_pandas()
+    agg["avg_value"] = agg["value_sum"] / agg["n"]
+    agg["n"] = agg["n"].astype("int64")
+    return _round6(agg.drop(columns=["value_sum"]), ["avg_value"])
+
+
+def q_distinct_event_types(sf_dir: str) -> pd.DataFrame:
+    ds = _pq(sf_dir, "events", ["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pd.DataFrame({"event_type": vals})
+
+
+# ---------------------------------------------------------------------------
+# sorts / top-k
+# ---------------------------------------------------------------------------
+
+def q_top_events(sf_dir: str) -> pd.DataFrame:
+    """Global top-10 by value (mirrors benchmark_all_pdfs.rs:209-227 top-10
+    slowest). Deterministic tiebreak on event_id."""
+    ds = _pq(sf_dir, "events", ["event_id", "event_type", "value"])
+    out = ds.sort(["value", "event_id"], descending=[True, False]) \
+        .limit(10).to_pandas()
+    return _round6(out, ["value"])
+
+
+def q_top_customers(sf_dir: str) -> pd.DataFrame:
+    """Grouped sum then top-10 (partial agg -> small groupby -> sort+limit)."""
+    ds = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    partial = ds.map_batches(
+        lambda b: b.groupby("o_custkey", as_index=False)
+        .agg(total_spent=("o_totalprice", "sum")),
+        batch_format="pandas")
+    agg = partial.groupby("o_custkey").aggregate(
+        Sum("total_spent", alias_name="total_spent"))
+    out = agg.sort(["total_spent", "o_custkey"],
+                   descending=[True, False]).limit(10).to_pandas()
+    return _round6(out, ["total_spent"])
+
+
+# ---------------------------------------------------------------------------
+# ordered within-group assembly (the flagship shuffle shape on testdata)
+# ---------------------------------------------------------------------------
+
+def q_ordered_assembly(sf_dir: str) -> pd.DataFrame:
+    """Per-user event-type concat ordered by (ts, event_id) — same
+    groupby+in-group-sort shape as conversation assembly."""
+    ds = _pq(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "events_concat": [",".join(g["event_type"])]})
+
+    return ds.groupby("user_id").map_groups(
+        per_user, batch_format="pandas").to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+def q_join_customer_orders(sf_dir: str) -> pd.DataFrame:
+    """Broadcast join (customer is the small side) -> grouped rollup."""
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    joined = broadcast_join(orders, cust, on="o_custkey", right_on="c_custkey")
+    partial = joined.map_batches(
+        lambda b: b.groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("o_totalprice", "size"),
+            total_price=("o_totalprice", "sum")),
+        batch_format="pandas")
+    out = partial.groupby("c_mktsegment").aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("total_price", alias_name="total_price")).to_pandas()
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return _round6(out, ["total_price"])
+
+
+def q_join_lineitem_orders(sf_dir: str) -> pd.DataFrame:
+    """Large-large bucketed hash join (lineitem x orders) -> revenue per
+    order priority. num_buckets=32 is the skew knob."""
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_extendedprice", "l_discount"])
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = bucketed_hash_join(li, orders, "l_orderkey", "o_orderkey",
+                                num_buckets=32)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rev = b["l_extendedprice"] * (1.0 - b["l_discount"])
+        return pd.DataFrame({"o_orderpriority": b["o_orderpriority"],
+                             "revenue": rev, "n": 1}) \
+            .groupby("o_orderpriority", as_index=False).sum()
+
+    out = joined.map_batches(partial, batch_format="pandas") \
+        .groupby("o_orderpriority").aggregate(
+            Sum("revenue", alias_name="revenue"),
+            Sum("n", alias_name="n")).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return _round6(out, ["revenue"])
+
+
+def q_supplier_nation_region(sf_dir: str) -> pd.DataFrame:
+    """3-way broadcast star join: supplier -> nation -> region rollup."""
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    dim = nation.merge(region, left_on="n_regionkey",
+                       right_on="r_regionkey")[["n_nationkey", "r_name"]]
+    sup = _pq(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+    joined = broadcast_join(sup, dim, on="s_nationkey", right_on="n_nationkey")
+    partial = joined.map_batches(
+        lambda b: b.groupby("r_name", as_index=False).agg(
+            n_suppliers=("s_acctbal", "size"),
+            total_acctbal=("s_acctbal", "sum")),
+        batch_format="pandas")
+    out = partial.groupby("r_name").aggregate(
+        Sum("n_suppliers", alias_name="n_suppliers"),
+        Sum("total_acctbal", alias_name="total_acctbal")).to_pandas()
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    return _round6(out, ["total_acctbal"])
+
+
+# ---------------------------------------------------------------------------
+# text ops over documents
+# ---------------------------------------------------------------------------
+
+def q_artifact_strip(sf_dir: str) -> pd.DataFrame:
+    """Reference R5 artifact removal applied per doc; returns cleaned length
+    (whitespace.rs:91-114 regex chain, same order)."""
+    from .core.cleanup import remove_page_artifacts
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "n_clean": b["text"].fillna("").map(
+                lambda t: len(remove_page_artifacts(t))).astype("int64")}),
+        batch_format="pandas").to_pandas()
+
+
+def q_token_counts(sf_dir: str) -> pd.DataFrame:
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "n_tokens": ftext.token_count_ws(b["text"])}),
+        batch_format="pandas").to_pandas()
+
+
+def q_token_counts_bpe(sf_dir: str) -> pd.DataFrame:
+    """BPE-ish regex tokenization (lookahead regex — no SQL twin)."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "n_tokens_bpe": ftext.token_count_bpe(b["text"])}),
+        batch_format="pandas").to_pandas()
+
+
+def q_doc_stats(sf_dir: str) -> pd.DataFrame:
+    ds = _pq(sf_dir, "documents", ["lang", "n_chars"])
+    partial = ds.map_batches(
+        lambda b: b.groupby("lang", as_index=False).agg(
+            n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")),
+        batch_format="pandas")
+    out = partial.groupby("lang").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("sum_chars", alias_name="sum_chars")).to_pandas()
+    out["avg_chars"] = out["sum_chars"] / out["n_docs"]
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["sum_chars"] = out["sum_chars"].astype("int64")
+    return _round6(out, ["avg_chars"])
+
+
+def q_fingerprint_md5(sf_dir: str) -> pd.DataFrame:
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: pd.DataFrame({"doc_id": b["doc_id"],
+                                "fp": ftext.fingerprint_md5(b["text"])}),
+        batch_format="pandas").to_pandas()
+
+
+def q_quality_features(sf_dir: str) -> pd.DataFrame:
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def feats(b: pd.DataFrame) -> pd.DataFrame:
+        f = ftext.quality_features(b["text"])
+        return pd.DataFrame({"doc_id": b["doc_id"],
+                             "n_tokens": f["n_tokens"],
+                             "n_punct": f["n_punct"],
+                             "n_digits": f["n_digits"]})
+
+    return ds.map_batches(feats, batch_format="pandas").to_pandas()
+
+
+def q_quality_score(sf_dir: str) -> pd.DataFrame:
+    """Composite heuristic score (banded ratios — no SQL twin)."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: pd.DataFrame({
+            "doc_id": b["doc_id"],
+            "quality": np.round(ftext.quality_score(b["text"]), 6)}),
+        batch_format="pandas").to_pandas()
+
+
+def q_lang_id(sf_dir: str) -> pd.DataFrame:
+    """Heuristic language ID (stopword profiles; no SQL twin)."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(
+        lambda b: pd.DataFrame({"doc_id": b["doc_id"],
+                                "lang_pred": ftext.detect_language(b["text"])}),
+        batch_format="pandas").to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup: survivor = min doc_id per distinct text. Shuffle carries
+    only (content_hash, doc_id)."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    hashed = ds.map_batches(
+        lambda b: pd.DataFrame({
+            "content_hash": fdedup.content_hash(b["text"]),
+            "doc_id": b["doc_id"]}),
+        batch_format="pandas")
+    from ray.data.aggregate import Min
+
+    out = hashed.groupby("content_hash").aggregate(
+        Min("doc_id", alias_name="doc_id")).to_pandas()
+    return out[["doc_id"]].astype({"doc_id": "int64"})
+
+
+def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
+    """MinHash+LSH near-dup clusters: signature per batch -> explode band
+    rows -> groupby band -> candidate pairs -> Jaccard verify >= 0.8 ->
+    min-label components. Returns (doc_id, cluster_root) for docs in
+    clusters of size > 1."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def bands(b: pd.DataFrame) -> pd.DataFrame:
+        rows_id, rows_band, rows_hash = [], [], []
+        for did, text in zip(b["doc_id"], b["text"].fillna("")):
+            sig = fdedup.minhash_signature(text)
+            for band_id, bh in enumerate(fdedup.minhash_bands(sig)):
+                rows_id.append(did)
+                rows_band.append(band_id)
+                rows_hash.append(bh)
+        return pd.DataFrame({"doc_id": rows_id, "band_id": rows_band,
+                             "band_hash": rows_hash})
+
+    band_rows = ds.map_batches(bands, batch_format="pandas")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(g["doc_id"].tolist()))
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+
+    cand = band_rows.groupby(["band_id", "band_hash"]).map_groups(
+        pairs, batch_format="pandas").to_pandas().drop_duplicates()
+    if cand.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "cluster_root": pd.Series(dtype="int64")})
+    # verify candidates (small set) against the texts
+    import pyarrow.parquet as pq
+
+    texts = dict(zip(
+        *pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                       columns=["doc_id", "text"]).to_pandas()
+        [["doc_id", "text"]].T.values.tolist())) if False else None
+    tdf = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"]).to_pandas()
+    tmap = dict(zip(tdf["doc_id"], tdf["text"]))
+    verified = [(a, b) for a, b in zip(cand["id_a"], cand["id_b"])
+                if fdedup.jaccard(tmap[a], tmap[b]) >= 0.8]
+    comp = fdedup.connected_components(verified)
+    if not comp:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "cluster_root": pd.Series(dtype="int64")})
+    return pd.DataFrame(sorted(comp.items()),
+                        columns=["doc_id", "cluster_root"]).astype("int64")
+
+
+def q_simhash_buckets(sf_dir: str) -> pd.DataFrame:
+    """SimHash signatures (no SQL twin): doc_id -> 64-bit simhash."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    out = ds.map_batches(fdedup.add_simhash, batch_format="pandas").to_pandas()
+    return out[["doc_id", "simhash"]]
+
+
+def q_ngram_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    """Character-3-gram Jaccard >= 0.9 pairs among same-simhash-prefix
+    buckets (cheap near-dup verify; no SQL twin)."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    sh = ds.map_batches(fdedup.add_simhash, batch_format="pandas")
+
+    def bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["bucket"] = np.right_shift(b["simhash"].to_numpy(np.uint64),
+                                     np.uint64(48)).astype(np.int64)
+        return b[["doc_id", "text", "bucket"]]
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["doc_id"].tolist()
+        txt = g["text"].tolist()
+        out = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                sim = fdedup.ngram_jaccard(txt[i], txt[j])
+                if sim >= 0.9:
+                    out.append((min(ids[i], ids[j]), max(ids[i], ids[j]),
+                                round(sim, 6)))
+        return pd.DataFrame(out, columns=["id_a", "id_b", "sim"]) if out else \
+            pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                          "id_b": pd.Series(dtype="int64"),
+                          "sim": pd.Series(dtype="float64")})
+
+    return sh.map_batches(bucket, batch_format="pandas") \
+        .groupby("bucket").map_groups(pairs, batch_format="pandas").to_pandas()
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_KNN_K = 5
+_KNN_QUERIES = 5
+
+
+def _query_matrix(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "embedding"]).to_pandas()
+    t = t[t["vec_id"] < _KNN_QUERIES].sort_values("vec_id")
+    return np.stack(t["embedding"].to_numpy())
+
+
+def q_embedding_knn(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-k: broadcast query matrix, per-batch matmul,
+    small final reduce. query_id = vec_id < 5; k=5."""
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = fsim.brute_force_topk(ds, _query_matrix(sf_dir), k=_KNN_K)
+    out["score"] = np.round(out["score"].astype(np.float64), 4)
+    out = out.drop(columns=["rank"])
+    return out.astype({"query_id": "int64", "vec_id": "int64"})
+
+
+def q_embedding_near_dups(sf_dir: str) -> pd.DataFrame:
+    """LSH-bucketed cosine near-dup pairs (scale path; no SQL twin)."""
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    bucketed = ds.map_batches(fsim.add_lsh_bucket, batch_format="pandas")
+    pairs = bucketed.groupby("bucket").map_groups(
+        lambda g: fsim.bucket_near_dups(g, tau=0.99),
+        batch_format="pandas").to_pandas()
+    if pairs.empty:
+        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                             "id_b": pd.Series(dtype="int64")})
+    return pairs[["id_a", "id_b"]].drop_duplicates().astype("int64")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QUERIES = {
+    "turn_counts": q_turn_counts,
+    "category_stats": q_category_stats,
+    "revenue_by_flag": q_revenue_by_flag,
+    "events_hourly": q_events_hourly,
+    "distinct_event_types": q_distinct_event_types,
+    "top_events": q_top_events,
+    "top_customers": q_top_customers,
+    "ordered_assembly": q_ordered_assembly,
+    "join_customer_orders": q_join_customer_orders,
+    "join_lineitem_orders": q_join_lineitem_orders,
+    "supplier_nation_region": q_supplier_nation_region,
+    "artifact_strip": q_artifact_strip,
+    "token_counts": q_token_counts,
+    "token_counts_bpe": q_token_counts_bpe,
+    "doc_stats": q_doc_stats,
+    "fingerprint_md5": q_fingerprint_md5,
+    "quality_features": q_quality_features,
+    "quality_score": q_quality_score,
+    "lang_id": q_lang_id,
+    "dedup_exact": q_dedup_exact,
+    "minhash_dedup": q_minhash_dedup,
+    "simhash_buckets": q_simhash_buckets,
+    "ngram_dup_pairs": q_ngram_dup_pairs,
+    "embedding_knn": q_embedding_knn,
+    "embedding_near_dups": q_embedding_near_dups,
+}
+
+ORACLE_SQL = {
+    "turn_counts":
+        "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id",
+    "category_stats": """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 6) AS sum_qty,
+               ROUND(SUM(l_extendedprice), 6) AS sum_price,
+               ROUND(SUM(l_discount) / COUNT(*), 6) AS avg_disc,
+               COUNT(*) AS n
+        FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "revenue_by_flag": """
+        SELECT l_returnflag,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue
+        FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
+        GROUP BY l_returnflag""",
+    "events_hourly": """
+        SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
+               ROUND(SUM(value) / COUNT(*), 6) AS avg_value
+        FROM events GROUP BY event_type, date_trunc('hour', ts)""",
+    "distinct_event_types":
+        "SELECT DISTINCT event_type FROM events",
+    "top_events": """
+        SELECT event_id, event_type, ROUND(value, 6) AS value FROM events
+        ORDER BY value DESC, event_id LIMIT 10""",
+    "top_customers": """
+        SELECT o_custkey, ROUND(SUM(o_totalprice), 6) AS total_spent
+        FROM orders GROUP BY o_custkey
+        ORDER BY total_spent DESC, o_custkey LIMIT 10""",
+    "ordered_assembly": """
+        SELECT user_id,
+               string_agg(event_type, ',' ORDER BY ts, event_id)
+                   AS events_concat
+        FROM events GROUP BY user_id""",
+    "join_customer_orders": """
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 6) AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment""",
+    "join_lineitem_orders": """
+        SELECT o_orderpriority,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+               COUNT(*) AS n
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority""",
+    "supplier_nation_region": """
+        SELECT r_name, COUNT(*) AS n_suppliers,
+               ROUND(SUM(s_acctbal), 6) AS total_acctbal
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name""",
+    "artifact_strip": r"""
+        SELECT doc_id, CAST(length(
+          regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+          regexp_replace(regexp_replace(text,
+            '(?m)^Page\s+\d+\s*$', '', 'g'),
+            '(?m)^\s*-\s*\d+\s*-\s*$', '', 'g'),
+            '(?m)^\s*[\[\(]\d+[\]\)]\s*$', '', 'g'),
+            '(?m)^\s*\d{1,3}\s*$', '', 'g'),
+            '(?m)^[\s\-]{5,}$', '', 'g'),
+            '(?m)^[\s=]{5,}$', '', 'g')) AS BIGINT) AS n_clean
+        FROM documents""",
+    "token_counts": r"""
+        SELECT doc_id, CAST(length(list_filter(
+            regexp_split_to_array(text, '\s+'), x -> x <> '')) AS BIGINT)
+            AS n_tokens
+        FROM documents""",
+    "doc_stats": """
+        SELECT lang, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               ROUND(SUM(n_chars) / COUNT(*), 6) AS avg_chars
+        FROM documents GROUP BY lang""",
+    "fingerprint_md5":
+        "SELECT doc_id, md5(text) AS fp FROM documents",
+    "quality_features": r"""
+        SELECT doc_id,
+            CAST(length(list_filter(regexp_split_to_array(text, '\s+'),
+                 x -> x <> '')) AS BIGINT) AS n_tokens,
+            CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                 AS BIGINT) AS n_punct,
+            CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                 AS BIGINT) AS n_digits
+        FROM documents""",
+    "dedup_exact": """
+        SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
+        FROM documents GROUP BY text""",
+    "embedding_knn": f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+                   FROM embeddings WHERE vec_id < {_KNN_QUERIES}),
+        scored AS (
+            SELECT q.query_id, e.vec_id,
+                   ROUND(CAST(list_cosine_similarity(e.embedding, q.qe)
+                              AS DOUBLE), 4) AS score,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY list_cosine_similarity(e.embedding, q.qe)
+                                DESC, e.vec_id) AS rn
+            FROM embeddings e CROSS JOIN q)
+        SELECT query_id, vec_id, score FROM scored WHERE rn <= {_KNN_K}""",
+}

@@ -21,27 +21,33 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 TURN_SEPARATOR = "\n\n"
 
 
-def assemble_conversation(group: pd.DataFrame) -> pd.DataFrame:
+def assemble_conversation(group: pa.Table) -> pa.Table:
     """Per-group (one conversation): sort by turn_idx, compute offsets.
+
+    Stays in Arrow end-to-end — the wide ``spans`` list<struct> column does
+    not survive a pandas round-trip (object-dtype ndarrays), and zero-copy
+    Arrow sort is cheaper anyway.
 
     Adds ``turn_offset`` (char offset of this turn's text within the
     ``TURN_SEPARATOR``-joined conversation text) and ``conv_turns``.
     """
-    group = group.sort_values("turn_idx", kind="mergesort")
-    n_chars = group["n_chars"].to_numpy(dtype=np.int64)
+    group = group.sort_by("turn_idx")
+    n_chars = group.column("n_chars").to_numpy().astype(np.int64)
     sep = len(TURN_SEPARATOR)
     ends = np.cumsum(n_chars + sep)
     offsets = np.concatenate(([0], ends[:-1]))
-    group = group.assign(turn_offset=offsets,
-                         conv_turns=np.int32(len(group)))
-    return group
+    group = group.append_column("turn_offset", pa.array(offsets, pa.int64()))
+    return group.append_column(
+        "conv_turns",
+        pa.array(np.full(len(n_chars), len(n_chars), dtype=np.int32)))
 
 
-def assemble(ds, batch_format: str = "pandas"):
+def assemble(ds, batch_format: str = "pyarrow"):
     """``extracted`` Dataset -> per-turn rows in stable conversation order."""
     return ds.groupby("conv_id").map_groups(
         assemble_conversation, batch_format=batch_format)

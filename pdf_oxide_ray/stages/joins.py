@@ -1,0 +1,108 @@
+"""Join strategies (SURVEY.md §2.7 / ray_guide joins section).
+
+* ``broadcast_join``: small side shipped ONCE via ``ray.put``; each actor
+  reads it in ``__init__`` and merges per batch — no shuffle. This is the
+  dimension-table path (customer, nation, ...).
+* ``bucketed_hash_join``: both sides large — add ``bucket = hash(key) % B``
+  to each side, tag, union, ``groupby(bucket)`` and merge matching buckets
+  pairwise inside ``map_groups`` (the portable partitioned hash join).
+  Skew note: salt hot keys into sub-buckets by raising B; the bucket count is
+  the knob, documented per call site.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pandas as pd
+
+
+# per-worker-process cache of fetched broadcast sides; ray.get of the same
+# ObjectRef is zero-copy from the local plasma store, and the cache avoids
+# even that call per batch
+_BROADCAST_CACHE: dict = {}
+
+
+def _get_broadcast(ref):
+    import ray
+
+    obj = _BROADCAST_CACHE.get(ref.hex() if hasattr(ref, "hex") else id(ref))
+    if obj is None:
+        obj = ray.get(ref)
+        _BROADCAST_CACHE[ref.hex() if hasattr(ref, "hex") else id(ref)] = obj
+    return obj
+
+
+def broadcast_join(ds, right: pd.DataFrame, on: str,
+                   right_on: str | None = None, how: str = "inner",
+                   concurrency: int | None = None):
+    """Join a Dataset with a SMALL pandas side (broadcast, no shuffle).
+
+    Implemented as stateless tasks (elastic, no pool sizing to starve other
+    stages); the broadcast side is ``ray.put`` once and cached per worker
+    process. ``concurrency`` optionally caps task parallelism.
+    """
+    import ray
+
+    ref = ray.put(right)
+    ron = right_on or on
+
+    def merge(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.merge(_get_broadcast(ref), how=how, left_on=on,
+                           right_on=ron)
+
+    kwargs = {}
+    if concurrency is not None:
+        kwargs["concurrency"] = concurrency
+    return ds.map_batches(merge, batch_format="pandas", **kwargs)
+
+
+def _bucket_of(keys: pd.Series, num_buckets: int) -> np.ndarray:
+    arr = keys.to_numpy()
+    if arr.dtype.kind in "iu":
+        return (arr.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                >> np.uint64(32)).astype(np.int64) % num_buckets
+    return np.fromiter(
+        (zlib.crc32(str(k).encode()) for k in arr),
+        dtype=np.uint32, count=len(arr)).astype(np.int64) % num_buckets
+
+
+def bucketed_hash_join(left_ds, right_ds, left_on: str, right_on: str,
+                       num_buckets: int = 32, how: str = "inner"):
+    """Partitioned hash join of two Datasets.
+
+    Only (bucket-tagged) projections of both sides move through the single
+    groupby shuffle; each bucket group is merged with pandas. Pick
+    ``num_buckets`` so one bucket of the LARGER side fits a worker's heap;
+    raise it to salt skewed keys.
+    """
+
+    left_cols = list(left_ds.schema().names)
+    right_cols = list(right_ds.schema().names)
+    clash = (set(left_cols) & set(right_cols)) - {left_on, right_on}
+    if clash:
+        raise ValueError(f"column collision between join sides: {clash}")
+    all_cols = left_cols + [c for c in right_cols if c not in left_cols]
+
+    def tag(side: str, on: str):
+        def _tag(batch: pd.DataFrame) -> pd.DataFrame:
+            batch = batch.copy()
+            batch["__bucket"] = _bucket_of(batch[on], num_buckets)
+            batch["__side"] = side
+            # align both sides to the shared schema (union requirement)
+            return batch.reindex(columns=all_cols + ["__bucket", "__side"])
+        return _tag
+
+    left = left_ds.map_batches(tag("l", left_on), batch_format="pandas")
+    right = right_ds.map_batches(tag("r", right_on), batch_format="pandas")
+    both = left.union(right)
+
+    def merge_bucket(group: pd.DataFrame) -> pd.DataFrame:
+        lmask = group["__side"] == "l"
+        lg = group.loc[lmask, left_cols]
+        rg = group.loc[~lmask, right_cols]
+        return lg.merge(rg, how=how, left_on=left_on, right_on=right_on)
+
+    return both.groupby("__bucket").map_groups(merge_bucket,
+                                               batch_format="pandas")

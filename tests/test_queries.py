@@ -1,0 +1,110 @@
+"""Run every queries() entry against its DuckDB oracle at sf0.001 —
+the same compare the driver performs at sf0.01 (row count + sorted-column
+value equality)."""
+
+import math
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype("datetime64[us]")
+    return df.sort_values(list(df.columns), kind="mergesort") \
+        .reset_index(drop=True)
+
+
+def _compare(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str):
+    a, b = _canon(ray_df), _canon(sql_df)
+    assert list(a.columns) == list(b.columns), \
+        f"{name}: columns {list(a.columns)} vs {list(b.columns)}"
+    assert len(a) == len(b), f"{name}: rows {len(a)} vs {len(b)}"
+    for c in a.columns:
+        if a[c].dtype.kind == "f" or b[c].dtype.kind == "f":
+            av = a[c].astype(float).to_numpy()
+            bv = b[c].astype(float).to_numpy()
+            ok = all(math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9)
+                     for x, y in zip(av, bv))
+            assert ok, f"{name}: float col {c} differs"
+        else:
+            assert (a[c].astype(str) == b[c].astype(str)).all(), \
+                f"{name}: col {c} differs"
+
+
+def _sql_checked_names():
+    import __ray_entry__ as e
+
+    return sorted(e.oracle_sql().keys())
+
+
+@pytest.mark.parametrize("name", [
+    "turn_counts", "category_stats", "revenue_by_flag", "events_hourly",
+    "distinct_event_types", "top_events", "top_customers",
+    "ordered_assembly", "join_customer_orders", "join_lineitem_orders",
+    "supplier_nation_region", "artifact_strip", "token_counts", "doc_stats",
+    "fingerprint_md5", "quality_features", "dedup_exact", "embedding_knn",
+])
+def test_query_vs_oracle(ray_session, oracle_con, name):
+    import __ray_entry__ as e
+
+    qs, sqls = e.queries(), e.oracle_sql()
+    assert name in qs and name in sqls
+    ray_df = qs[name](SF_DIR)
+    if not isinstance(ray_df, pd.DataFrame):
+        ray_df = ray_df.to_pandas()
+    sql_df = oracle_con.execute(sqls[name]).fetchdf()
+    _compare(ray_df, sql_df, name)
+
+
+def test_every_sql_entry_has_query():
+    import __ray_entry__ as e
+
+    qs, sqls = e.queries(), e.oracle_sql()
+    missing = set(sqls) - set(qs)
+    assert not missing
+
+
+def test_rows_only_queries_run(ray_session):
+    import __ray_entry__ as e
+
+    qs, sqls = e.queries(), e.oracle_sql()
+    rows_only = sorted(set(qs) - set(sqls) - {"extract_transcripts",
+                                              "golden_parity"})
+    for name in rows_only:
+        out = qs[name](SF_DIR)
+        if not isinstance(out, pd.DataFrame):
+            out = out.to_pandas()
+        assert out is not None and len(out) >= 0, name
+
+
+def test_entry_and_flagship_queries(ray_session):
+    import __ray_entry__ as e
+
+    ds = e.entry()
+    df = ds.to_pandas()
+    assert len(df) > 0
+    assert {"conv_id", "turn_idx", "extracted_text", "status"} <= set(df.columns)
+
+    parity = e.queries()["golden_parity"](SF_DIR)
+    assert parity["n_rows"].iloc[0] == parity["n_matched"].iloc[0]
+    assert parity["n_errors"].iloc[0] == 0
