@@ -70,13 +70,18 @@ def run_bench() -> dict:
     n_turns = sum(f.count_rows() for f in
                   pads.dataset(corpus).get_fragments())
 
-    # headline: flagship extraction + assembly, consumed via streaming count
+    # headline: flagship extraction + assembly, consumed via the production
+    # sink (parallel parquet write; driver never materializes the output)
+    import shutil
+    import tempfile
+
+    out_dir = tempfile.mkdtemp(prefix="bench_flagship_", dir="/tmp")
     t0 = time.perf_counter()
     ds = run_flagship(corpus, keep_spans=True, want_markdown=True)
-    rows = 0
-    for batch in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        rows += batch.num_rows
+    ds.write_parquet(out_dir)
     headline = time.perf_counter() - t0
+    rows = sum(f.count_rows() for f in pads.dataset(out_dir).get_fragments())
+    shutil.rmtree(out_dir, ignore_errors=True)
 
     timings: dict[str, float] = {"flagship_extract": round(headline, 3)}
 

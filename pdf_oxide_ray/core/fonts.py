@@ -149,28 +149,42 @@ def glyph_name_to_unicode(glyph_name: str) -> str | None:
     return None
 
 
+def _build_encoding_table(codec: str) -> list:
+    out = []
+    for code in range(256):
+        try:
+            ch = bytes([code]).decode(codec)
+        except (UnicodeDecodeError, ValueError):
+            out.append(None)
+            continue
+        if ord(ch) < 0x20 or 0x7F <= ord(ch) <= 0x9F:
+            out.append(None)
+        else:
+            out.append(ch)
+    return out
+
+
+# per-worker warm state: one 256-entry table per predefined encoding
+_ENC_TABLES: dict[str, list] = {
+    "WinAnsiEncoding": _build_encoding_table("cp1252"),
+    "MacRomanEncoding": _build_encoding_table("mac_roman"),
+    "__latin1__": _build_encoding_table("latin-1"),
+}
+
+
 def standard_encoding_lookup(name: str, code: int) -> str | None:
     """Predefined single-byte encodings.
 
     The reference vendors full WinAnsi/MacRoman/Standard tables
     (``font_dict.rs:1421+``); here WinAnsi == cp1252, MacRoman == mac-roman
     (same mappings, via Python's codecs), Standard/PDFDoc approximate with
-    latin-1. ASCII is identical across all of them.
+    latin-1. ASCII is identical across all of them. Control chars have no
+    visible representation -> None.
     """
-    b = bytes([code])
-    try:
-        if name in ("WinAnsiEncoding",):
-            ch = b.decode("cp1252")
-        elif name in ("MacRomanEncoding",):
-            ch = b.decode("mac_roman")
-        else:  # StandardEncoding, PDFDocEncoding, unknown names
-            ch = b.decode("latin-1")
-    except (UnicodeDecodeError, ValueError):
+    if not 0 <= code <= 0xFF:
         return None
-    # Control chars have no visible representation -> no mapping
-    if ord(ch) < 0x20 or 0x7F <= ord(ch) <= 0x9F:
-        return None
-    return ch
+    table = _ENC_TABLES.get(name) or _ENC_TABLES["__latin1__"]
+    return table[code]
 
 
 def fallback_char_to_unicode(char_code: int) -> str:
@@ -212,6 +226,8 @@ class FontInfo:
     first_char: int | None = None
     last_char: int | None = None
     default_width: float = 500.0
+    # lazily built 256-entry decode table (see decode_text_to_unicode)
+    _decode_table: list | None = None
 
     # -- construction -------------------------------------------------------
 
@@ -379,16 +395,58 @@ class FontInfo:
         return None
 
 
+# per-worker cache of single-byte decode tables, keyed by font signature
+# (fonts are re-parsed per payload but repeat heavily across a corpus —
+# the reference's per-document font cache promoted to per-worker state)
+_DECODE_TABLE_CACHE: dict = {}
+_DECODE_TABLE_CACHE_MAX = 4096
+
+
+def _font_signature(font: FontInfo):
+    enc = font.encoding
+    if enc[0] == "custom":
+        enc_key = ("custom", tuple(sorted(enc[1].items())), enc[2] if len(enc) > 2 else "")
+    else:
+        enc_key = enc
+    tu = font.to_unicode
+    if tu is None:
+        tu_key = None
+    elif len(tu) <= 256:
+        tu_key = tuple(sorted(tu.items()))
+    else:
+        return None  # big CMap: don't pay the hashing cost
+    return (font.base_font, font.subtype, enc_key, tu_key, font.flags,
+            font.font_weight, font.stem_v)
+
+
+def _single_byte_table(font: FontInfo) -> list[str]:
+    sig = _font_signature(font)
+    if sig is not None:
+        cached = _DECODE_TABLE_CACHE.get(sig)
+        if cached is not None:
+            return cached
+    table = []
+    for code in range(256):
+        s = font.char_to_unicode(code)
+        table.append(s if s is not None else fallback_char_to_unicode(code))
+    if sig is not None:
+        if len(_DECODE_TABLE_CACHE) >= _DECODE_TABLE_CACHE_MAX:
+            _DECODE_TABLE_CACHE.clear()
+        _DECODE_TABLE_CACHE[sig] = table
+    return table
+
+
 def decode_text_to_unicode(data: bytes, font: FontInfo | None) -> str:
     """Multi-byte decode (reference text.rs:353-433).
 
-    Type0 fonts: 2-byte big-endian codes; simple fonts: 1 byte; no font:
-    Latin-1 passthrough. Cascade misses go through fallback_char_to_unicode.
+    Type0 fonts: 2-byte big-endian codes; simple fonts: 1 byte via a
+    cached 256-entry table; no font: Latin-1 passthrough. Cascade misses go
+    through fallback_char_to_unicode.
     """
     if font is None:
         return data.decode("latin-1")
-    out: list[str] = []
     if font.subtype == "Type0" and len(data) >= 2:
+        out: list[str] = []
         i = 0
         n = len(data)
         while i < n:
@@ -400,8 +458,9 @@ def decode_text_to_unicode(data: bytes, font: FontInfo | None) -> str:
                 i += 1
             s = font.char_to_unicode(code)
             out.append(s if s is not None else fallback_char_to_unicode(code))
-    else:
-        for b in data:
-            s = font.char_to_unicode(b)
-            out.append(s if s is not None else fallback_char_to_unicode(b))
-    return "".join(out)
+        return "".join(out)
+    table = font._decode_table
+    if table is None:
+        table = _single_byte_table(font)
+        font._decode_table = table
+    return "".join(map(table.__getitem__, data))

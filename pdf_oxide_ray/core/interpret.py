@@ -64,10 +64,13 @@ class _TjBuffer:
     def is_empty(self) -> bool:
         return not self.text
 
-    def append(self, data: bytes, fonts: dict[str, FontInfo]) -> None:
+    def append(self, data: bytes, fonts: dict[str, FontInfo],
+               decoded: str | None = None) -> None:
         self.text += data
-        font = fonts.get(self.font_name) if self.font_name else None
-        self.unicode.append(decode_text_to_unicode(data, font))
+        if decoded is None:
+            font = fonts.get(self.font_name) if self.font_name else None
+            decoded = decode_text_to_unicode(data, font)
+        self.unicode.append(decoded)
 
     @property
     def unicode_text(self) -> str:
@@ -264,16 +267,18 @@ class TextExtractor:
         buffer = _TjBuffer(self.state_stack.current(), self.current_mcid)
         for element in array:
             if isinstance(element, bytes):
-                # mid-word whitespace-only show-string repair
+                # mid-word whitespace-only show-string repair; the probe
+                # decode is reused by append (same font: Tf can't occur
+                # inside a TJ array, so buffer font == current font)
                 font = self.fonts.get(self.state_stack.current().font_name or "")
-                unicode_text = decode_text_to_unicode(element, font) if font else ""
+                unicode_text = decode_text_to_unicode(element, font) if font else None
                 if unicode_text and not unicode_text.strip():
                     if buffer.unicode:
                         utxt = buffer.unicode_text
                         if utxt and utxt[-1].islower():
                             self._advance_position_for_string(element)
                             continue
-                buffer.append(element, self.fonts)
+                buffer.append(element, self.fonts, decoded=unicode_text)
                 self._advance_position_for_string(element)
             elif isinstance(element, (int, float)):
                 offset = float(element)
@@ -285,19 +290,34 @@ class TextExtractor:
         if not buffer.is_empty():
             self._flush_tj_buffer(buffer)
 
+    def _string_width(self, text: bytes, font, font_size: float,
+                      char_space: float, word_space: float,
+                      hscale: float) -> float:
+        """PDF 9.4.4 width sum (reference text.rs:2285-2321 loop). Fast path
+        when every glyph has the same width (no /Widths array)."""
+        n = len(text)
+        if n == 0:
+            return 0.0
+        n_spaces = text.count(0x20) if word_space != 0.0 else 0
+        if font is None or font.widths is None:
+            gw = 500.0 if font is None else font.default_width
+            glyph_sum = gw * n
+        else:
+            get = font.get_glyph_width
+            glyph_sum = 0.0
+            for b in text:
+                glyph_sum += get(b)
+        total = (glyph_sum * font_size / 1000.0 + char_space * n
+                 + word_space * n_spaces)
+        return total * hscale / 100.0
+
     def _advance_position_for_string(self, text: bytes) -> None:
         """reference text.rs:2285-2321."""
         state = self.state_stack.current()
         font = self.fonts.get(state.font_name) if state.font_name else None
-        total = 0.0
-        for b in text:
-            gw = font.get_glyph_width(b) if font is not None else 500.0
-            cw = gw * state.font_size / 1000.0
-            cw += state.char_space
-            if b == 0x20:
-                cw += state.word_space
-            cw *= state.horizontal_scaling / 100.0
-            total += cw
+        total = self._string_width(text, font, state.font_size,
+                                   state.char_space, state.word_space,
+                                   state.horizontal_scaling)
         tm = state.text_matrix
         d_abs = abs(tm.d) or 1.0
         adv = total / d_abs
@@ -356,18 +376,11 @@ class TextExtractor:
             self._flush_buffer_common(buf)
 
     def _calculate_tj_buffer_width(self, buffer: _TjBuffer) -> float:
-        """reference text.rs:2149-2183."""
+        """reference text.rs:2149-2183 (same formula as advance)."""
         font = self.fonts.get(buffer.font_name) if buffer.font_name else None
-        total = 0.0
-        for b in buffer.text:
-            gw = font.get_glyph_width(b) if font is not None else 500.0
-            cw = gw * buffer.font_size / 1000.0
-            cw += buffer.char_space
-            if b == 0x20:
-                cw += buffer.word_space
-            cw *= buffer.horizontal_scaling / 100.0
-            total += cw
-        return total
+        return self._string_width(bytes(buffer.text), font, buffer.font_size,
+                                  buffer.char_space, buffer.word_space,
+                                  buffer.horizontal_scaling)
 
     # -- XObjects ------------------------------------------------------------
 

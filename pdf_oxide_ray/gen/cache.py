@@ -7,7 +7,11 @@ import os
 
 from .transcripts import write_corpus
 
-CACHE_ROOT = os.environ.get("PDF_OXIDE_RAY_CACHE", "/tmp/pdf_oxide_ray_corpora")
+# bump when extraction semantics change (golden tables must regenerate)
+CORPUS_VERSION = 2
+
+CACHE_ROOT = os.environ.get(
+    "PDF_OXIDE_RAY_CACHE", f"/tmp/pdf_oxide_ray_corpora_v{CORPUS_VERSION}")
 
 # scale-factor -> conversation count (~6 turns median => ~8x turns w/ skew)
 SF_CONVS = {

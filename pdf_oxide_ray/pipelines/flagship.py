@@ -37,6 +37,34 @@ from ..stages.extract import ExtractTurns
 from ..state.manifest import is_partition_complete, write_manifest
 
 DEFAULT_BATCH_SIZE = 128  # rows per batch: payloads are ~1-4 KB documents
+TARGET_BLOCK_BYTES = 64 * 1024 * 1024  # cap block size at scale
+
+
+def tune_for_pipeline() -> None:
+    """Session-level knobs measured on this workload (sf0.1, 32 cpus):
+    push-based sort shuffle cut the conv_id groupby exchange from ~50s to
+    ~6s self-time (the pull-based exchange drowned in per-object overhead
+    at 256 blocks x 256 partitions)."""
+    from ray.data import DataContext
+    from ray.data.context import ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+
+
+def _plan_num_blocks(paths: list[str]) -> int:
+    """Blocks ~ max(2-3x cores, input/64MB): enough waves to pipeline the
+    actor pool without flooding the shuffle with tiny blocks (measured:
+    64-96 blocks optimal at 32 cpus / 132k turns; 192 blocks 2x slower)."""
+    import ray
+
+    total_cpus = int(ray.cluster_resources().get("CPU", 8)) if \
+        ray.is_initialized() else 8
+    try:
+        input_bytes = sum(os.path.getsize(p) for p in paths)
+    except OSError:
+        input_bytes = 0
+    return max(2 * total_cpus, input_bytes // TARGET_BLOCK_BYTES or 1)
 
 
 def read_transcripts(path: str, columns: list[str] | None = None):
@@ -47,7 +75,8 @@ def read_transcripts(path: str, columns: list[str] | None = None):
         paths = sorted(glob.glob(path))
     else:
         paths = [path]
-    return rd.read_parquet(paths, columns=columns)
+    return rd.read_parquet(paths, columns=columns,
+                           override_num_blocks=_plan_num_blocks(paths))
 
 
 def extract_dataset(ds, *, want_markdown: bool = True, keep_spans: bool = True,
@@ -79,6 +108,7 @@ def run_flagship(input_path: str, *, want_markdown: bool = True,
                  batch_size: int = DEFAULT_BATCH_SIZE,
                  assemble_conversations: bool = True):
     """Lazy end-to-end Dataset (consume with write_parquet/iter_batches)."""
+    tune_for_pipeline()
     ds = read_transcripts(input_path)
     ds = extract_dataset(ds, want_markdown=want_markdown,
                          keep_spans=keep_spans, concurrency=concurrency,

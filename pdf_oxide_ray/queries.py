@@ -169,6 +169,24 @@ def q_ordered_assembly(sf_dir: str) -> pd.DataFrame:
         per_user, batch_format="pandas").to_pandas()
 
 
+def q_user_sessions(sf_dir: str) -> pd.DataFrame:
+    """Session windows: per-user session count with a 30-minute inactivity
+    gap (groupby user + in-group ts sort; the streaming-window shape on a
+    keyed, ordered log)."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_id"])
+    gap = pd.Timedelta(minutes=30)
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        new_sessions = (g["ts"].diff() > gap).sum()
+        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
+                             "n_sessions": [int(new_sessions) + 1]})
+
+    out = ds.groupby("user_id").map_groups(
+        per_user, batch_format="pandas").to_pandas()
+    return out.astype({"n_sessions": "int64"})
+
+
 # ---------------------------------------------------------------------------
 # joins
 # ---------------------------------------------------------------------------
@@ -484,6 +502,45 @@ def q_embedding_near_dups(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# multimodal (stubbed codecs, real Ray plumbing) + metrics rollups
+# ---------------------------------------------------------------------------
+
+def q_media_features(sf_dir: str) -> pd.DataFrame:
+    """Binary media -> features via the actor-pool stage (fake decoder;
+    the codec slot is stubbed — no SQL twin). Deterministic synthetic media
+    table; small batches for large binary rows."""
+    import ray.data as rd_
+
+    from .stages.multimodal import MediaFeatures, synthesize_media_table
+
+    media = rd_.from_arrow(synthesize_media_table(200)).repartition(8)
+    out = media.map_batches(MediaFeatures, batch_format="pyarrow",
+                            batch_size=16, concurrency=2,
+                            fn_constructor_kwargs={"use_fake_decoder": True}) \
+        .to_pandas()
+    return pd.DataFrame({
+        "media_id": out["media_id"].astype("int64"),
+        "status": out["status"],
+        "decoded_h": out["decoded_h"].astype("int64"),
+        "decoded_w": out["decoded_w"].astype("int64"),
+        "feat_mean": np.round([float(np.mean(f)) for f in out["feature"]], 6),
+    })
+
+
+def q_frame_sampling(sf_dir: str) -> pd.DataFrame:
+    """Video frame-sampling plumbing (1 row per sampled frame)."""
+    import ray.data as rd_
+
+    from .stages.multimodal import FrameSampler, synthesize_media_table
+
+    media = rd_.from_arrow(synthesize_media_table(100)).repartition(8)
+    out = media.map_batches(FrameSampler, batch_format="pyarrow",
+                            batch_size=16, concurrency=2).to_pandas()
+    return out.astype({"media_id": "int64", "frame_idx": "int64",
+                       "ts_ms": "int64"})
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -496,6 +553,7 @@ QUERIES = {
     "top_events": q_top_events,
     "top_customers": q_top_customers,
     "ordered_assembly": q_ordered_assembly,
+    "user_sessions": q_user_sessions,
     "join_customer_orders": q_join_customer_orders,
     "join_lineitem_orders": q_join_lineitem_orders,
     "supplier_nation_region": q_supplier_nation_region,
@@ -513,6 +571,8 @@ QUERIES = {
     "ngram_dup_pairs": q_ngram_dup_pairs,
     "embedding_knn": q_embedding_knn,
     "embedding_near_dups": q_embedding_near_dups,
+    "media_features": q_media_features,
+    "frame_sampling": q_frame_sampling,
 }
 
 ORACLE_SQL = {
@@ -543,6 +603,15 @@ ORACLE_SQL = {
         SELECT o_custkey, ROUND(SUM(o_totalprice), 6) AS total_spent
         FROM orders GROUP BY o_custkey
         ORDER BY total_spent DESC, o_custkey LIMIT 10""",
+    "user_sessions": """
+        WITH g AS (
+          SELECT user_id,
+                 CASE WHEN ts - lag(ts) OVER (
+                          PARTITION BY user_id ORDER BY ts, event_id)
+                      > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+          FROM events)
+        SELECT user_id, CAST(1 + SUM(new_s) AS BIGINT) AS n_sessions
+        FROM g GROUP BY user_id""",
     "ordered_assembly": """
         SELECT user_id,
                string_agg(event_type, ',' ORDER BY ts, event_id)

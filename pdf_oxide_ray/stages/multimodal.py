@@ -1,0 +1,157 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads ride as ``binary`` columns with a metadata
+struct; decode / feature-extract / resize / frame-sample are actor-pool
+``map_batches`` stages. The image/audio codec libraries are NOT in this
+container, so the codec call itself is stubbed (``DecodeUnavailable`` or a
+deterministic fake), while the Ray-side plumbing — schema, batch sizing,
+actor signature, output layout — is real and tested.
+
+Scale notes: binary payloads are large; batches must be SMALL (default 16
+rows) so batch x concurrency fits worker heap; blocks stay Arrow throughout
+(zero-copy binary buffers; no pandas object columns).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_META_TYPE = pa.struct([
+    ("media_type", pa.string()),   # "image" | "audio" | "video"
+    ("format", pa.string()),       # "jpeg" | "png" | "wav" | "mp4" | ...
+    ("width", pa.int32()),
+    ("height", pa.int32()),
+    ("duration_ms", pa.int32()),
+])
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("payload", pa.large_binary()),
+    ("meta", MEDIA_META_TYPE),
+])
+
+FEATURE_DIM = 64
+
+
+class DecodeUnavailable(NotImplementedError):
+    """Raised by the real-codec slot: image/audio libs absent in this
+    container. Swap ``_decode_real`` for PIL/ffmpeg bindings in production."""
+
+
+def _decode_real(payload: bytes, meta: dict) -> np.ndarray:
+    raise DecodeUnavailable(
+        f"no codec for {meta.get('format')!r} in this environment")
+
+
+def _decode_fake(payload: bytes, meta: dict) -> np.ndarray:
+    """Deterministic stand-in decoder: payload bytes -> pseudo pixel/sample
+    array seeded by content digest (stable across workers/runs)."""
+    digest = hashlib.blake2b(payload or b"", digest_size=8).digest()
+    rs = np.random.RandomState(int.from_bytes(digest[:4], "big"))
+    h = int(meta.get("height") or 8)
+    w = int(meta.get("width") or 8)
+    return rs.randint(0, 256, size=(max(h, 1), max(w, 1)), dtype=np.uint8)
+
+
+class MediaFeatures:
+    """Actor-pool stage: decode (stub/fake) + feature-extract binary media.
+
+    ``ds.map_batches(MediaFeatures, batch_format="pyarrow", batch_size=16,
+    concurrency=N, fn_constructor_kwargs={"use_fake_decoder": True})``
+
+    Emits (media_id, status, error, feature: list<float32>[FEATURE_DIM],
+    decoded_h, decoded_w). Row-level error absorption: an undecodable
+    payload yields status='error', never a task failure.
+    """
+
+    def __init__(self, use_fake_decoder: bool = True):
+        self.decode = _decode_fake if use_fake_decoder else _decode_real
+
+    def _features(self, arr: np.ndarray) -> np.ndarray:
+        flat = arr.astype(np.float32).ravel()
+        if flat.size == 0:
+            return np.zeros(FEATURE_DIM, dtype=np.float32)
+        pad = (-flat.size) % FEATURE_DIM
+        if pad:
+            flat = np.pad(flat, (0, pad))
+        return flat.reshape(-1, FEATURE_DIM).mean(axis=0) / 255.0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column("payload").to_pylist()
+        metas = batch.column("meta").to_pylist()
+        feats, statuses, errors, hs, ws = [], [], [], [], []
+        for payload, meta in zip(payloads, metas):
+            meta = meta or {}
+            try:
+                arr = self.decode(payload or b"", meta)
+                feats.append(self._features(arr).tolist())
+                hs.append(arr.shape[0])
+                ws.append(arr.shape[1] if arr.ndim > 1 else 1)
+                statuses.append("ok")
+                errors.append("")
+            except NotImplementedError as exc:
+                feats.append([0.0] * FEATURE_DIM)
+                hs.append(0)
+                ws.append(0)
+                statuses.append("error")
+                errors.append(str(exc)[:200])
+        return pa.table({
+            "media_id": batch.column("media_id"),
+            "status": pa.array(statuses, pa.string()),
+            "error": pa.array(errors, pa.string()),
+            "feature": pa.array(feats, pa.list_(pa.float32(), FEATURE_DIM)),
+            "decoded_h": pa.array(hs, pa.int32()),
+            "decoded_w": pa.array(ws, pa.int32()),
+        })
+
+
+class FrameSampler:
+    """Actor-pool stage shape for video: emit every k-th frame's feature.
+    Decode stubbed like MediaFeatures; output is one row per sampled frame
+    (flat layout, ready for a downstream embedding model pool)."""
+
+    def __init__(self, every_ms: int = 1000, use_fake_decoder: bool = True):
+        self.every_ms = every_ms
+        self.decode = _decode_fake if use_fake_decoder else _decode_real
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frame_idx, ts_ms = [], [], []
+        payloads = batch.column("payload").to_pylist()
+        metas = batch.column("meta").to_pylist()
+        for mid, payload, meta in zip(batch.column("media_id").to_pylist(),
+                                      payloads, metas):
+            meta = meta or {}
+            duration = int(meta.get("duration_ms") or 0)
+            for k, t in enumerate(range(0, max(duration, 1), self.every_ms)):
+                ids.append(mid)
+                frame_idx.append(k)
+                ts_ms.append(t)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_idx": pa.array(frame_idx, pa.int32()),
+            "ts_ms": pa.array(ts_ms, pa.int32()),
+        })
+
+
+def synthesize_media_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic fake media table for tests/benches (binary payloads +
+    typed metadata; no external data)."""
+    rs = np.random.RandomState(seed)
+    rows = []
+    formats = [("image", "jpeg"), ("image", "png"), ("audio", "wav"),
+               ("video", "mp4")]
+    for i in range(n):
+        mtype, fmt = formats[i % len(formats)]
+        size = int(rs.randint(64, 4096))
+        rows.append({
+            "media_id": i,
+            "payload": rs.bytes(size),
+            "meta": {"media_type": mtype, "format": fmt,
+                     "width": int(rs.randint(4, 64)),
+                     "height": int(rs.randint(4, 64)),
+                     "duration_ms": int(rs.randint(0, 5000))},
+        })
+    return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
