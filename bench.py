@@ -59,7 +59,7 @@ def run_bench() -> dict:
     ctx.enable_progress_bars = False
 
     from pdf_oxide_ray.gen.cache import tag_for_sf_dir
-    from pdf_oxide_ray.pipelines.flagship import run_flagship
+    from pdf_oxide_ray.pipelines.flagship import run_flagship_job
 
     tag = tag_for_sf_dir(SF_DIR)
     corpus = ensure_bench_corpus(tag)
@@ -70,20 +70,26 @@ def run_bench() -> dict:
     n_turns = sum(f.count_rows() for f in
                   pads.dataset(corpus).get_fragments())
 
-    # headline: flagship extraction + assembly, consumed via the production
-    # sink (parallel parquet write; driver never materializes the output)
+    # headline: phased flagship job (skinny-shuffle assembly; the fat
+    # extracted bytes never cross an exchange) ending in the production
+    # parquet sink — the driver never materializes the output
     import shutil
     import tempfile
 
     out_dir = tempfile.mkdtemp(prefix="bench_flagship_", dir="/tmp")
     t0 = time.perf_counter()
-    ds = run_flagship(corpus, keep_spans=True, want_markdown=True)
-    ds.write_parquet(out_dir)
+    summary = run_flagship_job(corpus, out_dir, keep_spans=True,
+                               want_markdown=True)
     headline = time.perf_counter() - t0
-    rows = sum(f.count_rows() for f in pads.dataset(out_dir).get_fragments())
+    rows = summary["rows"]
     shutil.rmtree(out_dir, ignore_errors=True)
 
-    timings: dict[str, float] = {"flagship_extract": round(headline, 3)}
+    timings: dict[str, float] = {
+        "flagship_extract": round(headline, 3),
+        "flagship_phase_extract": summary["sec_extract"],
+        "flagship_phase_offsets": summary["sec_offsets"],
+        "flagship_phase_annotate_write": summary["sec_annotate_write"],
+    }
 
     from pdf_oxide_ray.queries import QUERIES
 
@@ -112,6 +118,54 @@ def run_bench() -> dict:
     return result
 
 
+def _hardware_ceiling(lo: int, hi: int) -> dict:
+    """No-Ray calibration: the SAME extraction kernel over the same kind of
+    payloads via plain multiprocessing at lo and hi processes. On this
+    sandbox the allocation-heavy kernel saturates the memory subsystem well
+    before 32 procs (a register-bound loop scales fine) — so the ceiling is
+    a property of the box, not of the Ray pipeline. Normalizing the
+    pipeline's efficiency by this ceiling isolates the orchestration cost."""
+    import multiprocessing as mp
+
+    import pyarrow.dataset as pads
+
+    from pdf_oxide_ray.gen.cache import transcripts_path
+
+    path = transcripts_path("sf0.01", with_golden=False)
+    payloads = pads.dataset(path).to_table(
+        columns=["text"]).column("text").to_pylist()[:4000]
+
+    def timed(nproc: int) -> float:
+        t0 = time.perf_counter()
+        with mp.Pool(nproc, initializer=_calib_init,
+                     initargs=(payloads,)) as pool:
+            pool.map(_calib_work, [(i, nproc) for i in range(nproc)])
+        return time.perf_counter() - t0
+
+    t_lo, t_hi = timed(lo), timed(hi)
+    return {"sec_lo": round(t_lo, 3), "sec_hi": round(t_hi, 3),
+            "ceiling_efficiency": round((t_lo / t_hi) / (hi / lo), 3)}
+
+
+_CALIB_PAYLOADS: list = []
+
+
+def _calib_init(payloads: list) -> None:
+    global _CALIB_PAYLOADS
+    _CALIB_PAYLOADS = payloads
+
+
+def _calib_work(args: tuple) -> int:
+    from pdf_oxide_ray.core.payload import extract_payload
+
+    chunk_id, nproc = args
+    n = 0
+    for p in _CALIB_PAYLOADS[chunk_id::nproc]:
+        extract_payload(p)
+        n += 1
+    return n
+
+
 def run_scaling() -> dict:
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
@@ -123,6 +177,7 @@ def run_scaling() -> dict:
     r_lo, r_hi = run(lo), run(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
+    hw = _hardware_ceiling(lo, hi)
     return {
         "metric": "scaling efficiency (flagship extraction, "
                   f"num_cpus {lo} vs {hi}, fresh processes, same input)",
@@ -131,6 +186,10 @@ def run_scaling() -> dict:
         "turns_per_sec_8": r_lo["turns_per_sec"],
         "turns_per_sec_32": r_hi["turns_per_sec"],
         "scaling_efficiency": round(eff, 3),
+        "hardware_ceiling": hw,
+        "normalized_efficiency": round(
+            min(eff / hw["ceiling_efficiency"], 1.0), 3)
+        if hw["ceiling_efficiency"] else None,
         "sf": r_hi["sf"],
         "turns": r_hi["turns"],
     }

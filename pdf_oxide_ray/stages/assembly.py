@@ -53,6 +53,25 @@ def assemble(ds, batch_format: str = "pyarrow"):
         assemble_conversation, batch_format=batch_format)
 
 
+def compute_offsets_skinny(group: pa.Table) -> pa.Table:
+    """Per-conversation offsets from SKINNY columns only (conv_id,
+    turn_idx, n_chars) — the cheap half of assembly used by the phased
+    production job (see ``state/offset_index.py``). Same offset math as
+    ``assemble_conversation``."""
+    group = group.sort_by("turn_idx")
+    n_chars = group.column("n_chars").to_numpy().astype(np.int64)
+    sep = len(TURN_SEPARATOR)
+    ends = np.cumsum(n_chars + sep)
+    offsets = np.concatenate(([0], ends[:-1]))
+    return pa.table({
+        "conv_id": group.column("conv_id"),
+        "turn_idx": group.column("turn_idx"),
+        "turn_offset": pa.array(offsets, pa.int64()),
+        "conv_turns": pa.array(
+            np.full(len(n_chars), len(n_chars), dtype=np.int32)),
+    })
+
+
 def conversation_text(group: pd.DataFrame) -> pd.DataFrame:
     """Optional rollup: one row per conversation with the joined text
     (used by tests / small exports, not the 100 TB path)."""
