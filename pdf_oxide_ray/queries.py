@@ -541,6 +541,143 @@ def q_frame_sampling(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# layout / output-converter operators over the synthetic corpus (spans are
+# only produced by positioned payloads; rows-only oracles — not SQL shapes)
+# ---------------------------------------------------------------------------
+
+def _extracted_spans_ds(sf_dir: str):
+    """Flagship extract (spans kept) over the matching synthetic corpus."""
+    from .gen.cache import tag_for_sf_dir, transcripts_path
+    from .pipelines.flagship import extract_dataset, read_transcripts
+
+    path = transcripts_path(tag_for_sf_dir(sf_dir), with_golden=False)
+    ds = read_transcripts(path)
+    return extract_dataset(ds, want_markdown=False, keep_spans=True)
+
+
+def q_layout_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-kind layout rollup: XY-Cut column regions, graph reading-order
+    length, detected tables — L3/L5/L7 run inside a map_batches over each
+    turn's spans (within-payload ops, no shuffle; one aggregate row per
+    kind crosses the exchange)."""
+    from .core.layout import (Block, detect_tables, determine_reading_order,
+                              graph_based_reading_order, xy_cut)
+
+    ds = _extracted_spans_ds(sf_dir)
+
+    def per_batch(b: pa.Table) -> pd.DataFrame:
+        kinds = b.column("kind").to_pylist()
+        spans_col = b.column("spans").to_pylist()
+        rows = []
+        for kind, recs in zip(kinds, spans_col):
+            blocks = [Block(x=r["x"], y=r["y"], width=r["w"], height=r["h"],
+                            text=r["text"], font_size=r["size"],
+                            bold=r["bold"]) for r in (recs or [])]
+            if not blocks:
+                continue
+            tree = xy_cut((0.0, 0.0, 612.0, 792.0), blocks)
+            order = determine_reading_order(tree)
+            graph_order = graph_based_reading_order(blocks)
+            tables = detect_tables(blocks)
+            rows.append((kind, len(blocks), len(order) == len(blocks)
+                         and len(graph_order) == len(blocks), len(tables)))
+        df = pd.DataFrame(rows, columns=["kind", "n_blocks", "order_ok",
+                                         "n_tables"])
+        return df.groupby("kind", as_index=False).agg(
+            n_turns=("kind", "size"), n_blocks=("n_blocks", "sum"),
+            order_ok=("order_ok", "sum"), n_tables=("n_tables", "sum"))
+
+    out = ds.select_columns(["kind", "spans"]) \
+        .map_batches(per_batch, batch_format="pyarrow") \
+        .groupby("kind").aggregate(
+            Sum("n_turns", alias_name="n_turns"),
+            Sum("n_blocks", alias_name="n_blocks"),
+            Sum("order_ok", alias_name="order_ok"),
+            Sum("n_tables", alias_name="n_tables")).to_pandas()
+    return out.astype({"n_turns": "int64", "n_blocks": "int64",
+                       "order_ok": "int64", "n_tables": "int64"})
+
+
+def q_structured_elements(sf_dir: str) -> pd.DataFrame:
+    """R7 structured extraction as a Ray stage: per-kind counts of
+    headers/paragraphs/lists over each turn's spans."""
+    from .core.interpret import TextSpan
+    from .core.structured import extract_structured
+
+    ds = _extracted_spans_ds(sf_dir)
+
+    def per_batch(b: pa.Table) -> pd.DataFrame:
+        kinds = b.column("kind").to_pylist()
+        spans_col = b.column("spans").to_pylist()
+        rows = []
+        for kind, recs in zip(kinds, spans_col):
+            spans = [TextSpan(text=r["text"], x=r["x"], y=r["y"],
+                              width=r["w"], height=r["h"],
+                              font_name=r["font"], font_size=r["size"],
+                              bold=r["bold"], mcid=None, sequence=r["seq"])
+                     for r in (recs or [])]
+            if not spans:
+                continue
+            meta = extract_structured(spans)["metadata"]
+            rows.append((kind, meta["header_count"],
+                         meta["paragraph_count"], meta["list_count"]))
+        df = pd.DataFrame(rows, columns=["kind", "headers", "paragraphs",
+                                         "lists"])
+        return df.groupby("kind", as_index=False).agg(
+            n_turns=("kind", "size"), headers=("headers", "sum"),
+            paragraphs=("paragraphs", "sum"), lists=("lists", "sum"))
+
+    out = ds.select_columns(["kind", "spans"]) \
+        .map_batches(per_batch, batch_format="pyarrow") \
+        .groupby("kind").aggregate(
+            Sum("n_turns", alias_name="n_turns"),
+            Sum("headers", alias_name="headers"),
+            Sum("paragraphs", alias_name="paragraphs"),
+            Sum("lists", alias_name="lists")).to_pandas()
+    return out.astype({"n_turns": "int64", "headers": "int64",
+                       "paragraphs": "int64", "lists": "int64"})
+
+
+def q_html_output(sf_dir: str) -> pd.DataFrame:
+    """R6 semantic-HTML render as a Ray stage: per-kind output volume and
+    tag counts (h1/p) over each turn's spans."""
+    from .core.html_out import convert_page_semantic
+    from .core.interpret import TextSpan
+
+    ds = _extracted_spans_ds(sf_dir)
+
+    def per_batch(b: pa.Table) -> pd.DataFrame:
+        kinds = b.column("kind").to_pylist()
+        spans_col = b.column("spans").to_pylist()
+        rows = []
+        for kind, recs in zip(kinds, spans_col):
+            spans = [TextSpan(text=r["text"], x=r["x"], y=r["y"],
+                              width=r["w"], height=r["h"],
+                              font_name=r["font"], font_size=r["size"],
+                              bold=r["bold"], mcid=None, sequence=r["seq"])
+                     for r in (recs or [])]
+            if not spans:
+                continue
+            html = convert_page_semantic(spans)
+            rows.append((kind, len(html), html.count("<h1>"),
+                         html.count("<p>")))
+        df = pd.DataFrame(rows, columns=["kind", "chars", "h1", "p"])
+        return df.groupby("kind", as_index=False).agg(
+            n_turns=("kind", "size"), chars=("chars", "sum"),
+            h1=("h1", "sum"), p=("p", "sum"))
+
+    out = ds.select_columns(["kind", "spans"]) \
+        .map_batches(per_batch, batch_format="pyarrow") \
+        .groupby("kind").aggregate(
+            Sum("n_turns", alias_name="n_turns"),
+            Sum("chars", alias_name="chars"),
+            Sum("h1", alias_name="h1"),
+            Sum("p", alias_name="p")).to_pandas()
+    return out.astype({"n_turns": "int64", "chars": "int64",
+                       "h1": "int64", "p": "int64"})
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -573,6 +710,9 @@ QUERIES = {
     "embedding_near_dups": q_embedding_near_dups,
     "media_features": q_media_features,
     "frame_sampling": q_frame_sampling,
+    "layout_stats": q_layout_stats,
+    "structured_elements": q_structured_elements,
+    "html_output": q_html_output,
 }
 
 ORACLE_SQL = {

@@ -161,10 +161,25 @@ class AnnotateOffsets:
 # ---------------------------------------------------------------------------
 
 
+def _row_keys(conv, tidx) -> np.ndarray:
+    """Vectorized 64-bit (conv_id, turn_idx) key: pandas' SipHash-based
+    string hash (fixed default key -> identical across processes) mixed
+    with the turn index. Collision bound: n^2 / 2^64 pairs — ~1e-9 at the
+    5M-row broadcast threshold; above it the sharded index (exact keys)
+    is used instead."""
+    import pandas as pd
+
+    conv_h = pd.util.hash_array(np.asarray(conv, dtype=object))
+    t = np.asarray(tidx, dtype=np.uint64)
+    return conv_h * np.uint64(0x9E3779B97F4A7C15) + t
+
+
 def compute_offsets_table(skinny: pa.Table, sep_len: int) -> dict:
     """Vectorized groupby(conv_id)-sort(turn_idx)-prefix-sum over a driver-
-    side skinny table: conv -> {} lookup dict for broadcast. Segmented
-    cumsum via lexsort; milliseconds for millions of rows."""
+    side skinny table. Returns numpy arrays (sorted key -> offset/turns):
+    these ride ``ray.put`` as zero-copy plasma buffers, so workers map them
+    without deserialization (a python dict costs each worker ~1s of pickle
+    at 132k entries — measured anti-scaling with worker count)."""
     conv = np.asarray(skinny.column("conv_id").to_pandas())
     tidx = skinny.column("turn_idx").to_numpy()
     nch = skinny.column("n_chars").to_numpy().astype(np.int64)
@@ -179,17 +194,20 @@ def compute_offsets_table(skinny: pa.Table, sep_len: int) -> dict:
     grp_ids = np.cumsum(new_grp) - 1
     counts = np.bincount(grp_ids)
     conv_turns = counts[grp_ids]
-    lookup: dict[tuple[str, int], tuple[int, int]] = {}
-    for c, t, s, n in zip(conv_s.tolist(), tidx_s.tolist(),
-                          starts.tolist(), conv_turns.tolist()):
-        lookup[(c, t)] = (s, n)
-    return lookup
+
+    keys = _row_keys(conv_s, tidx_s)
+    key_order = np.argsort(keys, kind="stable")
+    return {
+        "keys": keys[key_order],
+        "offsets": starts[key_order].astype(np.int64),
+        "turns": conv_turns[key_order].astype(np.int32),
+    }
 
 
 class AnnotateOffsetsBroadcast:
     """map_batches task fn: the broadcast twin of AnnotateOffsets. The
-    lookup dict rides an ``ray.put`` ObjectRef — fetched once per worker
-    process, cached on self."""
+    numpy lookup arrays ride a ``ray.put`` ObjectRef — zero-copy plasma
+    read per worker; per-batch lookup is a vectorized searchsorted."""
 
     def __init__(self, lookup_ref):
         self.lookup_ref = lookup_ref
@@ -199,13 +217,13 @@ class AnnotateOffsetsBroadcast:
         if self._lookup is None:
             self._lookup = ray.get(self.lookup_ref)
         lk = self._lookup
-        conv = batch.column("conv_id").to_pylist()
-        tidx = batch.column("turn_idx").to_pylist()
-        offs = np.empty(len(conv), dtype=np.int64)
-        turns = np.empty(len(conv), dtype=np.int32)
-        for i, (c, t) in enumerate(zip(conv, tidx)):
-            o, n = lk.get((c, t), (-1, 0))
-            offs[i] = o
-            turns[i] = n
+        conv = np.asarray(batch.column("conv_id").to_pandas())
+        tidx = batch.column("turn_idx").to_numpy()
+        keys = _row_keys(conv, tidx)
+        pos = np.searchsorted(lk["keys"], keys)
+        pos = np.minimum(pos, len(lk["keys"]) - 1)
+        found = lk["keys"][pos] == keys
+        offs = np.where(found, lk["offsets"][pos], -1)
+        turns = np.where(found, lk["turns"][pos], 0).astype(np.int32)
         batch = batch.append_column("turn_offset", pa.array(offs, pa.int64()))
         return batch.append_column("conv_turns", pa.array(turns, pa.int32()))
