@@ -34,11 +34,21 @@ strings are encoded utf-8 before parsing).
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from typing import NamedTuple
 
 WHITESPACE = b"\x00\t\n\x0c\r "
 DELIMITERS = b"()<>[]{}/%"
+
+# C-backed scanners for the hot paths (semantics identical to the byte
+# loops they replace; measured ~30% of extraction time was lexing)
+_WS_RE = re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+")
+_REGULAR_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
+_NUM_RE = re.compile(rb"[+-]?[0-9.]*")
+_LIT_SPECIAL_RE = re.compile(rb"[()\\]")
+_REGULAR_TABLE = [b not in WHITESPACE and b not in DELIMITERS
+                  for b in range(256)]
 
 
 class Name(str):
@@ -76,22 +86,13 @@ def _is_delim(b: int) -> bool:
 
 
 def _is_regular(b: int) -> bool:
-    return not _is_ws(b) and not _is_delim(b)
+    return _REGULAR_TABLE[b]
 
 
 def skip_ws(data: bytes, pos: int) -> int:
     """Skip whitespace and ``%`` comments (to end of line)."""
-    n = len(data)
-    while pos < n:
-        b = data[pos]
-        if b in WHITESPACE:
-            pos += 1
-        elif b == 0x25:  # '%' comment
-            while pos < n and data[pos] not in b"\r\n":
-                pos += 1
-        else:
-            break
-    return pos
+    m = _WS_RE.match(data, pos)
+    return m.end() if m else pos
 
 
 def parse_literal_string(data: bytes, pos: int) -> tuple[bytes, int]:
@@ -108,6 +109,13 @@ def parse_literal_string(data: bytes, pos: int) -> tuple[bytes, int]:
     depth = 1
     n = len(data)
     while pos < n:
+        # bulk-copy up to the next special byte ( ) or backslash
+        m = _LIT_SPECIAL_RE.search(data, pos)
+        if m is None:
+            break
+        if m.start() > pos:
+            out += data[pos:m.start()]
+            pos = m.start()
         b = data[pos]
         if b == 0x5C:  # backslash
             pos += 1
@@ -167,23 +175,16 @@ def parse_hex_string(data: bytes, pos: int) -> tuple[bytes, int]:
     """Parse ``<...>`` hex string; odd final digit is padded with 0
     (reference ``decode_hex``, ``/root/reference/src/parser.rs:517``)."""
     assert data[pos] == 0x3C  # '<'
-    pos += 1
-    digits = bytearray()
-    n = len(data)
-    while pos < n:
-        b = data[pos]
-        if b == 0x3E:  # '>'
-            pos += 1
-            if len(digits) % 2 == 1:
-                digits.append(0x30)
-            try:
-                return bytes.fromhex(digits.decode("ascii")), pos
-            except ValueError as exc:
-                raise ParseError(f"bad hex string: {exc}") from exc
-        if not _is_ws(b):
-            digits.append(b)
-        pos += 1
-    raise ParseError("unterminated hex string")
+    end = data.find(b">", pos + 1)
+    if end < 0:
+        raise ParseError("unterminated hex string")
+    digits = data[pos + 1 : end].translate(None, WHITESPACE)
+    if len(digits) % 2 == 1:
+        digits += b"0"
+    try:
+        return bytes.fromhex(digits.decode("ascii")), end + 1
+    except (ValueError, UnicodeDecodeError) as exc:
+        raise ParseError(f"bad hex string: {exc}") from exc
 
 
 def parse_name(data: bytes, pos: int) -> tuple[Name, int]:
@@ -191,9 +192,14 @@ def parse_name(data: bytes, pos: int) -> tuple[Name, int]:
     ``/root/reference/src/lexer.rs``)."""
     assert data[pos] == 0x2F  # '/'
     pos += 1
+    m = _REGULAR_RE.match(data, pos)
+    end = m.end()
+    tok = data[pos:end]
+    if b"#" not in tok:  # fast path: no escapes
+        return Name(tok.decode("latin-1")), end
     out = bytearray()
     n = len(data)
-    while pos < n and _is_regular(data[pos]):
+    while pos < end:
         b = data[pos]
         if b == 0x23 and pos + 2 < n:  # '#'
             try:
@@ -204,7 +210,7 @@ def parse_name(data: bytes, pos: int) -> tuple[Name, int]:
                 pass
         out.append(b)
         pos += 1
-    return Name(out.decode("latin-1")), pos
+    return Name(out.decode("latin-1")), end
 
 
 _NUM_CHARS = b"0123456789+-."
@@ -212,18 +218,11 @@ _NUM_CHARS = b"0123456789+-."
 
 def parse_number(data: bytes, pos: int) -> tuple[int | float, int]:
     start = pos
-    n = len(data)
-    is_real = False
-    if pos < n and data[pos] in b"+-":
-        pos += 1
-    while pos < n and data[pos] in b"0123456789.":
-        if data[pos] == 0x2E:
-            is_real = True
-        pos += 1
-    tok = data[start:pos]
+    tok = _NUM_RE.match(data, pos).group()
+    pos = start + len(tok)
     if not tok or tok in (b"+", b"-", b"."):
         raise ParseError(f"bad number at {start}")
-    if is_real:
+    if b"." in tok:
         return float(tok), pos
     return int(tok), pos
 
@@ -236,7 +235,9 @@ def parse_object(data: bytes, pos: int) -> tuple[object, int]:
     Mirrors the reference recursive-descent parser
     (``/root/reference/src/parser.rs:48``).
     """
-    pos = skip_ws(data, pos)
+    m = _WS_RE.match(data, pos)
+    if m is not None:
+        pos = m.end()
     n = len(data)
     if pos >= n:
         raise ParseError("eof")

@@ -19,8 +19,6 @@ the extract UDF on one row's spans — never as cluster-wide shuffles.
 
 from __future__ import annotations
 
-from dataclasses import replace
-
 from .graphics import round_half_away
 from .interpret import TextSpan
 
@@ -139,6 +137,14 @@ def _should_insert_space_heuristic(current_text: str, next_text: str) -> bool:
     return False
 
 
+def _copy_span(s: TextSpan) -> TextSpan:
+    """Direct-constructor copy (dataclasses.replace was a measured hotspot
+    at ~59k calls/3k payloads)."""
+    return TextSpan(text=s.text, x=s.x, y=s.y, width=s.width, height=s.height,
+                    font_name=s.font_name, font_size=s.font_size, bold=s.bold,
+                    mcid=s.mcid, sequence=s.sequence)
+
+
 def merge_adjacent_spans(spans: list[TextSpan]) -> list[TextSpan]:
     """P3 (reference text.rs:966-1124)."""
     if not spans:
@@ -147,7 +153,7 @@ def merge_adjacent_spans(spans: list[TextSpan]) -> list[TextSpan]:
     current: TextSpan | None = None
     for span in spans:
         if current is None:
-            current = replace(span)
+            current = _copy_span(span)
             continue
         y_diff = abs(span.y - current.y)
         same_line = y_diff < 1.0
@@ -162,18 +168,14 @@ def merge_adjacent_spans(spans: list[TextSpan]) -> list[TextSpan]:
                            or _should_insert_space_heuristic(current.text, span.text)
                            or gap > 0.1)
             if needs_space:
-                new_text = f"{current.text} {span.text}"
+                current.text = f"{current.text} {span.text}"
             else:
-                new_text = f"{current.text}{span.text}"
-            current = replace(
-                current,
-                text=new_text,
-                width=(span.x + span.width) - current.x,
-                height=max(current.height, span.height),
-            )
+                current.text = f"{current.text}{span.text}"
+            current.width = (span.x + span.width) - current.x
+            current.height = max(current.height, span.height)
         else:
             merged.append(current)
-            current = replace(span)
+            current = _copy_span(span)
     if current is not None:
         merged.append(current)
     return merged
