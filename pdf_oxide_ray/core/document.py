@@ -331,11 +331,31 @@ class PdfDocument:
         spans = extractor.extract_text_spans(content)
         return postprocess_spans(spans)
 
-    def extract_text(self, page: dict) -> str:
-        """EP2 (document.rs:1653-1718), untagged path."""
+    def structure_tree(self):
+        """Tagged-PDF structure tree, parsed once and cached (reference
+        structure_tree(), parser.rs:31). None for untagged PDFs."""
+        if not hasattr(self, "_struct_tree"):
+            from .structure import parse_structure_tree
+
+            try:
+                self._struct_tree = parse_structure_tree(self)
+            except Exception:  # noqa: BLE001 - malformed tree -> untagged path
+                self._struct_tree = None
+        return self._struct_tree
+
+    def extract_text(self, page: dict, page_index: int = 0) -> str:
+        """EP2 (document.rs:1653-1718): structure-tree order for Tagged
+        PDFs (R2), geometric order otherwise (R1)."""
+        tree = self.structure_tree()
         spans = self.extract_spans(page)
         if not spans:
             return ""
+        if tree is not None:
+            from .structure import (extract_text_structure_order,
+                                    traverse_structure_tree)
+
+            ordered = traverse_structure_tree(tree, page_index)
+            return extract_text_structure_order(spans, ordered)
         return assemble_text(spans)
 
     def to_markdown(self, page: dict) -> str:
@@ -346,7 +366,8 @@ class PdfDocument:
     def extract_text_all(self) -> str:
         """to_plain_text_all joins with '\\n\\n---\\n\\n' (document.rs:2366-2382);
         extract_text per page."""
-        return "\n\n---\n\n".join(self.extract_text(p) for p in self.pages())
+        return "\n\n---\n\n".join(self.extract_text(p, i)
+                                  for i, p in enumerate(self.pages()))
 
     def to_markdown_all(self) -> str:
         """document.rs:2317-2333."""

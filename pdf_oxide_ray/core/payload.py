@@ -58,12 +58,24 @@ def extract_payload(text: str, want_markdown: bool = True) -> dict:
         if kind == PAYLOAD_PDF:
             doc = PdfDocument(text.encode("utf-8"))
             pages = doc.pages()
+            tree = doc.structure_tree()
             page_texts: list[str] = []
             page_mds: list[str] = []
             all_spans: list[dict] = []
-            for page in pages:
+            for i, page in enumerate(pages):
                 spans = doc.extract_spans(page)
-                page_texts.append(assemble_text(spans) if spans else "")
+                if not spans:
+                    page_texts.append("")
+                elif tree is not None:
+                    # Tagged PDF: structure-tree reading order (R2)
+                    from .structure import (extract_text_structure_order,
+                                            traverse_structure_tree)
+
+                    ordered = traverse_structure_tree(tree, i)
+                    page_texts.append(
+                        extract_text_structure_order(spans, ordered))
+                else:
+                    page_texts.append(assemble_text(spans))
                 if want_markdown:
                     page_mds.append(convert_page_from_spans(spans))
                 all_spans.extend(spans_to_records(spans))

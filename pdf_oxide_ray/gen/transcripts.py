@@ -130,10 +130,26 @@ class _PdfBuilder:
 
 
 def _make_content_stream(rng: random.Random, two_column: bool,
-                         with_cmap_font: bool) -> bytes:
+                         with_cmap_font: bool,
+                         tagged: bool = False) -> tuple[bytes, list[int]]:
     """Content stream exercising Td/TD/Tm/T*, Tj/TJ (incl. threshold
-    straddling offsets), hex strings, escapes, overdraw dup, out-of-order y."""
+    straddling offsets), hex strings, escapes, overdraw dup, out-of-order y.
+    When ``tagged``, each line is wrapped in ``/P <</MCID n>> BDC .. EMC``;
+    returns the emitted MCID list (content order)."""
     ops: list[str] = ["BT"]
+    mcids: list[int] = []
+    next_mcid = [0]
+
+    def begin_mc() -> None:
+        if tagged:
+            ops.append(f"/P << /MCID {next_mcid[0]} >> BDC")
+            mcids.append(next_mcid[0])
+            next_mcid[0] += 1
+
+    def end_mc() -> None:
+        if tagged:
+            ops.append("EMC")
+
     y = 720.0
     n_lines = rng.randint(3, 8)
     lines: list[tuple[float, str]] = []
@@ -142,8 +158,10 @@ def _make_content_stream(rng: random.Random, two_column: bool,
     if rng.random() < 0.5:
         size = rng.choice([16, 18, 24])
         ops.append(f"/F2 {size} Tf")
+        begin_mc()
         ops.append(f"1 0 0 1 72 {y:.1f} Tm")
         ops.append(f"({_esc_literal(_words(rng, rng.randint(2, 4)).title())}) Tj")
+        end_mc()
         y -= size * 1.6
 
     ops.append("/F1 12 Tf")
@@ -158,6 +176,7 @@ def _make_content_stream(rng: random.Random, two_column: bool,
         lines = lines[: len(lines) // 2]
 
     def emit_line(ly: float, sent: str, x: float) -> None:
+        begin_mc()
         mode = rng.random()
         ops.append(f"1 0 0 1 {x:.1f} {ly:.1f} Tm")
         if mode < 0.35:
@@ -186,6 +205,7 @@ def _make_content_stream(rng: random.Random, two_column: bool,
             mid = max(1, len(sent) // 2)
             ops.append(f"({_esc_literal(sent[:mid])}) Tj")
             ops.append(f"({_esc_literal(sent[mid:])}) Tj")
+        end_mc()
 
     for ly, sent in lines:
         emit_line(ly, sent, x_left)
@@ -207,7 +227,7 @@ def _make_content_stream(rng: random.Random, two_column: bool,
         ops.append("<0102030104> Tj")
 
     ops.append("ET")
-    return "\n".join(ops).encode("latin-1")
+    return "\n".join(ops).encode("latin-1"), mcids
 
 
 _CMAP_F3 = b"""/CIDInit /ProcSet findresource begin
@@ -228,10 +248,17 @@ endcmap end
 
 def make_pdf_payload(rng: random.Random) -> str:
     b = _PdfBuilder()
-    n_pages = 1 if rng.random() < 0.8 else 2
+    # ~25% Tagged PDFs (single page: the reference attributes every MCR to
+    # page 0 — parser.rs:187 "parent.page.unwrap_or(0)" — so multi-page
+    # tagged docs would lose page>0 text in structure order; mirror that
+    # by only generating single-page tagged docs)
+    tagged = rng.random() < 0.25
+    n_pages = 1 if (tagged or rng.random() < 0.8) else 2
     with_cmap = rng.random() < 0.5
     use_filter = rng.random() < 0.3
     broken_xref = rng.random() < 0.1
+    if tagged:
+        broken_xref = False  # structure tree needs a resolvable catalog
 
     font1 = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
                   b"/Encoding /WinAnsiEncoding >>")
@@ -246,9 +273,12 @@ def make_pdf_payload(rng: random.Random) -> str:
         font_refs += f" /F3 {font3} 0 R"
 
     page_nums = []
+    all_mcids: list[int] = []
     for _ in range(n_pages):
-        content = _make_content_stream(rng, two_column=rng.random() < 0.2,
-                                       with_cmap_font=with_cmap)
+        content, mcids = _make_content_stream(
+            rng, two_column=rng.random() < 0.2, with_cmap_font=with_cmap,
+            tagged=tagged)
+        all_mcids.extend(mcids)
         if use_filter:
             data = base64.a85encode(zlib.compress(content)) + b"~>"
             cnum = b.add_stream("/Filter [ /ASCII85Decode /FlateDecode ]", data)
@@ -263,7 +293,41 @@ def make_pdf_payload(rng: random.Random) -> str:
     kids = " ".join(f"{p} 0 R" for p in page_nums)
     pages = b.add(f"<< /Type /Pages /Kids [ {kids} ] /Count {len(page_nums)} >>"
                   .encode())
-    root = b.add(f"<< /Type /Catalog /Pages {pages} 0 R >>".encode())
+
+    catalog_extra = ""
+    if tagged and all_mcids:
+        # structure order: deterministic shuffle of the content-order MCIDs
+        # (proves R2 follows the tree, not geometry); children exercised as
+        # direct ints, /MCR dicts, and a nested /Sect element; sometimes a
+        # RoleMap maps a custom /Para role onto /P
+        order = list(all_mcids)
+        rng.shuffle(order)
+        use_rolemap = rng.random() < 0.4
+        p_role = "Para" if use_rolemap else "P"
+        child_nums = []
+        for k, mcid in enumerate(order):
+            if k % 3 == 1:
+                mcr = f"<< /Type /MCR /MCID {mcid} >>"
+                child_nums.append(b.add(
+                    f"<< /Type /StructElem /S /{p_role} /K {mcr} >>".encode()))
+            elif k % 3 == 2:
+                inner = b.add(
+                    f"<< /Type /StructElem /S /{p_role} /K {mcid} >>".encode())
+                child_nums.append(b.add(
+                    f"<< /Type /StructElem /S /Sect /K {inner} 0 R >>".encode()))
+            else:
+                child_nums.append(b.add(
+                    f"<< /Type /StructElem /S /{p_role} /K {mcid} >>".encode()))
+        kids_refs = " ".join(f"{c} 0 R" for c in child_nums)
+        doc_elem = b.add(
+            f"<< /Type /StructElem /S /Document /K [ {kids_refs} ] >>".encode())
+        rolemap = " /RoleMap << /Para /P >>" if use_rolemap else ""
+        st_root = b.add(
+            f"<< /Type /StructTreeRoot /K {doc_elem} 0 R{rolemap} >>".encode())
+        catalog_extra = f" /StructTreeRoot {st_root} 0 R"
+
+    root = b.add(f"<< /Type /Catalog /Pages {pages} 0 R{catalog_extra} >>"
+                 .encode())
     return b.build(root, broken_xref=broken_xref)
 
 
