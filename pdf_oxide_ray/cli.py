@@ -1,0 +1,101 @@
+"""Job entry points for ``ray job submit`` (north rule: "launched via
+ray job submit on fixed-size clusters").
+
+Usage (cluster):
+
+    ray job submit --working-dir . -- \
+        python -m pdf_oxide_ray.cli flagship \
+            --input s3://bucket/transcripts/ --output s3://bucket/out/
+
+    ray job submit --working-dir . -- \
+        python -m pdf_oxide_ray.cli extract \
+            --input /data/transcripts/ --output /data/out/ --shards 256
+
+Local (auto-inits a local Ray session when none exists):
+
+    python -m pdf_oxide_ray.cli flagship --input ... --output ...
+
+``extract`` is the resumable sharded phase (per-partition parquet +
+atomic ``_manifest.json`` lineage; reruns skip complete shards).
+``flagship`` is the full extract->assemble->write job.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray() -> None:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False,
+                 logging_level="ERROR")
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="pdf_oxide_ray")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p_flag = sub.add_parser("flagship", help="extract + assemble + write")
+    p_flag.add_argument("--input", required=True)
+    p_flag.add_argument("--output", required=True)
+    p_flag.add_argument("--no-markdown", action="store_true")
+    p_flag.add_argument("--no-spans", action="store_true")
+    p_flag.add_argument("--batch-size", type=int, default=128)
+
+    p_ext = sub.add_parser("extract",
+                           help="resumable sharded extraction phase")
+    p_ext.add_argument("--input", required=True)
+    p_ext.add_argument("--output", required=True)
+    p_ext.add_argument("--shards", type=int, default=8)
+    p_ext.add_argument("--no-markdown", action="store_true")
+    p_ext.add_argument("--no-spans", action="store_true")
+
+    p_met = sub.add_parser("metrics",
+                           help="corpus rollup over an extracted output dir")
+    p_met.add_argument("--input", required=True)
+
+    args = parser.parse_args(argv)
+    _ensure_ray()
+    import ray
+
+    try:
+        if args.cmd == "flagship":
+            from .pipelines.flagship import run_flagship_job
+
+            summary = run_flagship_job(
+                args.input, args.output,
+                want_markdown=not args.no_markdown,
+                keep_spans=not args.no_spans,
+                batch_size=args.batch_size)
+            print(json.dumps(summary))
+        elif args.cmd == "extract":
+            from .pipelines.flagship import run_extraction_partitioned
+
+            summary = run_extraction_partitioned(
+                args.input, args.output, num_shards=args.shards,
+                want_markdown=not args.no_markdown,
+                keep_spans=not args.no_spans)
+            print(json.dumps(summary))
+        elif args.cmd == "metrics":
+            import ray.data as rd
+
+            from .pipelines.metrics import extraction_stats, top_k_slowest
+
+            ds = rd.read_parquet(args.input)
+            stats = extraction_stats(ds)
+            slowest = top_k_slowest(ds)
+            print(json.dumps({
+                "stats": stats.to_dict("records"),
+                "top_slowest": slowest.to_dict("records"),
+            }, default=str))
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

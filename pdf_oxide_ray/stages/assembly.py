@@ -72,6 +72,91 @@ def compute_offsets_skinny(group: pa.Table) -> pa.Table:
     })
 
 
+# ---------------------------------------------------------------------------
+# salted assembly for skewed conversations (north rule: "explicit salting
+# of skewed conversations")
+# ---------------------------------------------------------------------------
+
+def assemble_salted(extracted_ds, hot_turns_threshold: int = 1000,
+                    salt_span: int | None = None):
+    """Two-stage assembly that splits HOT conversations across the shuffle.
+
+    A conversation with millions of turns would land whole in one
+    ``groupby(conv_id)`` group — one straggler task and one giant block.
+    Salting splits it: group by ``(conv_id, salt)`` where
+    ``salt = turn_idx // salt_span`` for hot conversations (0 otherwise),
+    compute within-salt offsets + per-salt totals, then rebase each salt
+    group by the prefix sum of the preceding salts' totals (a tiny
+    driver-side table — one row per (conv, salt), broadcast back).
+
+    Requires a MATERIALIZED input (it is consumed twice: a skinny count
+    pass and the salted shuffle); ``run_flagship_job`` is the production
+    path — this is the salting strategy for the pure-Dataset pipeline.
+    """
+    import ray
+
+    # pass 0 (skinny): per-conversation turn counts -> hot set
+    counts = extracted_ds.select_columns(["conv_id"]) \
+        .groupby("conv_id").count().to_pandas()
+    hot = frozenset(counts.loc[counts["count()"] >= hot_turns_threshold,
+                               "conv_id"])
+    span = salt_span or max(hot_turns_threshold // 4, 1)
+    hot_ref = ray.put(hot)
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        hot_set = ray.get(hot_ref)
+        conv = batch.column("conv_id").to_pylist()
+        tidx = batch.column("turn_idx").to_numpy()
+        salt = np.where(
+            np.fromiter((c in hot_set for c in conv), dtype=bool,
+                        count=len(conv)),
+            tidx // span, 0).astype(np.int32)
+        return batch.append_column("salt", pa.array(salt, pa.int32()))
+
+    def per_salt_group(group: pa.Table) -> pa.Table:
+        group = group.sort_by("turn_idx")
+        n_chars = group.column("n_chars").to_numpy().astype(np.int64)
+        sizes = n_chars + len(TURN_SEPARATOR)
+        local = np.concatenate(([0], np.cumsum(sizes[:-1])))
+        group = group.append_column("local_offset",
+                                    pa.array(local, pa.int64()))
+        return group.append_column(
+            "salt_chars",
+            pa.array(np.full(len(sizes), int(sizes.sum()), dtype=np.int64)))
+
+    salted = extracted_ds.map_batches(add_salt, batch_format="pyarrow") \
+        .groupby(["conv_id", "salt"]) \
+        .map_groups(per_salt_group, batch_format="pyarrow")
+    salted = salted.materialize()
+
+    # rebase: per-(conv, salt) totals -> exclusive prefix over salts
+    totals = salted.select_columns(["conv_id", "salt", "salt_chars"]) \
+        .groupby(["conv_id", "salt"]) \
+        .max("salt_chars").to_pandas() \
+        .sort_values(["conv_id", "salt"], kind="mergesort")
+    totals["base"] = (totals.groupby("conv_id")["max(salt_chars)"]
+                      .cumsum() - totals["max(salt_chars)"])
+    conv_turns_map = counts.set_index("conv_id")["count()"].to_dict()
+    base_map = {(c, s): int(b) for c, s, b in
+                zip(totals["conv_id"], totals["salt"], totals["base"])}
+    maps_ref = ray.put((base_map, conv_turns_map))
+
+    def rebase(batch: pa.Table) -> pa.Table:
+        bases, turns_map = ray.get(maps_ref)
+        conv = batch.column("conv_id").to_pylist()
+        salt = batch.column("salt").to_pylist()
+        local = batch.column("local_offset").to_numpy()
+        offs = np.fromiter((bases[(c, s)] for c, s in zip(conv, salt)),
+                           dtype=np.int64, count=len(conv)) + local
+        cturns = np.fromiter((turns_map[c] for c in conv),
+                             dtype=np.int32, count=len(conv))
+        batch = batch.append_column("turn_offset", pa.array(offs, pa.int64()))
+        batch = batch.append_column("conv_turns", pa.array(cturns, pa.int32()))
+        return batch.drop_columns(["salt", "local_offset", "salt_chars"])
+
+    return salted.map_batches(rebase, batch_format="pyarrow")
+
+
 def conversation_text(group: pd.DataFrame) -> pd.DataFrame:
     """Optional rollup: one row per conversation with the joined text
     (used by tests / small exports, not the 100 TB path)."""
