@@ -272,6 +272,10 @@ def make_pdf_payload(rng: random.Random) -> str:
             f"/ToUnicode {cmap_stream} 0 R >>".encode())
         font_refs += f" /F3 {font3} 0 R"
 
+    with_annots = rng.random() < 0.15
+    with_outline = rng.random() < 0.15
+    with_form = rng.random() < 0.1
+
     page_nums = []
     all_mcids: list[int] = []
     for _ in range(n_pages):
@@ -284,10 +288,24 @@ def make_pdf_payload(rng: random.Random) -> str:
             cnum = b.add_stream("/Filter [ /ASCII85Decode /FlateDecode ]", data)
         else:
             cnum = b.add_stream("", content)
+        annots_entry = ""
+        if with_annots:
+            link = b.add(
+                f"<< /Type /Annot /Subtype /Link "
+                f"/Rect [ 72 700 200 715 ] "
+                f"/A << /Type /Action /S /URI "
+                f"/URI (https://example.com/{rng.choice(_WORDS)}) >> >>"
+                .encode())
+            note = b.add(
+                f"<< /Type /Annot /Subtype /Text "
+                f"/Rect [ 300 700 320 715 ] "
+                f"/Contents (note about {rng.choice(_WORDS)}) "
+                f"/T (reviewer{rng.randint(1, 9)}) >>".encode())
+            annots_entry = f" /Annots [ {link} 0 R {note} 0 R ]"
         pnum = b.add(
             f"<< /Type /Page /Contents {cnum} 0 R "
             f"/Resources << /Font << {font_refs} >> >> "
-            f"/MediaBox [ 0 0 612 792 ] >>".encode())
+            f"/MediaBox [ 0 0 612 792 ]{annots_entry} >>".encode())
         page_nums.append(pnum)
 
     kids = " ".join(f"{p} 0 R" for p in page_nums)
@@ -325,6 +343,32 @@ def make_pdf_payload(rng: random.Random) -> str:
         st_root = b.add(
             f"<< /Type /StructTreeRoot /K {doc_elem} 0 R{rolemap} >>".encode())
         catalog_extra = f" /StructTreeRoot {st_root} 0 R"
+
+    if with_outline:
+        # two-item sibling chain, first with a nested child; explicit
+        # [page /Fit] destinations exercise page-index resolution
+        p0 = page_nums[0]
+        outlines = b.next_num
+        item1 = outlines + 1
+        item2 = outlines + 2
+        kid = outlines + 3
+        b.add(f"<< /Type /Outlines /First {item1} 0 R /Last {item2} 0 R "
+              f"/Count 3 >>".encode())
+        b.add(f"<< /Title (Chapter {rng.randint(1, 9)}) "
+              f"/Dest [ {p0} 0 R /Fit ] /Next {item2} 0 R "
+              f"/First {kid} 0 R /Last {kid} 0 R >>".encode())
+        b.add(f"<< /Title (Appendix) /Dest (named-{rng.choice(_WORDS)}) "
+              f">>".encode())
+        b.add(f"<< /Title (Section {rng.randint(1, 9)}) "
+              f"/Dest [ {page_nums[-1]} 0 R /Fit ] >>".encode())
+        catalog_extra += f" /Outlines {outlines} 0 R"
+    if with_form:
+        f1 = b.add(f"<< /FT /Tx /T (name) /V ({rng.choice(_WORDS)}) "
+                   f"/TU (your name) /Rect [ 72 100 272 120 ] >>".encode())
+        f2 = b.add(f"<< /FT /Btn /T (subscribed) "
+                   f"/V /{'Yes' if rng.random() < 0.5 else 'Off'} >>".encode())
+        grp = b.add(f"<< /T (contact) /Kids [ {f1} 0 R ] >>".encode())
+        catalog_extra += (f" /AcroForm << /Fields [ {grp} 0 R {f2} 0 R ] >>")
 
     root = b.add(f"<< /Type /Catalog /Pages {pages} 0 R{catalog_extra} >>"
                  .encode())

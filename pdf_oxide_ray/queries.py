@@ -677,6 +677,57 @@ def q_html_output(sf_dir: str) -> pd.DataFrame:
                        "h1": "int64", "p": "int64"})
 
 
+def q_doc_metadata(sf_dir: str) -> pd.DataFrame:
+    """R8 rollup: outline items / annotations / form fields counted per
+    payload kind across the corpus (metadata parse inside map_batches; one
+    partial row per batch crosses the exchange)."""
+    from .gen.cache import tag_for_sf_dir, transcripts_path
+    from .pipelines.flagship import read_transcripts
+
+    path = transcripts_path(tag_for_sf_dir(sf_dir), with_golden=False)
+
+    def per_batch(b: pa.Table) -> pd.DataFrame:
+        from .core.docmeta import (extract_form_fields, get_annotations,
+                                   get_outline)
+        from .core.document import PdfDocument
+
+        n_docs = n_outlined = n_outline_items = 0
+        n_annots = n_links = n_fields = 0
+        for text in b.column("text").to_pylist():
+            if not (text or "").lstrip().startswith("%PDF"):
+                continue
+            try:
+                doc = PdfDocument(text.encode("utf-8"))
+                pages = doc.pages()
+            except Exception:  # noqa: BLE001 - poison rows never fail a task
+                continue
+            n_docs += 1
+            outline = get_outline(doc)
+            if outline:
+                n_outlined += 1
+                stack = list(outline)
+                while stack:
+                    item = stack.pop()
+                    n_outline_items += 1
+                    stack.extend(item.children)
+            for page in pages:
+                anns = get_annotations(doc, page)
+                n_annots += len(anns)
+                n_links += sum(1 for a in anns if a.subtype == "Link")
+            n_fields += len(extract_form_fields(doc))
+        return pd.DataFrame({
+            "n_docs": [n_docs], "n_outlined": [n_outlined],
+            "n_outline_items": [n_outline_items], "n_annots": [n_annots],
+            "n_links": [n_links], "n_form_fields": [n_fields]})
+
+    ds = read_transcripts(path, columns=["text"])
+    out = ds.map_batches(per_batch, batch_format="pyarrow").sum(
+        ["n_docs", "n_outlined", "n_outline_items", "n_annots", "n_links",
+         "n_form_fields"])
+    return pd.DataFrame([{k.replace("sum(", "").replace(")", ""): int(v)
+                          for k, v in out.items()}])
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -713,6 +764,7 @@ QUERIES = {
     "layout_stats": q_layout_stats,
     "structured_elements": q_structured_elements,
     "html_output": q_html_output,
+    "doc_metadata": q_doc_metadata,
 }
 
 ORACLE_SQL = {
