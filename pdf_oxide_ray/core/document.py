@@ -56,8 +56,11 @@ class PdfDocument:
     def __init__(self, data: bytes):
         self.data = data
         self.xref: dict[int, int] = {}  # obj num -> byte offset
+        # PDF 1.5 compressed objects: obj num -> (objstm num, index in stm)
+        self.xref_compressed: dict[int, tuple[int, int]] = {}
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
+        self._objstm_cache: dict[int, dict[int, object]] = {}
         self._resolving: set[int] = set()
         self._open()
 
@@ -73,7 +76,7 @@ class PdfDocument:
             ok = False
         # reference: reconstruct when parse failed or table suspiciously
         # small (<5 entries) (document.rs:103-152)
-        if not ok or len(self.xref) < 5:
+        if not ok or len(self.xref) + len(self.xref_compressed) < 5:
             reconstructed = self._reconstruct_xref()
             if reconstructed:
                 self.xref.update(reconstructed)
@@ -100,6 +103,10 @@ class PdfDocument:
         data = self.data
         pos = skip_ws(data, offset)
         if data[pos : pos + 4] != b"xref":
+            # PDF 1.5: the offset may point at a cross-reference STREAM
+            # object instead of a classic table (xref.rs xref-stream path)
+            if _OBJ_MARKER.match(data, pos):
+                return self._parse_xref_stream(pos)
             raise ParseError("bad xref offset")
         pos += 4
         while True:
@@ -128,6 +135,86 @@ class PdfDocument:
                     self.xref.setdefault(start + i, int(em.group(1)))
                 pos += em.end()
                 pos = skip_ws(data, pos)
+
+    def _parse_xref_stream(self, pos: int) -> int | None:
+        """S2 PDF 1.5 xref stream (reference xref.rs xref-stream support):
+        /W field widths, /Index subsections, row types 0 free / 1 offset /
+        2 (objstm, idx). Trailer keys live on the stream dict."""
+        from .decoders import decode_stream
+
+        m = _OBJ_MARKER.match(self.data, pos)
+        obj, _ = parse_object(self.data, m.end())
+        if not isinstance(obj, Stream) or str(obj.dict.get("Type")) != "XRef":
+            raise ParseError("not an xref stream")
+        d = obj.dict
+        w = d.get("W")
+        if not (isinstance(w, list) and len(w) >= 3):
+            raise ParseError("bad /W")
+        w0, w1, w2 = (int(x) for x in w[:3])
+        size = int(d.get("Size", 0))
+        index = d.get("Index")
+        if not isinstance(index, list):
+            index = [0, size]
+        raw = decode_stream(obj.data, d.get("Filter"), d.get("DecodeParms"))
+        row_len = w0 + w1 + w2
+        rpos = 0
+
+        def field(width: int, p: int) -> int:
+            return int.from_bytes(raw[p : p + width], "big") if width else 0
+
+        for k in range(0, len(index) - 1, 2):
+            start, count = int(index[k]), int(index[k + 1])
+            for i in range(count):
+                if rpos + row_len > len(raw):
+                    break
+                t = field(w0, rpos) if w0 else 1
+                f1 = field(w1, rpos + w0)
+                f2 = field(w2, rpos + w0 + w1)
+                num = start + i
+                if t == 1:
+                    self.xref.setdefault(num, f1)
+                elif t == 2 and num not in self.xref_compressed:
+                    self.xref_compressed.setdefault(num, (f1, f2))
+                rpos += row_len
+        for key, val in d.items():
+            if key not in ("W", "Index", "Filter", "DecodeParms", "Length",
+                           "Type"):
+                self.trailer.setdefault(key, val)
+        prev = d.get("Prev")
+        return int(prev) if isinstance(prev, (int, float)) else None
+
+    def _load_objstm(self, stm_num: int) -> dict[int, object]:
+        """S4 object streams (reference objstm.rs:58-86): decode, read the
+        N (num, offset) header pairs from /First, parse each object."""
+        cached = self._objstm_cache.get(stm_num)
+        if cached is not None:
+            return cached
+        parsed: dict[int, object] = {}
+        self._objstm_cache[stm_num] = parsed  # guard against cycles
+        stm = self.load_object(stm_num)
+        if not isinstance(stm, Stream) or str(stm.dict.get("Type")) != "ObjStm":
+            return parsed
+        data = self.get_stream_data(stm)
+        if data is None:
+            return parsed
+        n = int(self.resolve(stm.dict.get("N", 0)) or 0)
+        first = int(self.resolve(stm.dict.get("First", 0)) or 0)
+        pos = 0
+        pairs: list[tuple[int, int]] = []
+        for _ in range(n):
+            try:
+                num, pos = parse_object(data, pos)
+                off, pos = parse_object(data, pos)
+                pairs.append((int(num), int(off)))
+            except (ParseError, TypeError, ValueError):
+                break
+        for num, off in pairs:
+            try:
+                obj, _ = parse_object(data, first + off)
+                parsed[num] = obj
+            except ParseError:
+                continue
+        return parsed
 
     def _reconstruct_xref(self) -> dict[int, int]:
         """S3: scan for ``N G obj`` markers (xref_reconstruction.rs:58)."""
@@ -162,6 +249,11 @@ class PdfDocument:
             return None  # cycle / depth cap (reference document.rs:21,463)
         offset = self.xref.get(num)
         if offset is None:
+            comp = self.xref_compressed.get(num)
+            if comp is not None:
+                obj = self._load_objstm(comp[0]).get(num)
+                self._cache[num] = obj
+                return obj
             return None
         self._resolving.add(num)
         try:

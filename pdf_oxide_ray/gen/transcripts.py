@@ -91,10 +91,13 @@ def _esc_literal(s: str) -> str:
 
 
 class _PdfBuilder:
-    """Assemble a minimal classic-xref PDF as ASCII-safe text."""
+    """Assemble a minimal PDF as ASCII-safe text: classic xref table, or
+    PDF 1.5 layout (xref STREAM + compressed objects in an /ObjStm)."""
 
     def __init__(self) -> None:
         self.objects: dict[int, bytes] = {}
+        # num -> (objstm num, index) for objects packed into an /ObjStm
+        self.compressed: dict[int, tuple[int, int]] = {}
         self.next_num = 1
 
     def add(self, body: bytes) -> int:
@@ -108,18 +111,71 @@ class _PdfBuilder:
             + data + b"\nendstream"
         return self.add(body)
 
-    def build(self, root_num: int, broken_xref: bool = False) -> str:
-        out = bytearray(b"%PDF-1.7\n")
+    def add_objstm(self, bodies: list[bytes]) -> list[int]:
+        """Pack non-stream object bodies into one /ObjStm (S4); returns
+        their object numbers (recorded as compressed for the xref
+        stream)."""
+        nums = []
+        for _ in bodies:
+            nums.append(self.next_num)
+            self.next_num += 1
+        offsets = []
+        payload = bytearray()
+        for body in bodies:
+            offsets.append(len(payload))
+            payload += body + b"\n"
+        header = " ".join(f"{n} {o}" for n, o in zip(nums, offsets)).encode() \
+            + b"\n"
+        # ASCII85+Flate keeps the whole file ASCII-safe (payloads ride as
+        # utf-8 strings; raw binary would shift byte offsets on re-encode)
+        data = base64.a85encode(zlib.compress(bytes(header + payload))) + b"~>"
+        stm_num = self.add_stream(
+            f"/Type /ObjStm /N {len(bodies)} /First {len(header)} "
+            f"/Filter [ /ASCII85Decode /FlateDecode ]", data)
+        for idx, num in enumerate(nums):
+            self.compressed[num] = (stm_num, idx)
+        return nums
+
+    def build(self, root_num: int, broken_xref: bool = False,
+              xref_stream: bool = False) -> str:
+        out = bytearray(b"%PDF-1.7\n" if not xref_stream else b"%PDF-1.5\n")
         offsets: dict[int, int] = {}
         for num in sorted(self.objects):
             offsets[num] = len(out)
             out += f"{num} 0 obj\n".encode() + self.objects[num] + b"\nendobj\n"
         xref_pos = len(out)
-        n = max(self.objects) + 1
         if broken_xref:
             # corrupt startxref -> exercises S3 reconstruction
             out += b"startxref\n999999999\n%%EOF\n"
             return out.decode("latin-1")
+        if xref_stream:
+            # S2: cross-reference STREAM: /W [1 4 2]; type 0 free, 1 offset,
+            # 2 (objstm, idx); the xref stream object indexes itself
+            xref_num = self.next_num
+            size = xref_num + 1
+            rows = bytearray()
+            for num in range(size):
+                if num == 0:
+                    rows += b"\x00" + (0).to_bytes(4, "big") + \
+                        (0xFFFF).to_bytes(2, "big")
+                elif num in self.compressed:
+                    stm, idx = self.compressed[num]
+                    rows += b"\x02" + stm.to_bytes(4, "big") + \
+                        idx.to_bytes(2, "big")
+                else:
+                    off = offsets.get(num, xref_pos if num == xref_num else 0)
+                    rows += b"\x01" + off.to_bytes(4, "big") + \
+                        (0).to_bytes(2, "big")
+            data = base64.a85encode(zlib.compress(bytes(rows))) + b"~>"
+            body = (f"<< /Type /XRef /Size {size} /W [ 1 4 2 ] "
+                    f"/Root {root_num} 0 R "
+                    f"/Filter [ /ASCII85Decode /FlateDecode ] "
+                    f"/Length {len(data)} >>\nstream\n").encode() \
+                + data + b"\nendstream"
+            out += f"{xref_num} 0 obj\n".encode() + body + b"\nendobj\n"
+            out += f"startxref\n{xref_pos}\n%%EOF\n".encode()
+            return out.decode("latin-1")
+        n = max(self.objects) + 1
         out += f"xref\n0 {n}\n".encode()
         out += b"0000000000 65535 f \n"
         for num in range(1, n):
@@ -130,8 +186,9 @@ class _PdfBuilder:
 
 
 def _make_content_stream(rng: random.Random, two_column: bool,
-                         with_cmap_font: bool,
-                         tagged: bool = False) -> tuple[bytes, list[int]]:
+                         with_cmap_font: bool, tagged: bool = False,
+                         image_name: str | None = None
+                         ) -> tuple[bytes, list[int]]:
     """Content stream exercising Td/TD/Tm/T*, Tj/TJ (incl. threshold
     straddling offsets), hex strings, escapes, overdraw dup, out-of-order y.
     When ``tagged``, each line is wrapped in ``/P <</MCID n>> BDC .. EMC``;
@@ -227,6 +284,10 @@ def _make_content_stream(rng: random.Random, two_column: bool,
         ops.append("<0102030104> Tj")
 
     ops.append("ET")
+    if image_name:
+        # draw the image (text extraction must skip it; reference
+        # text.rs:2041 skips Image XObjects in Do)
+        ops.append(f"q 100 0 0 100 400 100 cm /{image_name} Do Q")
     return "\n".join(ops).encode("latin-1"), mcids
 
 
@@ -259,11 +320,23 @@ def make_pdf_payload(rng: random.Random) -> str:
     broken_xref = rng.random() < 0.1
     if tagged:
         broken_xref = False  # structure tree needs a resolvable catalog
+    # ~20% PDF 1.5 layout: xref STREAM (S2) + font dicts packed into an
+    # /ObjStm (S4); incompatible with the corrupt-startxref case
+    use_xrefstm = rng.random() < 0.2 and not broken_xref
 
-    font1 = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
-                  b"/Encoding /WinAnsiEncoding >>")
-    font2 = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica-Bold "
-                  b"/Encoding /WinAnsiEncoding >>")
+    if use_xrefstm:
+        font1, font2 = b.add_objstm([
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            b"/Encoding /WinAnsiEncoding >>",
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica-Bold "
+            b"/Encoding /WinAnsiEncoding >>",
+        ])
+    else:
+        font1 = b.add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                      b"/Encoding /WinAnsiEncoding >>")
+        font2 = b.add(b"<< /Type /Font /Subtype /Type1 "
+                      b"/BaseFont /Helvetica-Bold "
+                      b"/Encoding /WinAnsiEncoding >>")
     font_refs = f"/F1 {font1} 0 R /F2 {font2} 0 R"
     if with_cmap:
         cmap_stream = b.add_stream("/Type /CMap", _CMAP_F3)
@@ -275,13 +348,27 @@ def make_pdf_payload(rng: random.Random) -> str:
     with_annots = rng.random() < 0.15
     with_outline = rng.random() < 0.15
     with_form = rng.random() < 0.1
+    with_image = rng.random() < 0.15
+
+    image_entry = ""
+    if with_image:
+        # small raw-RGB Image XObject (S8); interpreter skips it via Do,
+        # extract_images recovers the pixels
+        w, h = rng.randint(2, 6), rng.randint(2, 6)
+        pixels = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        img_data = base64.a85encode(zlib.compress(pixels)) + b"~>"
+        inum = b.add_stream(
+            f"/Type /XObject /Subtype /Image /Width {w} /Height {h} "
+            f"/ColorSpace /DeviceRGB /BitsPerComponent 8 "
+            f"/Filter [ /ASCII85Decode /FlateDecode ]", img_data)
+        image_entry = f" /XObject << /Im1 {inum} 0 R >>"
 
     page_nums = []
     all_mcids: list[int] = []
     for _ in range(n_pages):
         content, mcids = _make_content_stream(
             rng, two_column=rng.random() < 0.2, with_cmap_font=with_cmap,
-            tagged=tagged)
+            tagged=tagged, image_name="Im1" if with_image else None)
         all_mcids.extend(mcids)
         if use_filter:
             data = base64.a85encode(zlib.compress(content)) + b"~>"
@@ -304,7 +391,7 @@ def make_pdf_payload(rng: random.Random) -> str:
             annots_entry = f" /Annots [ {link} 0 R {note} 0 R ]"
         pnum = b.add(
             f"<< /Type /Page /Contents {cnum} 0 R "
-            f"/Resources << /Font << {font_refs} >> >> "
+            f"/Resources << /Font << {font_refs} >>{image_entry} >> "
             f"/MediaBox [ 0 0 612 792 ]{annots_entry} >>".encode())
         page_nums.append(pnum)
 
@@ -372,7 +459,7 @@ def make_pdf_payload(rng: random.Random) -> str:
 
     root = b.add(f"<< /Type /Catalog /Pages {pages} 0 R{catalog_extra} >>"
                  .encode())
-    return b.build(root, broken_xref=broken_xref)
+    return b.build(root, broken_xref=broken_xref, xref_stream=use_xrefstm)
 
 
 # ---------------------------------------------------------------------------

@@ -677,6 +677,59 @@ def q_html_output(sf_dir: str) -> pd.DataFrame:
                        "h1": "int64", "p": "int64"})
 
 
+def q_pdf_images(sf_dir: str) -> pd.DataFrame:
+    """S8 image extraction bridged into the multimodal actor stage:
+    map_batches pulls Image XObjects out of corpus PDFs as opaque binary +
+    typed metadata rows, then the MediaFeatures actor pool featurizes them
+    (fake decoder; codecs absent in this container)."""
+    import ray.data as rd_
+
+    from .gen.cache import tag_for_sf_dir, transcripts_path
+    from .pipelines.flagship import read_transcripts
+    from .stages.multimodal import MEDIA_SCHEMA, MediaFeatures
+
+    path = transcripts_path(tag_for_sf_dir(sf_dir), with_golden=False)
+
+    def pull_images(b: pa.Table) -> pa.Table:
+        from .core.document import PdfDocument
+        from .core.images import extract_images_all
+
+        rows = []
+        for conv, tidx, text in zip(b.column("conv_id").to_pylist(),
+                                    b.column("turn_idx").to_pylist(),
+                                    b.column("text").to_pylist()):
+            if not (text or "").lstrip().startswith("%PDF"):
+                continue
+            try:
+                imgs = extract_images_all(PdfDocument(text.encode("utf-8")))
+            except Exception:  # noqa: BLE001
+                continue
+            for k, im in enumerate(imgs):
+                rows.append({
+                    "media_id": (zlib.crc32(f"{conv}:{tidx}:{k}".encode())
+                                 & 0x7FFFFFFF),
+                    "payload": im.data,
+                    "meta": {"media_type": "image", "format": im.format,
+                             "width": im.width, "height": im.height,
+                             "duration_ms": 0},
+                })
+        return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
+
+    import zlib
+
+    ds = read_transcripts(path, columns=["conv_id", "turn_idx", "text"])
+    media = ds.map_batches(pull_images, batch_format="pyarrow")
+    feats = media.map_batches(
+        MediaFeatures, batch_format="pyarrow", batch_size=16, concurrency=2,
+        fn_constructor_kwargs={"use_fake_decoder": True}).to_pandas()
+    if feats.empty:
+        return pd.DataFrame({"n_images": [0], "n_ok": [0]})
+    return pd.DataFrame({
+        "n_images": [len(feats)],
+        "n_ok": [int((feats["status"] == "ok").sum())],
+    })
+
+
 def q_doc_metadata(sf_dir: str) -> pd.DataFrame:
     """R8 rollup: outline items / annotations / form fields counted per
     payload kind across the corpus (metadata parse inside map_batches; one
@@ -765,6 +818,7 @@ QUERIES = {
     "structured_elements": q_structured_elements,
     "html_output": q_html_output,
     "doc_metadata": q_doc_metadata,
+    "pdf_images": q_pdf_images,
 }
 
 ORACLE_SQL = {
