@@ -84,6 +84,44 @@ class PdfDocument:
                 self._find_trailer_by_scan()
         if not self.xref:
             raise PdfError("no objects found")
+        self._init_encryption()
+
+    def _init_encryption(self) -> None:
+        """M4: build the security handler when the trailer carries
+        /Encrypt; decryption is applied in load_object (decrypt BEFORE
+        defilter, reference object.rs:187-260)."""
+        self._enc = None
+        self._enc_obj_num: int | None = None
+        enc_ref = self.trailer.get("Encrypt")
+        if enc_ref is None:
+            return
+        from .encryption import EncryptionHandler
+
+        if isinstance(enc_ref, Ref):
+            self._enc_obj_num = enc_ref.num
+        enc_dict = self.resolve(enc_ref)
+        if not isinstance(enc_dict, dict):
+            return
+        ids = self.trailer.get("ID")
+        file_id = ids[0] if (isinstance(ids, list) and ids
+                             and isinstance(ids[0], bytes)) else b""
+        self._enc = EncryptionHandler(enc_dict, file_id)
+        # anything cached before the handler existed is still ciphertext
+        self._cache.clear()
+        self._objstm_cache.clear()
+
+    def _decrypt_tree(self, obj, num: int, gen: int = 0):
+        if isinstance(obj, bytes):
+            return self._enc.decrypt(obj, num, gen)
+        if isinstance(obj, list):
+            return [self._decrypt_tree(x, num, gen) for x in obj]
+        if isinstance(obj, Stream):
+            return Stream(self._decrypt_tree(obj.dict, num, gen),
+                          self._enc.decrypt(obj.data, num, gen))
+        if isinstance(obj, dict):
+            return {k: self._decrypt_tree(v, num, gen)
+                    for k, v in obj.items()}
+        return obj
 
     def _parse_xref_chain(self) -> bool:
         tail = self.data[-256:]
@@ -264,6 +302,9 @@ class PdfDocument:
                 if not m:
                     return None
             obj, _ = parse_object(self.data, m.end())
+            if getattr(self, "_enc", None) is not None \
+                    and num != self._enc_obj_num:
+                obj = self._decrypt_tree(obj, num)
             self._cache[num] = obj
             return obj
         except ParseError:

@@ -1,0 +1,143 @@
+"""Standard security handler decryption (M4): RC4-40/128, empty-password
+authentication.
+
+Re-implements (from public PDF 32000-1:2008 Algorithms 2/4/5) the
+computation of the reference's encryption stack:
+
+* ``compute_encryption_key`` / ``authenticate_user_password`` / user-key
+  R2/R3 (``/root/reference/src/encryption/algorithms.rs:35-173``)
+* per-object key derivation (``/root/reference/src/encryption/
+  handler.rs:182-200``): MD5(base_key + obj[0:3] + gen[0:2]),
+  key_len = min(base+5, 16)
+* RC4 stream cipher (``/root/reference/src/encryption/rc4.rs``)
+* decrypt-before-defilter ordering (``/root/reference/src/object.rs:
+  187-260``)
+
+AES-128/256-CBC (handler V4/V5) is intentionally NOT implemented in this
+round: no crypto library is available in the container and a pure-Python
+AES would be both slow and easy to get subtly wrong — ``EncryptionHandler``
+raises a clear error for AES filters so such payloads surface as
+``status='error'`` rows rather than silent corruption.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+PADDING = (b"\x28\xBF\x4E\x5E\x4E\x75\x8A\x41\x64\x00\x4E\x56\xFF\xFA\x01\x08"
+           b"\x2E\x2E\x00\xB6\xD0\x68\x3E\x80\x2F\x0C\xA9\xFE\x64\x53\x69\x7A")
+
+
+def rc4_crypt(key: bytes, data: bytes) -> bytes:
+    """RC4 (symmetric; reference rc4.rs)."""
+    s = list(range(256))
+    j = 0
+    klen = len(key)
+    for i in range(256):
+        j = (j + s[i] + key[i % klen]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for n, b in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[n] = b ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _pad_password(password: bytes) -> bytes:
+    p = password[:32]
+    return p + PADDING[: 32 - len(p)]
+
+
+def compute_encryption_key(password: bytes, owner_key: bytes,
+                           permissions: int, file_id: bytes, revision: int,
+                           key_length: int,
+                           encrypt_metadata: bool = True) -> bytes:
+    """Algorithm 2 (algorithms.rs:35-89)."""
+    h = hashlib.md5()
+    h.update(_pad_password(password))
+    h.update(owner_key)
+    h.update((permissions & 0xFFFFFFFF).to_bytes(4, "little"))
+    h.update(file_id)
+    if revision >= 4 and not encrypt_metadata:
+        h.update(b"\xff\xff\xff\xff")
+    digest = h.digest()
+    if revision >= 3:
+        for _ in range(50):
+            digest = hashlib.md5(digest[:key_length]).digest()
+    return digest[:key_length]
+
+
+def compute_user_key_r2(key: bytes) -> bytes:
+    return rc4_crypt(key, PADDING)
+
+
+def compute_user_key_r3(key: bytes, file_id: bytes) -> bytes:
+    digest = hashlib.md5(PADDING + file_id).digest()
+    for i in range(20):
+        modified = bytes(b ^ i for b in key)
+        digest = rc4_crypt(modified, digest)
+    return digest + b"\x00" * 16
+
+
+def authenticate_user_password(password: bytes, user_key: bytes,
+                               owner_key: bytes, permissions: int,
+                               file_id: bytes, revision: int,
+                               key_length: int) -> bytes | None:
+    """algorithms.rs:106-141: derived key when the password checks out."""
+    key = compute_encryption_key(password, owner_key, permissions, file_id,
+                                 revision, key_length)
+    expected = (compute_user_key_r3(key, file_id) if revision >= 3
+                else compute_user_key_r2(key))
+    if expected[:16] == user_key[:16]:
+        return key
+    return None
+
+
+class EncryptionError(ValueError):
+    pass
+
+
+class EncryptionHandler:
+    """Standard security handler (handler.rs:38-200); empty-password auth
+    at construction (mirrors the reference's lazy init,
+    document.rs:206-292)."""
+
+    def __init__(self, encrypt_dict: dict, file_id: bytes):
+        filt = str(encrypt_dict.get("Filter", ""))
+        if filt != "Standard":
+            raise EncryptionError(f"unsupported security handler {filt!r}")
+        self.v = int(encrypt_dict.get("V", 1) or 1)
+        self.r = int(encrypt_dict.get("R", 2) or 2)
+        if self.v >= 4 or self.r >= 4:
+            raise EncryptionError(
+                "AES (V>=4) not supported in this build; RC4 only")
+        length_bits = int(encrypt_dict.get("Length", 40) or 40)
+        self.key_length = max(5, min(length_bits // 8, 16))
+        o = encrypt_dict.get("O")
+        u = encrypt_dict.get("U")
+        if not isinstance(o, bytes) or not isinstance(u, bytes):
+            raise EncryptionError("missing /O or /U")
+        p = int(encrypt_dict.get("P", -1))
+        key = authenticate_user_password(b"", u, o, p, file_id,
+                                         self.r, self.key_length)
+        if key is None:
+            raise EncryptionError("empty user password rejected")
+        self.key = key
+
+    def _object_key(self, obj_num: int, gen_num: int) -> bytes:
+        h = hashlib.md5()
+        h.update(self.key)
+        h.update(obj_num.to_bytes(4, "little")[:3])
+        h.update(gen_num.to_bytes(4, "little")[:2])
+        return h.digest()[: min(len(self.key) + 5, 16)]
+
+    def decrypt(self, data: bytes, obj_num: int, gen_num: int = 0) -> bytes:
+        """RC4 decrypt (streams and strings share the scheme)."""
+        return rc4_crypt(self._object_key(obj_num, gen_num), data)
+
+    # encryption is the same operation (RC4 is symmetric) — used by the
+    # corpus generator
+    encrypt = decrypt

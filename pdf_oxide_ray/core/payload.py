@@ -56,7 +56,13 @@ def extract_payload(text: str, want_markdown: bool = True) -> dict:
     kind = detect_payload_kind(text)
     try:
         if kind == PAYLOAD_PDF:
-            doc = PdfDocument(text.encode("utf-8"))
+            # PDF payloads ride the string column as latin-1 text: a str of
+            # U+0000-U+00FF maps 1:1 onto bytes, so binary sections
+            # (RC4-encrypted streams, raw Flate) survive the utf-8 parquet
+            # transport with byte offsets intact (utf-8 encode would shift
+            # xref offsets). Chars above U+00FF can't come from a byte
+            # stream; replace defensively.
+            doc = PdfDocument(text.encode("latin-1", errors="replace"))
             pages = doc.pages()
             tree = doc.structure_tree()
             page_texts: list[str] = []

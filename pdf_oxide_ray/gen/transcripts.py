@@ -99,6 +99,10 @@ class _PdfBuilder:
         # num -> (objstm num, index) for objects packed into an /ObjStm
         self.compressed: dict[int, tuple[int, int]] = {}
         self.next_num = 1
+        # M4: when set, stream data is encrypted per object number
+        # (filters first, then encrypt — readers decrypt before defilter)
+        self.encrypt_fn = None  # Callable[[int, bytes], bytes] | None
+        self.trailer_extra = ""
 
     def add(self, body: bytes) -> int:
         num = self.next_num
@@ -107,6 +111,8 @@ class _PdfBuilder:
         return num
 
     def add_stream(self, dict_entries: str, data: bytes) -> int:
+        if self.encrypt_fn is not None:
+            data = self.encrypt_fn(self.next_num, data)
         body = (f"<< {dict_entries} /Length {len(data)} >>\nstream\n").encode() \
             + data + b"\nendstream"
         return self.add(body)
@@ -180,7 +186,8 @@ class _PdfBuilder:
         out += b"0000000000 65535 f \n"
         for num in range(1, n):
             out += f"{offsets[num]:010d} 00000 n \n".encode()
-        out += (f"trailer\n<< /Size {n} /Root {root_num} 0 R >>\n"
+        out += (f"trailer\n<< /Size {n} /Root {root_num} 0 R"
+                f"{self.trailer_extra} >>\n"
                 f"startxref\n{xref_pos}\n%%EOF\n").encode()
         return out.decode("latin-1")
 
@@ -323,6 +330,37 @@ def make_pdf_payload(rng: random.Random) -> str:
     # ~20% PDF 1.5 layout: xref STREAM (S2) + font dicts packed into an
     # /ObjStm (S4); incompatible with the corrupt-startxref case
     use_xrefstm = rng.random() < 0.2 and not broken_xref
+    # ~8% RC4-encrypted (M4); exclusive with the other structural variants
+    # to keep the string-encryption surface to stream data (strings only
+    # live inside content streams in these docs)
+    encrypted = (rng.random() < 0.08 and not broken_xref
+                 and not use_xrefstm and not tagged)
+    if encrypted:
+        from ..core.encryption import (compute_encryption_key,
+                                       compute_user_key_r2,
+                                       compute_user_key_r3, rc4_crypt)
+
+        revision = rng.choice([2, 3])
+        key_len = 5 if revision == 2 else 16
+        owner_key = bytes(rng.randrange(256) for _ in range(32))
+        file_id = bytes(rng.randrange(256) for _ in range(16))
+        perms = -44
+        enc_key = compute_encryption_key(b"", owner_key, perms, file_id,
+                                         revision, key_len)
+        user_key = (compute_user_key_r3(enc_key, file_id) if revision >= 3
+                    else compute_user_key_r2(enc_key))
+
+        def _enc_stream(num: int, data: bytes) -> bytes:
+            import hashlib as _hl
+
+            h = _hl.md5()
+            h.update(enc_key)
+            h.update(num.to_bytes(4, "little")[:3])
+            h.update(b"\x00\x00")
+            obj_key = h.digest()[: min(len(enc_key) + 5, 16)]
+            return rc4_crypt(obj_key, data)
+
+        b.encrypt_fn = _enc_stream
 
     if use_xrefstm:
         font1, font2 = b.add_objstm([
@@ -345,9 +383,11 @@ def make_pdf_payload(rng: random.Random) -> str:
             f"/ToUnicode {cmap_stream} 0 R >>".encode())
         font_refs += f" /F3 {font3} 0 R"
 
-    with_annots = rng.random() < 0.15
-    with_outline = rng.random() < 0.15
-    with_form = rng.random() < 0.1
+    # encrypted docs skip the string-bearing extras (the generator only
+    # encrypts stream data; dict strings would need Algorithm-1 treatment)
+    with_annots = rng.random() < 0.15 and not encrypted
+    with_outline = rng.random() < 0.15 and not encrypted
+    with_form = rng.random() < 0.1 and not encrypted
     with_image = rng.random() < 0.15
 
     image_entry = ""
@@ -459,6 +499,16 @@ def make_pdf_payload(rng: random.Random) -> str:
 
     root = b.add(f"<< /Type /Catalog /Pages {pages} 0 R{catalog_extra} >>"
                  .encode())
+    if encrypted:
+        b.encrypt_fn = None  # the /Encrypt dict itself stays plaintext
+        enc_num = b.add(
+            f"<< /Filter /Standard /V {1 if revision == 2 else 2} "
+            f"/R {revision} /Length {key_len * 8} "
+            f"/O <{owner_key.hex().upper()}> /U <{user_key.hex().upper()}> "
+            f"/P {perms} >>".encode())
+        b.trailer_extra = (f" /Encrypt {enc_num} 0 R "
+                           f"/ID [ <{file_id.hex().upper()}> "
+                           f"<{file_id.hex().upper()}> ]")
     return b.build(root, broken_xref=broken_xref, xref_stream=use_xrefstm)
 
 

@@ -701,7 +701,8 @@ def q_pdf_images(sf_dir: str) -> pd.DataFrame:
             if not (text or "").lstrip().startswith("%PDF"):
                 continue
             try:
-                imgs = extract_images_all(PdfDocument(text.encode("utf-8")))
+                imgs = extract_images_all(PdfDocument(
+                    text.encode("latin-1", errors="replace")))
             except Exception:  # noqa: BLE001
                 continue
             for k, im in enumerate(imgs):
@@ -750,7 +751,7 @@ def q_doc_metadata(sf_dir: str) -> pd.DataFrame:
             if not (text or "").lstrip().startswith("%PDF"):
                 continue
             try:
-                doc = PdfDocument(text.encode("utf-8"))
+                doc = PdfDocument(text.encode("latin-1", errors="replace"))
                 pages = doc.pages()
             except Exception:  # noqa: BLE001 - poison rows never fail a task
                 continue
