@@ -677,6 +677,42 @@ def q_html_output(sf_dir: str) -> pd.DataFrame:
                        "h1": "int64", "p": "int64"})
 
 
+def q_asof_purchase_click(sf_dir: str) -> pd.DataFrame:
+    """As-of join (custom temporal operator): for each purchase event, the
+    most recent preceding-or-simultaneous click by the same user. One
+    groupby(user) shuffle of skinny projections; per-group vectorized
+    searchsorted (stages/joins.py asof_join)."""
+    from .stages.joins import asof_join
+
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    clicks = ev.filter(expr="event_type == 'click'")
+    out = asof_join(purchases, clicks, on="user_id", left_ts="ts",
+                    right_ts="ts", left_cols=["event_id"],
+                    right_cols=["event_id"]).to_pandas()
+    out = out.rename(columns={"ts": "purchase_ts", "ts_right": "click_ts",
+                              "event_id": "purchase_id",
+                              "event_id_right": "click_id"})
+    return out.astype({"purchase_id": "int64", "click_id": "int64"})
+
+
+def q_range_purchase_views(sf_dir: str) -> pd.DataFrame:
+    """Range/band join: views by the same user within the hour before each
+    purchase (two searchsorted cuts per group; no row explosion)."""
+    from .stages.joins import range_count_join
+
+    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    purchases = ev.filter(expr="event_type == 'purchase'")
+    views = ev.filter(expr="event_type == 'view'")
+    out = range_count_join(
+        purchases, views, on="user_id", left_ts="ts", right_ts="ts",
+        left_id="event_id", lower=-pd.Timedelta(hours=1),
+        upper=pd.Timedelta(0), count_name="n_views_1h").to_pandas()
+    out = out.rename(columns={"event_id": "purchase_id"})
+    return out[["purchase_id", "n_views_1h"]].astype(
+        {"purchase_id": "int64", "n_views_1h": "int64"})
+
+
 def q_pdf_images(sf_dir: str) -> pd.DataFrame:
     """S8 image extraction bridged into the multimodal actor stage:
     map_batches pulls Image XObjects out of corpus PDFs as opaque binary +
@@ -820,6 +856,8 @@ QUERIES = {
     "html_output": q_html_output,
     "doc_metadata": q_doc_metadata,
     "pdf_images": q_pdf_images,
+    "asof_purchase_click": q_asof_purchase_click,
+    "range_purchase_views": q_range_purchase_views,
 }
 
 ORACLE_SQL = {
@@ -850,6 +888,21 @@ ORACLE_SQL = {
         SELECT o_custkey, ROUND(SUM(o_totalprice), 6) AS total_spent
         FROM orders GROUP BY o_custkey
         ORDER BY total_spent DESC, o_custkey LIMIT 10""",
+    "asof_purchase_click": """
+        SELECT p.user_id,
+               p.event_id AS purchase_id, p.ts AS purchase_ts,
+               c.event_id AS click_id, c.ts AS click_ts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id AND p.ts >= c.ts""",
+    "range_purchase_views": """
+        SELECT p.event_id AS purchase_id,
+               CAST(count(v.event_id) AS BIGINT) AS n_views_1h
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id
+         AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts < p.ts
+        GROUP BY p.event_id""",
     "user_sessions": """
         WITH g AS (
           SELECT user_id,

@@ -106,3 +106,104 @@ def bucketed_hash_join(left_ds, right_ds, left_on: str, right_on: str,
 
     return both.groupby("__bucket").map_groups(merge_bucket,
                                                batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# temporal joins Ray Data lacks natively: as-of and range-band
+# ---------------------------------------------------------------------------
+#
+# Partitioning assumption (documented per the custom-operator guidance):
+# both implementations co-locate rows by the equi-key via ONE
+# groupby(key) shuffle of tagged skinny projections; within a group the
+# time logic is a vectorized searchsorted over the sorted right side.
+# Skew: a hot key lands whole in one group — salt by time-bucketing the
+# key upstream if a single key's rows exceed a worker's heap.
+
+
+def asof_join(left_ds, right_ds, on: str, left_ts: str, right_ts: str,
+              left_cols: list[str], right_cols: list[str],
+              suffix: str = "_right"):
+    """For each left row, the most recent right row with
+    ``right_ts <= left_ts`` for the same key (DuckDB ASOF JOIN
+    semantics; inner — left rows with no prior right row are dropped)."""
+
+    def tag(side: str, ts_col: str, cols: list[str]):
+        def _tag(batch: pd.DataFrame) -> pd.DataFrame:
+            out = batch[[on, ts_col] + cols].copy()
+            out.columns = [on, "__ts"] + [f"__{side}_{c}" for c in cols]
+            out["__side"] = side
+            return out
+        return _tag
+
+    lt = left_ds.map_batches(tag("l", left_ts, left_cols),
+                             batch_format="pandas")
+    rt = right_ds.map_batches(tag("r", right_ts, right_cols),
+                              batch_format="pandas")
+    l_out = [f"__l_{c}" for c in left_cols]
+    r_out = [f"__r_{c}" for c in right_cols]
+    all_cols = [on, "__ts", "__side"] + l_out + r_out
+
+    def align(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.reindex(columns=all_cols)
+
+    both = lt.map_batches(align, batch_format="pandas").union(
+        rt.map_batches(align, batch_format="pandas"))
+
+    # same-named timestamp columns get the suffix on the right side
+    right_ts_out = right_ts + suffix if right_ts == left_ts else right_ts
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == "l"].sort_values("__ts", kind="mergesort")
+        rg = g[g["__side"] == "r"].sort_values("__ts", kind="mergesort")
+        if lg.empty or rg.empty:
+            return pd.DataFrame(columns=[on, left_ts, right_ts_out]
+                                + left_cols + [c + suffix for c in right_cols])
+        idx = np.searchsorted(rg["__ts"].to_numpy(), lg["__ts"].to_numpy(),
+                              side="right") - 1
+        keep = idx >= 0
+        lg = lg[keep]
+        matched = rg.iloc[idx[keep]]
+        out = pd.DataFrame({on: lg[on].to_numpy(),
+                            left_ts: lg["__ts"].to_numpy(),
+                            right_ts_out: matched["__ts"].to_numpy()})
+        for c in left_cols:
+            out[c] = lg[f"__l_{c}"].to_numpy()
+        for c in right_cols:
+            out[c + suffix] = matched[f"__r_{c}"].to_numpy()
+        return out
+
+    return both.groupby(on).map_groups(per_key, batch_format="pandas")
+
+
+def range_count_join(left_ds, right_ds, on: str, left_ts: str,
+                     right_ts: str, left_id: str, lower, upper,
+                     count_name: str = "n_in_range"):
+    """For each left row, COUNT right rows of the same key with
+    ``left_ts + lower <= right_ts < left_ts + upper`` (a band/interval
+    join realized as two searchsorted cuts per group)."""
+
+    def tag(side: str, ts_col: str, idc: str | None):
+        def _tag(batch: pd.DataFrame) -> pd.DataFrame:
+            cols = {on: batch[on], "__ts": batch[ts_col],
+                    "__side": side}
+            cols["__id"] = batch[idc] if idc else -1
+            return pd.DataFrame(cols)
+        return _tag
+
+    lt = left_ds.map_batches(tag("l", left_ts, left_id),
+                             batch_format="pandas")
+    rt = right_ds.map_batches(tag("r", right_ts, None),
+                              batch_format="pandas")
+    both = lt.union(rt)
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == "l"]
+        rts = np.sort(g.loc[g["__side"] == "r", "__ts"].to_numpy())
+        ts = lg["__ts"].to_numpy()
+        lo = np.searchsorted(rts, ts + lower, side="left")
+        hi = np.searchsorted(rts, ts + upper, side="left")
+        return pd.DataFrame({on: lg[on].to_numpy(),
+                             left_id: lg["__id"].to_numpy(),
+                             count_name: (hi - lo).astype(np.int64)})
+
+    return both.groupby(on).map_groups(per_key, batch_format="pandas")
