@@ -90,7 +90,13 @@ def _is_regular(b: int) -> bool:
 
 
 def skip_ws(data: bytes, pos: int) -> int:
-    """Skip whitespace and ``%`` comments (to end of line)."""
+    """Skip whitespace and ``%`` comments (to end of line). Fast path for
+    the overwhelmingly common single-space separator avoids the regex."""
+    n = len(data)
+    if pos < n and data[pos] == 0x20:
+        nxt = pos + 1
+        if nxt >= n or (data[nxt] not in WHITESPACE and data[nxt] != 0x25):
+            return nxt
     m = _WS_RE.match(data, pos)
     return m.end() if m else pos
 
@@ -235,10 +241,15 @@ def parse_object(data: bytes, pos: int) -> tuple[object, int]:
     Mirrors the reference recursive-descent parser
     (``/root/reference/src/parser.rs:48``).
     """
-    m = _WS_RE.match(data, pos)
-    if m is not None:
-        pos = m.end()
     n = len(data)
+    if pos < n and data[pos] == 0x20 and \
+            (pos + 1 >= n or (data[pos + 1] not in WHITESPACE
+                              and data[pos + 1] != 0x25)):
+        pos += 1  # single-space fast path
+    else:
+        m = _WS_RE.match(data, pos)
+        if m is not None:
+            pos = m.end()
     if pos >= n:
         raise ParseError("eof")
     b = data[pos]
