@@ -118,6 +118,29 @@ def q_events_hourly(sf_dir: str) -> pd.DataFrame:
     return _round6(agg.drop(columns=["value_sum"]), ["avg_value"])
 
 
+def q_events_sliding(sf_dir: str) -> pd.DataFrame:
+    """Hopping/sliding window (size 1h, hop 15min): each event lands in 4
+    windows; the explode is vectorized per batch and only partial counts
+    cross the shuffle."""
+    ds = _pq(sf_dir, "events", ["event_type", "ts"])
+    hop = pd.Timedelta(minutes=15)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        bucket = b["ts"].dt.floor("15min")
+        frames = [pd.DataFrame({"event_type": b["event_type"],
+                                "window_start": bucket - k * hop})
+                  for k in range(4)]
+        return pd.concat(frames).groupby(
+            ["event_type", "window_start"], as_index=False).agg(
+            n=("event_type", "size"))
+
+    out = ds.map_batches(partial, batch_format="pandas") \
+        .groupby(["event_type", "window_start"]) \
+        .aggregate(Sum("n", alias_name="n")).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
 def q_distinct_event_types(sf_dir: str) -> pd.DataFrame:
     ds = _pq(sf_dir, "events", ["event_type"])
     vals = sorted(ds.unique("event_type"))
@@ -827,6 +850,7 @@ QUERIES = {
     "category_stats": q_category_stats,
     "revenue_by_flag": q_revenue_by_flag,
     "events_hourly": q_events_hourly,
+    "events_sliding": q_events_sliding,
     "distinct_event_types": q_distinct_event_types,
     "top_events": q_top_events,
     "top_customers": q_top_customers,
@@ -875,6 +899,14 @@ ORACLE_SQL = {
                ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue
         FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
         GROUP BY l_returnflag""",
+    "events_sliding": """
+        WITH w AS (
+          SELECT event_type,
+                 time_bucket(INTERVAL 15 MINUTE, ts)
+                   - to_minutes(15 * k.k) AS window_start
+          FROM events, (SELECT unnest([0, 1, 2, 3]) AS k) k)
+        SELECT event_type, window_start, CAST(count(*) AS BIGINT) AS n
+        FROM w GROUP BY event_type, window_start""",
     "events_hourly": """
         SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
                ROUND(SUM(value) / COUNT(*), 6) AS avg_value
