@@ -12,7 +12,14 @@ its ``Operator`` enum (``/root/reference/src/content/operators.rs:16-451``).
 
 from __future__ import annotations
 
-from .objects import Name, ParseError, parse_object, skip_ws
+import re
+
+from .objects import (Name, ParseError, parse_hex_string,
+                      parse_literal_string, parse_object, skip_ws)
+
+# fast scanner for show-text arrays ("[ (a) -250 (b) ] TJ" is the hottest
+# construct in real content streams): numbers / ( / < / ] in one regex
+_ARR_ELEM = re.compile(rb"[\x00\t\n\x0c\r ]*(?:([+-]?[0-9.]+)|(.)?)", re.S)
 
 # Characters that may start an operator keyword
 # (reference is_operator_start, content/parser.rs:136-140)
@@ -102,6 +109,13 @@ def parse_content_stream(data: bytes) -> list[tuple[str, list]]:
             ops.append((name, operands))
             operands = []
             pos = npos
+        elif b == 0x5B:  # '[' — fast path for TJ-style arrays
+            try:
+                arr, pos = _parse_simple_array(data, pos)
+                operands.append(arr)
+            except ParseError:
+                pos += 1
+                operands = []
         else:
             try:
                 obj, pos = parse_object(data, pos)
@@ -110,6 +124,42 @@ def parse_content_stream(data: bytes) -> list[tuple[str, list]]:
                 pos += 1
                 operands = []
     return ops
+
+
+def _parse_simple_array(data: bytes, pos: int) -> tuple[list, int]:
+    """Array of numbers / strings (the TJ shape) without per-element
+    parse_object dispatch; nested/unusual elements fall back to
+    parse_object. Semantics identical to parse_object's array branch."""
+    pos += 1  # consume '['
+    arr: list = []
+    n = len(data)
+    while True:
+        m = _ARR_ELEM.match(data, pos)
+        num, other = m.group(1), m.group(2)
+        if num is not None:
+            pos = m.end()
+            if b"." in num:
+                arr.append(float(num))
+            elif num in (b"+", b"-"):
+                raise ParseError(f"bad number at {pos}")
+            else:
+                arr.append(int(num))
+            continue
+        if other is None:
+            raise ParseError("unterminated array")
+        pos = m.end() - 1
+        b = other[0]
+        if b == 0x5D:  # ']'
+            return arr, pos + 1
+        if b == 0x28:  # '('
+            s, pos = parse_literal_string(data, pos)
+            arr.append(s)
+        elif b == 0x3C and not (pos + 1 < n and data[pos + 1] == 0x3C):
+            s, pos = parse_hex_string(data, pos)
+            arr.append(s)
+        else:
+            obj, pos = parse_object(data, pos)
+            arr.append(obj)
 
 
 def _ends_token(data: bytes, pos: int) -> bool:
