@@ -56,12 +56,14 @@ def _flagship_queries() -> dict[str, Callable[[str], Any]]:
                            keep_spans=False).to_pandas()
         golden = pq.read_table(golden_path(tag)).to_pandas()
         merged = out.merge(
-            golden[["conv_id", "turn_idx", "extracted_text"]],
+            golden[["conv_id", "turn_idx", "extracted_text", "markdown"]],
             on=["conv_id", "turn_idx"], suffixes=("", "_gold"))
         return pd.DataFrame({
             "n_rows": [len(out)],
             "n_matched": [int((merged["extracted_text"]
                                == merged["extracted_text_gold"]).sum())],
+            "n_md_matched": [int((merged["markdown"]
+                                  == merged["markdown_gold"]).sum())],
             "n_errors": [int((out["status"] == "error").sum())],
         })
 
