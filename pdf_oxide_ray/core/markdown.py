@@ -41,6 +41,7 @@ class _Block:
     font_size: float
     font: str
     bold: bool
+    mcid: int | None = None
 
 
 def classify_block(size: float, is_bold: bool) -> int:
@@ -129,7 +130,7 @@ def merge_adjacent_char_spans(blocks: list[_Block]) -> list[_Block]:
                     width=(block.x + block.width) - current.x,
                     height=current.height, text=current.text + block.text,
                     font_size=current.font_size, font=current.font,
-                    bold=current.bold)
+                    bold=current.bold, mcid=current.mcid)
                 continue
         merged.append(current)
         current = block
@@ -138,21 +139,72 @@ def merge_adjacent_char_spans(blocks: list[_Block]) -> list[_Block]:
     return merged
 
 
-def convert_page_from_spans(spans: list[TextSpan], detect_headings_opt: bool = True) -> str:
-    """reference convert_page_from_spans (markdown.rs:191-376)."""
+def reorder_by_mcid(blocks: list, mcids: list[int | None],
+                    mcid_order: list[int]) -> list[int]:
+    """StructureTreeFirst ordering (markdown.rs:659-703): blocks grouped
+    by MCID in structure-tree order (spatial sort within an MCID);
+    MCID-less blocks appended in index order."""
+    ordered: list[int] = []
+    seen: set[int] = set()
+    for mcid in mcid_order:
+        group = [i for i, m in enumerate(mcids) if m == mcid and i not in seen]
+        group.sort(key=lambda i: (-blocks[i].y, blocks[i].x))
+        ordered.extend(group)
+        seen.update(group)
+    for i, m in enumerate(mcids):
+        if m is None and i not in seen:
+            ordered.append(i)
+    return ordered
+
+
+def _column_aware_order(blocks: list) -> list[int]:
+    """ColumnAware mode: XY-Cut tree order (markdown.rs:597-612)."""
+    from .layout import Block as LBlock
+    from .layout import determine_reading_order, xy_cut
+
+    lblocks = [LBlock(x=b.x, y=b.y, width=b.width, height=b.height,
+                      text=b.text, font_size=b.font_size, bold=b.bold)
+               for b in blocks]
+    min_x = min(b.x for b in lblocks)
+    min_y = min(b.y for b in lblocks)
+    max_x = max(b.x + b.width for b in lblocks)
+    max_y = max(b.y + b.height for b in lblocks)
+    tree = xy_cut((min_x, min_y, max_x - min_x, max_y - min_y), lblocks)
+    return determine_reading_order(tree)
+
+
+def convert_page_from_spans(spans: list[TextSpan],
+                            detect_headings_opt: bool = True,
+                            reading_order_mode: str = "top_to_bottom",
+                            mcid_order: list[int] | None = None) -> str:
+    """reference convert_page_from_spans (markdown.rs:191-376).
+
+    ``reading_order_mode``: ``top_to_bottom`` (span-path default,
+    markdown.rs:243-244) | ``column_aware`` (XY-Cut) |
+    ``structure_tree`` (MCID order with XY-Cut fallback) — the
+    ConversionOptions.ReadingOrderMode surface (converters/mod.rs:69-159).
+    """
     if not spans:
         return ""
     blocks = [
         _Block(x=s.x, y=s.y, width=s.width, height=s.height, text=s.text,
-               font_size=s.font_size, font=s.font_name, bold=s.bold)
+               font_size=s.font_size, font=s.font_name, bold=s.bold,
+               mcid=s.mcid)
         for s in spans
     ]
     # NB reference sorts blocks by Y ASCENDING here (markdown.rs:224-233)
     blocks.sort(key=lambda b: (b.y, b.x))
     blocks = merge_adjacent_char_spans(blocks)
     levels = detect_headings(blocks) if detect_headings_opt else [BODY] * len(blocks)
-    # TopToBottomLeftToRight: Y descending (top of page first), X ascending
-    ordered = sorted(range(len(blocks)), key=lambda i: (-blocks[i].y, blocks[i].x))
+    if reading_order_mode == "structure_tree" and mcid_order:
+        ordered = reorder_by_mcid(blocks, [b.mcid for b in blocks],
+                                  mcid_order)
+    elif reading_order_mode == "column_aware":
+        ordered = _column_aware_order(blocks)
+    else:
+        # TopToBottomLeftToRight: Y descending (top first), X ascending
+        ordered = sorted(range(len(blocks)),
+                         key=lambda i: (-blocks[i].y, blocks[i].x))
 
     md_parts: list[str] = []
 
