@@ -1,0 +1,58 @@
+"""Property-based robustness: extract_payload must NEVER raise and must be
+deterministic on arbitrary input (row-level error absorption — a poison
+payload cannot fail a 10^12-row job; mirrors the reference's 100%-success
+goal, README.md:21)."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdf_oxide_ray.core.payload import detect_payload_kind, extract_payload
+
+REQUIRED_KEYS = {"kind", "extracted_text", "markdown", "spans", "status",
+                 "error"}
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(max_size=2000))
+def test_never_raises_on_arbitrary_text(text):
+    res = extract_payload(text)
+    assert REQUIRED_KEYS <= set(res)
+    assert res["status"] in ("ok", "error")
+    assert isinstance(res["extracted_text"], str)
+    assert isinstance(res["markdown"], str)
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.binary(max_size=2000))
+def test_never_raises_on_binary_as_latin1(data):
+    # arbitrary bytes arriving via the latin-1 string channel
+    res = extract_payload(data.decode("latin-1"))
+    assert res["status"] in ("ok", "error")
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=500))
+def test_pdf_prefixed_garbage_is_absorbed(tail):
+    res = extract_payload("%PDF-1.7\n" + tail)
+    assert res["kind"] == "pdf"
+    assert res["status"] in ("ok", "error")
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.text(max_size=800))
+def test_html_prefixed_garbage_is_absorbed(tail):
+    res = extract_payload("<html><body><div>" + tail)
+    assert res["status"] in ("ok", "error")
+    assert isinstance(res["extracted_text"], str)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.text(max_size=1000))
+def test_deterministic(text):
+    assert extract_payload(text) == extract_payload(text)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=200))
+def test_kind_detection_total(text):
+    assert detect_payload_kind(text) in ("pdf", "html", "plain")
