@@ -139,6 +139,48 @@ def merge_adjacent_char_spans(blocks: list[_Block]) -> list[_Block]:
     return merged
 
 
+def convert_page_chars(chars: list, reading_order_mode: str = "top_to_bottom",
+                       detect_headings_opt: bool = True) -> str:
+    """R4 legacy char path (markdown.rs:417-545): chars -> L1 word
+    clustering (epsilon = 0.8 * median font size, markdown.rs:444-445) ->
+    word blocks -> the shared block renderer."""
+    if not chars:
+        return ""
+    from .layout import Block as LBlock
+    from .layout import cluster_chars_into_words
+
+    lchars = [LBlock(x=c.x, y=c.y, width=c.width, height=c.height,
+                     text=c.char, font_size=c.font_size, bold=c.bold)
+              for c in chars]
+    sizes = sorted(c.font_size for c in chars)
+    median_size = sizes[len(sizes) // 2] if sizes else 12.0
+    epsilon = 0.8 * median_size
+    clusters = cluster_chars_into_words(lchars, epsilon)
+    blocks: list[_Block] = []
+    for cluster in clusters:
+        members = [chars[i] for i in cluster]
+        x0 = min(m.x for m in members)
+        y0 = min(m.y for m in members)
+        x1 = max(m.x + m.width for m in members)
+        y1 = max(m.y + m.height for m in members)
+        n_bold = sum(1 for m in members if m.bold)
+        blocks.append(_Block(
+            x=x0, y=y0, width=x1 - x0, height=y1 - y0,
+            text="".join(m.char for m in members),
+            font_size=sum(m.font_size for m in members) / len(members),
+            font=members[0].font_name,
+            bold=n_bold * 2 > len(members),
+            mcid=members[0].mcid))
+    levels = detect_headings(blocks) if detect_headings_opt \
+        else [BODY] * len(blocks)
+    if reading_order_mode == "column_aware":
+        ordered = _column_aware_order(blocks)
+    else:
+        ordered = sorted(range(len(blocks)),
+                         key=lambda i: (-blocks[i].y, blocks[i].x))
+    return _render_ordered_blocks(blocks, levels, ordered)
+
+
 def reorder_by_mcid(blocks: list, mcids: list[int | None],
                     mcid_order: list[int]) -> list[int]:
     """StructureTreeFirst ordering (markdown.rs:659-703): blocks grouped
@@ -205,7 +247,14 @@ def convert_page_from_spans(spans: list[TextSpan],
         # TopToBottomLeftToRight: Y descending (top first), X ascending
         ordered = sorted(range(len(blocks)),
                          key=lambda i: (-blocks[i].y, blocks[i].x))
+    return _render_ordered_blocks(blocks, levels, ordered)
 
+
+def _render_ordered_blocks(blocks: list[_Block], levels: list[int],
+                           ordered: list[int]) -> str:
+    """Line grouping (|dy| < 2pt) + per-line heading prefix / bold runs /
+    linkify rendering (markdown.rs:246-376); shared by the span and char
+    paths."""
     md_parts: list[str] = []
 
     def md_last_char() -> str | None:
