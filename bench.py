@@ -30,6 +30,8 @@ BENCH_QUERIES = [
     "category_stats", "revenue_by_flag", "top_events", "ordered_assembly",
     "join_customer_orders", "join_lineitem_orders", "dedup_exact",
     "minhash_dedup", "embedding_knn", "token_counts", "quality_score",
+    "events_sliding", "user_sessions", "asof_purchase_click",
+    "range_purchase_views",
 ]
 
 
