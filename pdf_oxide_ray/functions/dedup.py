@@ -65,15 +65,20 @@ def shingle_hashes(text: str, k: int = 5) -> np.ndarray:
 
 
 def minhash_signature(text: str, num_perm: int = 64, k: int = 5) -> np.ndarray:
-    """num_perm-wide MinHash signature (universal hashing over shingles)."""
+    """num_perm-wide MinHash signature over shingles.
+
+    Hash family: multiply-add with natural uint64 wraparound (odd
+    multipliers -> a permutation of Z_2^64; the multiply-shift family of
+    Dietzfelbinger et al.). Fully vectorized — the earlier (a*h+b) mod
+    Mersenne variant needed Python-object bignums and dominated the
+    minhash query's runtime."""
     if num_perm not in _PERM_CACHE:
-        _PERM_CACHE[num_perm] = _perm_params(num_perm)
+        a, b = _perm_params(num_perm)
+        _PERM_CACHE[num_perm] = (a | np.uint64(1), b)  # odd multipliers
     a, b = _PERM_CACHE[num_perm]
-    h = shingle_hashes(text, k=k).astype(np.uint64)
-    # (a*h + b) mod p, rowwise min — object dtype avoids uint64 overflow
-    vals = (h[:, None].astype(object) * a.astype(object)
-            + b.astype(object)) % _MERSENNE
-    return np.min(vals, axis=0).astype(np.uint64)
+    h = shingle_hashes(text, k=k)
+    vals = h[:, None] * a + b  # uint64 wraparound is the hash
+    return np.min(vals, axis=0)
 
 
 def minhash_bands(sig: np.ndarray, num_bands: int = 16) -> list[int]:
