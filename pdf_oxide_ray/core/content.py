@@ -15,7 +15,10 @@ from __future__ import annotations
 import re
 
 from .objects import (Name, ParseError, parse_hex_string,
-                      parse_literal_string, parse_object, skip_ws)
+                      parse_literal_string, parse_number, parse_object,
+                      skip_ws)
+
+_NUM_START = set(b"0123456789+-.")
 
 # fast scanner for show-text arrays ("[ (a) -250 (b) ] TJ" is the hottest
 # construct in real content streams): numbers / ( / < / ] in one regex
@@ -109,6 +112,15 @@ def parse_content_stream(data: bytes) -> list[tuple[str, list]]:
             ops.append((name, operands))
             operands = []
             pos = npos
+        elif b in _NUM_START:
+            # content streams contain no indirect references (PDF spec
+            # 7.8.2), so numbers skip parse_object's "N G R" lookahead
+            try:
+                num, pos = parse_number(data, pos)
+                operands.append(num)
+            except (ParseError, ValueError):
+                pos += 1
+                operands = []
         elif b == 0x5B:  # '[' — fast path for TJ-style arrays
             try:
                 arr, pos = _parse_simple_array(data, pos)

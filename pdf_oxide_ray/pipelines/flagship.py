@@ -183,6 +183,11 @@ def run_flagship_job(input_path: str, out_dir: str, *,
         ds, want_markdown=want_markdown, keep_spans=keep_spans,
         concurrency=concurrency, batch_size=batch_size).materialize()
     rows = extracted.count()
+    errors = extracted.select_columns(["status"]).map_batches(
+        lambda b: pa.table({"e": pa.array(
+            [int(np.sum(np.asarray(b.column("status")) == "error"))],
+            pa.int64())}),
+        batch_format="pyarrow").sum("e")
     t_extract = time.perf_counter() - t0
 
     # Offsets phase: below the threshold the skinny table fits the driver
@@ -213,6 +218,7 @@ def run_flagship_job(input_path: str, out_dir: str, *,
     t_write = time.perf_counter() - t2
     return {
         "rows": rows,
+        "errors": errors,
         "out_dir": out_dir,
         "sec_extract": round(t_extract, 3),
         "sec_offsets": round(t_offsets, 3),
