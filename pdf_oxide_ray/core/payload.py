@@ -36,18 +36,41 @@ def detect_payload_kind(text: str) -> str:
     return PAYLOAD_PLAIN
 
 
-def spans_to_records(spans: list[TextSpan]) -> list[dict]:
-    """TextSpan -> plain dicts matching the Arrow list<struct> span schema."""
-    return [
-        {
+def spans_to_records(spans: list[TextSpan],
+                     page_text: str | None = None,
+                     page_offset: int = 0) -> list[dict]:
+    """TextSpan -> plain dicts matching the Arrow list<struct> span schema.
+
+    When ``page_text`` is given, each span also carries ``start`` — the
+    char offset of its text within the page's final extracted text (the
+    north rule's "span offsets"). Spans appear in the assembled text in
+    emission order, so a moving-cursor ``str.find`` recovers offsets in
+    one linear pass; a span whose text the cleanup pass removed (page
+    artifacts) gets -1.
+    """
+    cursor = 0
+    out = []
+    for s in spans:
+        start = -1
+        if page_text is not None and s.text:
+            found = page_text.find(s.text, cursor)
+            if found < 0:
+                # structure-tree ordering (R2) can emit spans out of
+                # geometric order — retry from the page start
+                found = page_text.find(s.text)
+            if found >= 0:
+                start = page_offset + found
+                if found >= cursor:
+                    cursor = found + len(s.text)
+        out.append({
             "text": s.text,
             "x": float(s.x), "y": float(s.y),
             "w": float(s.width), "h": float(s.height),
             "font": s.font_name, "size": float(s.font_size),
             "bold": bool(s.bold), "seq": int(s.sequence),
-        }
-        for s in spans
-    ]
+            "start": start,
+        })
+    return out
 
 
 def extract_payload(text: str, want_markdown: bool = True) -> dict:
@@ -67,9 +90,10 @@ def extract_payload(text: str, want_markdown: bool = True) -> dict:
             tree = doc.structure_tree()
             page_texts: list[str] = []
             page_mds: list[str] = []
-            all_spans: list[dict] = []
+            page_spans: list[list[TextSpan]] = []
             for i, page in enumerate(pages):
                 spans = doc.extract_spans(page)
+                page_spans.append(spans)
                 if not spans:
                     page_texts.append("")
                 elif tree is not None:
@@ -84,7 +108,16 @@ def extract_payload(text: str, want_markdown: bool = True) -> dict:
                     page_texts.append(assemble_text(spans))
                 if want_markdown:
                     page_mds.append(convert_page_from_spans(spans))
-                all_spans.extend(spans_to_records(spans))
+            # span offsets into the joined extracted text (north rule:
+            # "per-turn extracted text and span offsets")
+            all_spans: list[dict] = []
+            page_offset = 0
+            sep = len("\n\n---\n\n")
+            for ptext, spans in zip(page_texts, page_spans):
+                all_spans.extend(
+                    spans_to_records(spans, page_text=ptext,
+                                     page_offset=page_offset))
+                page_offset += len(ptext) + sep
             extracted = "\n\n---\n\n".join(page_texts)
             md = "\n---\n\n".join(page_mds) if want_markdown else ""
             return {"kind": kind, "extracted_text": extracted, "markdown": md,

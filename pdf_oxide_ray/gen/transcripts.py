@@ -51,6 +51,9 @@ SPAN_TYPE = pa.struct([
     ("text", pa.string()), ("x", pa.float32()), ("y", pa.float32()),
     ("w", pa.float32()), ("h", pa.float32()), ("font", pa.string()),
     ("size", pa.float32()), ("bold", pa.bool_()), ("seq", pa.int32()),
+    # char offset of this span's text within the page's extracted_text
+    # (-1 when the cleanup pass removed it, e.g. page-number artifacts)
+    ("start", pa.int32()),
 ])
 
 TRANSCRIPT_SCHEMA = pa.schema([

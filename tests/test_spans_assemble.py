@@ -117,3 +117,24 @@ def test_fixtures_heading_small_cases():
     b = mock_word("body", 72, 700)
     out = assemble_text([h, b])
     assert out.startswith("Title\n")
+
+
+def test_span_offsets_into_extracted_text():
+    """North rule: spans carry offsets into the final extracted text."""
+    import random
+
+    from pdf_oxide_ray.core.payload import extract_payload
+    from pdf_oxide_ray.gen.transcripts import make_pdf_payload
+
+    n_found = n_spans = 0
+    for seed in range(20):
+        res = extract_payload(make_pdf_payload(random.Random(seed)))
+        text = res["extracted_text"]
+        for rec in res["spans"]:
+            n_spans += 1
+            if rec["start"] >= 0:
+                n_found += 1
+                sliced = text[rec["start"]:rec["start"] + len(rec["text"])]
+                assert sliced == rec["text"]
+    assert n_spans > 100
+    assert n_found == n_spans  # every span locatable on this corpus
