@@ -6,7 +6,8 @@ reference library — the reference's own cleanup slot is
 payloads. The heuristics follow the publicly described Readability /
 Boilerpipe family (tag-density + text-to-link ratio scoring):
 
-1. parse HTML (stdlib ``html.parser``) into a light DOM;
+1. parse HTML with a regex tokenizer (html.parser-equivalent
+   event stream, ~3x faster) into a light DOM;
 2. drop pure-boilerplate subtrees (``script style noscript nav header footer
    aside form iframe button svg``);
 3. score candidate containers (``article main section div body td``) by
@@ -22,7 +23,6 @@ from __future__ import annotations
 
 import re
 from html import unescape
-from html.parser import HTMLParser
 
 from .cleanup import cleanup_markdown, cleanup_plain_text
 
@@ -51,45 +51,6 @@ class _Node:
         self.tag = tag
         self.children: list = []  # str | _Node
         self.parent = parent
-
-
-class _TreeBuilder(HTMLParser):
-    def __init__(self) -> None:
-        super().__init__(convert_charrefs=True)
-        self.root = _Node("#root")
-        self.cur = self.root
-        self._skip_depth = 0
-
-    def handle_starttag(self, tag, attrs):
-        if self._skip_depth > 0:
-            if tag in STRIP_TAGS or tag not in VOID_TAGS:
-                if tag not in VOID_TAGS:
-                    self._skip_depth += 1
-            return
-        if tag in STRIP_TAGS:
-            self._skip_depth = 1
-            return
-        if tag in VOID_TAGS:
-            self.cur.children.append(_Node(tag, self.cur))
-            return
-        node = _Node(tag, self.cur)
-        self.cur.children.append(node)
-        self.cur = node
-
-    def handle_endtag(self, tag):
-        if self._skip_depth > 0:
-            self._skip_depth -= 1
-            return
-        # close the nearest matching open tag
-        node = self.cur
-        while node is not self.root and node.tag != tag:
-            node = node.parent
-        if node is not self.root:
-            self.cur = node.parent
-
-    def handle_data(self, data):
-        if self._skip_depth == 0 and data:
-            self.cur.children.append(data)
 
 
 def _metrics(node: _Node, in_link: bool = False) -> tuple[int, int, int]:
@@ -227,8 +188,7 @@ def _finalize(raw: str) -> str:
 
 # fast tokenizer: one compiled regex per markup construct; ~3x the
 # throughput of stdlib html.parser on this workload (which is pure-Python
-# per-char scanning). Emits the same start/end/data event stream into the
-# same tree-building rules as _TreeBuilder.
+# per-char scanning), with an html.parser-equivalent event stream.
 _TAG_RE = re.compile(
     r"<(?:"
     r"!--.*?(?:-->|$)"                    # comment
@@ -327,12 +287,6 @@ def strip_html(html_text: str) -> tuple[str, str]:
     plain = cleanup_plain_text(_finalize("".join(out_plain)))
     md = cleanup_markdown(_finalize("".join(out_md)))
     return plain, md
-
-
-def unescape_entities_safe(text: str) -> str:
-    # HTMLParser(convert_charrefs=True) already unescapes character data;
-    # pre-unescaping would corrupt markup like &lt;tag&gt;. Identity hook.
-    return text
 
 
 def looks_like_html(text: str) -> bool:
