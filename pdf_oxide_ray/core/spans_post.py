@@ -40,7 +40,10 @@ def simple_sort_spans(spans: list[TextSpan]) -> list[TextSpan]:
 
 
 def detect_span_columns(spans: list[TextSpan]) -> list[tuple[float, float]]:
-    """100-bin X histogram gap detection (reference text.rs:789-865)."""
+    """100-bin X histogram gap detection (reference text.rs:789-865).
+    Range increments via a difference array + running sum (one add per
+    span endpoint instead of one per covered bin; numpy loses here — a
+    page has only tens of spans, far below vectorization break-even)."""
     if not spans:
         return []
     min_x = min(s.x for s in spans)
@@ -50,13 +53,21 @@ def detect_span_columns(spans: list[TextSpan]) -> list[tuple[float, float]]:
     if page_width <= 0.0:
         return [(min_x, max_x)]
     bin_width = page_width / bins
-    histogram = [0] * bins
+    diff = [0] * (bins + 1)
     for s in spans:
         start_bin = int((s.x - min_x) / bin_width)
-        end_bin = int((s.x + s.width - min_x) / bin_width)
-        for i in range(start_bin, min(end_bin, bins - 1) + 1):
-            if 0 <= i < bins:
-                histogram[i] += 1
+        if start_bin < 0 or start_bin >= bins:
+            continue
+        end_bin = min(int((s.x + s.width - min_x) / bin_width), bins - 1)
+        if end_bin < start_bin:
+            continue
+        diff[start_bin] += 1
+        diff[end_bin + 1] -= 1
+    histogram = []
+    acc = 0
+    for i in range(bins):
+        acc += diff[i]
+        histogram.append(acc)
 
     avg_density = sum(histogram) / bins
     gap_threshold = max(avg_density * 0.2, 1.0)
