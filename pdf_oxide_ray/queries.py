@@ -529,6 +529,38 @@ def q_embedding_near_dups(sf_dir: str) -> pd.DataFrame:
     return pairs[["id_a", "id_b"]].drop_duplicates().astype("int64")
 
 
+def q_embedding_sim_pairs(sf_dir: str) -> pd.DataFrame:
+    """Exact all-pairs cosine similarity above tau — the brute-force
+    baseline for similarity search: the full (small) embedding matrix is
+    normalized once and broadcast via ray.put; each batch does one
+    float64 matmul against it. No shuffle; exact, so it carries a DuckDB
+    list_cosine_similarity oracle."""
+    import ray
+
+    tau = 0.3
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    full = ds.to_pandas()
+    ids = full["vec_id"].to_numpy()
+    mat = np.stack(full["embedding"].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ref = ray.put((ids, mat))
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        all_ids, all_mat = ray.get(ref)
+        bm = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
+        sims = bm @ all_mat.T
+        bi = b["vec_id"].to_numpy()
+        rows_i, cols_j = np.nonzero(sims >= tau)
+        ia, ib = bi[rows_i], all_ids[cols_j]
+        keep = ia < ib  # dedupe + drop self pairs
+        return pd.DataFrame({"id_a": ia[keep].astype("int64"),
+                             "id_b": ib[keep].astype("int64")})
+
+    out = ds.map_batches(pairs, batch_format="pandas").to_pandas()
+    return out.drop_duplicates().reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # multimodal (stubbed codecs, real Ray plumbing) + metrics rollups
 # ---------------------------------------------------------------------------
@@ -878,6 +910,7 @@ QUERIES = {
     "ngram_dup_pairs": q_ngram_dup_pairs,
     "embedding_knn": q_embedding_knn,
     "embedding_near_dups": q_embedding_near_dups,
+    "embedding_sim_pairs": q_embedding_sim_pairs,
     "media_features": q_media_features,
     "frame_sampling": q_frame_sampling,
     "layout_stats": q_layout_stats,
@@ -925,6 +958,10 @@ ORACLE_SQL = {
         SELECT o_custkey, ROUND(SUM(o_totalprice), 6) AS total_spent
         FROM orders GROUP BY o_custkey
         ORDER BY total_spent DESC, o_custkey LIMIT 10""",
+    "embedding_sim_pairs": """
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3""",
     "asof_purchase_click": """
         SELECT p.user_id,
                p.event_id AS purchase_id, p.ts AS purchase_ts,
