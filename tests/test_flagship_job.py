@@ -43,3 +43,43 @@ def test_job_matches_lazy_pipeline(ray_session, tmp_path, lazy_result,
     # every row annotated (no -1 leftovers from a missed lookup)
     assert (job["turn_offset"] >= 0).all()
     assert (job["conv_turns"] > 0).all()
+
+
+def test_job_counts_poison_rows_without_failing(ray_session, tmp_path):
+    """Pipeline-level error accounting: garbage payloads flow through the
+    whole phased job as status='error' rows and are counted in the
+    summary; the job itself never fails."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_oxide_ray.gen.transcripts import TRANSCRIPT_SCHEMA
+
+    n_good, n_poison = 30, 7
+    rows = []
+    for i in range(n_good):
+        rows.append(("convA", i, "user", "plain text line", "",
+                     1_700_000_000_000_000 + i))
+    for i in range(n_poison):
+        rows.append(("convB", i, "user",
+                     "%PDF-1.7\n\x00\xff garbage \\ ( <."
+                     + "x" * 50, "", 1_700_000_100_000_000 + i))
+    tbl = pa.table({
+        "conv_id": pa.array([r[0] for r in rows]),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows]),
+        "text": pa.array([r[3] for r in rows]),
+        "tool": pa.array([r[4] for r in rows]),
+        "ts": pa.array([r[5] for r in rows], pa.timestamp("us")),
+    }, schema=TRANSCRIPT_SCHEMA)
+    src = str(tmp_path / "poison.parquet")
+    pq.write_table(tbl, src)
+
+    out = str(tmp_path / "out")
+    summary = run_flagship_job(src, out, keep_spans=False)
+    assert summary["rows"] == n_good + n_poison
+    got = pads.dataset(out).to_table().to_pandas()
+    assert len(got) == n_good + n_poison
+    # poison rows are error-status but fully annotated
+    poison = got[got["conv_id"] == "convB"]
+    assert (poison["turn_offset"] >= 0).all()
+    assert summary["errors"] == int((got["status"] == "error").sum())
