@@ -138,3 +138,30 @@ def fingerprint_rolling(texts: pd.Series, window: int = 16) -> pd.Series:
         return int(acc if len(arr) >= window else h)
 
     return texts.fillna("").map(_fp)
+
+
+_WINNOW_P = np.uint64(1000003)
+
+
+def winnow_fingerprints(text: str, k: int = 8, window: int = 4) -> np.ndarray:
+    """MOSS-style winnowing fingerprints (Schleimer et al., SIGMOD'03):
+    polynomial rolling hashes over byte k-grams (vectorized: k shifted
+    multiply-adds with uint64 wraparound), then the min hash of every
+    ``window`` consecutive k-grams, deduplicated. Guarantees any shared
+    substring of length >= k + window - 1 yields a shared fingerprint."""
+    data = text.encode("utf-8")
+    if not data:
+        return np.zeros(0, dtype=np.uint64)
+    b = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    n = len(b) - k + 1
+    if n <= 0:
+        h = np.zeros(1, dtype=np.uint64)
+        for v in b:
+            h = h * _WINNOW_P + v
+        return h
+    h = np.zeros(n, dtype=np.uint64)
+    for j in range(k):
+        h = h * _WINNOW_P + b[j : j + n]
+    w = min(window, n)
+    mins = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+    return np.unique(mins)

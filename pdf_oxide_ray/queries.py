@@ -345,6 +345,39 @@ def q_fingerprint_md5(sf_dir: str) -> pd.DataFrame:
         batch_format="pandas").to_pandas()
 
 
+def q_winnow_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    """Rolling-hash document fingerprinting (winnowing): explode each doc
+    into its fingerprint set, groupby(fingerprint) to find co-occurring
+    docs, then count shared fingerprints per pair and keep pairs sharing
+    >= 10 (MOSS-style plagiarism/dup detection; only (fp, doc_id) pairs
+    cross the shuffle, never text)."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        ids, fps = [], []
+        for doc_id, text in zip(b["doc_id"], b["text"].fillna("")):
+            f = ftext.winnow_fingerprints(text)
+            ids.extend([doc_id] * len(f))
+            fps.extend(f.tolist())
+        return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                             "fp": pd.Series(fps, dtype="uint64")})
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(g["doc_id"].unique())
+        if len(ids) < 2 or len(ids) > 50:  # hot fingerprint guard
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64")})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+    pair_counts = ds.map_batches(explode, batch_format="pandas") \
+        .groupby("fp").map_groups(pairs_in_bucket, batch_format="pandas") \
+        .groupby(["id_a", "id_b"]).count().to_pandas()
+    out = pair_counts[pair_counts["count()"] >= 10]
+    return out[["id_a", "id_b"]].astype("int64") \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def q_quality_features(sf_dir: str) -> pd.DataFrame:
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
 
@@ -901,6 +934,7 @@ QUERIES = {
     "token_counts_bpe": q_token_counts_bpe,
     "doc_stats": q_doc_stats,
     "fingerprint_md5": q_fingerprint_md5,
+    "winnow_dup_pairs": q_winnow_dup_pairs,
     "quality_features": q_quality_features,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,

@@ -108,3 +108,20 @@ def test_entry_and_flagship_queries(ray_session):
     parity = e.queries()["golden_parity"](SF_DIR)
     assert parity["n_rows"].iloc[0] == parity["n_matched"].iloc[0]
     assert parity["n_errors"].iloc[0] == 0
+
+
+def test_winnow_fingerprints_shared_substring():
+    """Winnowing guarantee: a shared substring of length >= k + w - 1
+    yields at least one shared fingerprint."""
+    from pdf_oxide_ray.functions.textops import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    a = winnow_fingerprints("AAA " + shared + " BBB")
+    b = winnow_fingerprints("CCC " + shared + " DDD")
+    assert len(set(a.tolist()) & set(b.tolist())) > 0
+    # disjoint texts share (almost surely) nothing
+    c = winnow_fingerprints("completely different content here entirely")
+    assert len(set(a.tolist()) & set(c.tolist())) == 0
+    # deterministic + short-input safe
+    assert (winnow_fingerprints("tiny") == winnow_fingerprints("tiny")).all()
+    assert len(winnow_fingerprints("")) == 0
