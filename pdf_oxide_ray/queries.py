@@ -352,28 +352,45 @@ def q_winnow_dup_pairs(sf_dir: str) -> pd.DataFrame:
     >= 10 (MOSS-style plagiarism/dup detection; only (fp, doc_id) pairs
     cross the shuffle, never text)."""
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    num_buckets = 64
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
         ids, fps = [], []
         for doc_id, text in zip(b["doc_id"], b["text"].fillna("")):
-            f = ftext.winnow_fingerprints(text)
+            f = ftext.winnow_fingerprints(text, k=16, window=8)
             ids.extend([doc_id] * len(f))
             fps.extend(f.tolist())
+        fp_arr = pd.Series(fps, dtype="uint64")
         return pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
-                             "fp": pd.Series(fps, dtype="uint64")})
+                             "fp": fp_arr,
+                             "bucket": (fp_arr % num_buckets)
+                             .astype("int64")})
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < 2 or len(ids) > 50:  # hot fingerprint guard
+        # per-fingerprint pair generation, vectorized inside one bucket
+        # group (grouping by the raw fp would mean one map_groups task per
+        # fingerprint — measured pathological)
+        out_a: list = []
+        out_b: list = []
+        for _, sub in g.groupby("fp", sort=False):
+            ids = np.sort(sub["doc_id"].unique())
+            if 2 <= len(ids) <= 16:  # hot fingerprint guard
+                ia, ib = np.triu_indices(len(ids), k=1)
+                out_a.extend(ids[ia].tolist())
+                out_b.extend(ids[ib].tolist())
+        if not out_a:
             return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                                 "id_b": pd.Series(dtype="int64")})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b}) \
+            .groupby(["id_a", "id_b"], as_index=False).size() \
+            .rename(columns={"size": "n"})
 
     pair_counts = ds.map_batches(explode, batch_format="pandas") \
-        .groupby("fp").map_groups(pairs_in_bucket, batch_format="pandas") \
-        .groupby(["id_a", "id_b"]).count().to_pandas()
-    out = pair_counts[pair_counts["count()"] >= 10]
+        .groupby("bucket").map_groups(pairs_in_bucket,
+                                      batch_format="pandas") \
+        .groupby(["id_a", "id_b"]).sum("n").to_pandas()
+    out = pair_counts[pair_counts["sum(n)"] >= 20]
     return out[["id_a", "id_b"]].astype("int64") \
         .sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
