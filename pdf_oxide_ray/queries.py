@@ -416,6 +416,52 @@ def q_winnow_dup_pairs(sf_dir: str) -> pd.DataFrame:
         .sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
+def q_normalize_text(sf_dir: str) -> pd.DataFrame:
+    """Text normalization (training-data prep): lowercase + whitespace
+    collapse + trim, emitted as per-doc md5 so the oracle compares exact
+    content without shipping text through the hash report."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def norm(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("").str.lower() \
+            .str.replace(r"\s+", " ", regex=True).str.strip()
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "norm_md5": t.map(
+                lambda s: __import__("hashlib").md5(
+                    s.encode("utf-8")).hexdigest()),
+            "norm_len": t.str.len().astype("int64"),
+        })
+
+    return ds.map_batches(norm, batch_format="pandas").to_pandas()
+
+
+def q_redact_pii(sf_dir: str) -> pd.DataFrame:
+    """PII-style redaction: replace emails and URLs with placeholder
+    tokens; per-doc redaction counts + md5 of the redacted text (both
+    regexes are RE2/PCRE-portable so DuckDB reproduces them exactly)."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    url_re = r"https?://[^\s]+"
+
+    def redact(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["text"].fillna("")
+        n_email = t.str.count(email_re).astype("int64")
+        n_url = t.str.count(url_re).astype("int64")
+        red = t.str.replace(email_re, "<EMAIL>", regex=True) \
+            .str.replace(url_re, "<URL>", regex=True)
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].astype("int64"),
+            "n_emails": n_email,
+            "n_urls": n_url,
+            "redacted_md5": red.map(
+                lambda s: __import__("hashlib").md5(
+                    s.encode("utf-8")).hexdigest()),
+        })
+
+    return ds.map_batches(redact, batch_format="pandas").to_pandas()
+
+
 def q_quality_features(sf_dir: str) -> pd.DataFrame:
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
 
@@ -973,6 +1019,8 @@ QUERIES = {
     "doc_stats": q_doc_stats,
     "fingerprint_md5": q_fingerprint_md5,
     "winnow_dup_pairs": q_winnow_dup_pairs,
+    "normalize_text": q_normalize_text,
+    "redact_pii": q_redact_pii,
     "quality_features": q_quality_features,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
@@ -1034,6 +1082,33 @@ ORACLE_SQL = {
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3""",
+    "normalize_text": """
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                 AS norm_md5,
+               CAST(length(trim(regexp_replace(lower(text), '\s+', ' ',
+                                               'g'))) AS BIGINT) AS norm_len
+        FROM documents""",
+    "redact_pii": """
+        WITH r AS (
+          SELECT doc_id,
+                 CAST(length(text) - length(regexp_replace(text,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                      '', 'g')) AS BIGINT) AS email_chars,
+                 regexp_replace(regexp_replace(text,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                      '<EMAIL>', 'g'),
+                      'https?://[^\s]+', '<URL>', 'g') AS red,
+                 text
+          FROM documents)
+        SELECT doc_id,
+               CAST(length(regexp_split_to_array(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                    - 1 AS BIGINT) AS n_emails,
+               CAST(length(regexp_split_to_array(text,
+                    'https?://[^\s]+')) - 1 AS BIGINT) AS n_urls,
+               md5(red) AS redacted_md5
+        FROM r""",
     "asof_purchase_click": """
         SELECT p.user_id,
                p.event_id AS purchase_id, p.ts AS purchase_ts,
