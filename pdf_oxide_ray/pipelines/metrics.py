@@ -55,7 +55,9 @@ def top_k_slowest(extracted_ds, k: int = 10) -> pd.DataFrame:
 
 
 def error_rows(extracted_ds, limit: int = 1000) -> pd.DataFrame:
-    """The failed-list output (benchmark_all_pdfs.rs failed_files)."""
-    return extracted_ds.filter(lambda r: r["status"] == "error") \
+    """The failed-list output (benchmark_all_pdfs.rs failed_files).
+    Vectorized expression filter — a per-row Python predicate would run
+    once per row (ray_guide pitfall #1)."""
+    return extracted_ds.filter(expr="status == 'error'") \
         .select_columns(["conv_id", "turn_idx", "kind", "error"]) \
         .limit(limit).to_pandas()
