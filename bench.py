@@ -31,7 +31,7 @@ BENCH_QUERIES = [
     "join_customer_orders", "join_lineitem_orders", "dedup_exact",
     "minhash_dedup", "embedding_knn", "token_counts", "quality_score",
     "events_sliding", "user_sessions", "asof_purchase_click",
-    "range_purchase_views",
+    "range_purchase_views", "normalize_text", "redact_pii",
 ]
 
 
