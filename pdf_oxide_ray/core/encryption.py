@@ -13,10 +13,10 @@ computation of the reference's encryption stack:
 * decrypt-before-defilter ordering (``/root/reference/src/object.rs:
   187-260``)
 
-AES-128/256-CBC (handler V4/V5) is intentionally NOT implemented in this
-round: no crypto library is available in the container and a pure-Python
-AES would be both slow and easy to get subtly wrong — ``EncryptionHandler``
-raises a clear error for AES filters so such payloads surface as
+AES-128-CBC (handler V4 with the /AESV2 crypt filter) is supported via
+the pure-Python FIPS-197 cipher in ``aes.py`` (validated against the
+FIPS Appendix C vector); AES-256 (V5/R6) is not implemented —
+``EncryptionHandler`` raises a clear error so such payloads surface as
 ``status='error'`` rows rather than silent corruption.
 """
 
@@ -111,9 +111,25 @@ class EncryptionHandler:
             raise EncryptionError(f"unsupported security handler {filt!r}")
         self.v = int(encrypt_dict.get("V", 1) or 1)
         self.r = int(encrypt_dict.get("R", 2) or 2)
-        if self.v >= 4 or self.r >= 4:
-            raise EncryptionError(
-                "AES (V>=4) not supported in this build; RC4 only")
+        self.algorithm = "rc4"
+        if self.v >= 4:
+            # V4: crypt filters — AESV2 (AES-128-CBC) or V2 (RC4)
+            cfm = None
+            cf = encrypt_dict.get("CF")
+            if isinstance(cf, dict):
+                stdcf = cf.get("StdCF")
+                if isinstance(stdcf, dict):
+                    cfm = str(stdcf.get("CFM", ""))
+            if cfm == "AESV2":
+                self.algorithm = "aes"
+            elif cfm == "V2":
+                self.algorithm = "rc4"
+            else:
+                raise EncryptionError(
+                    f"unsupported crypt filter {cfm!r} (AESV3/V5 needs "
+                    f"AES-256, not implemented)")
+        if self.v >= 5 or self.r >= 5:
+            raise EncryptionError("AES-256 (V5/R6) not implemented")
         length_bits = int(encrypt_dict.get("Length", 40) or 40)
         self.key_length = max(5, min(length_bits // 8, 16))
         o = encrypt_dict.get("O")
@@ -132,12 +148,26 @@ class EncryptionHandler:
         h.update(self.key)
         h.update(obj_num.to_bytes(4, "little")[:3])
         h.update(gen_num.to_bytes(4, "little")[:2])
+        if self.algorithm == "aes":
+            h.update(b"sAlT")  # handler.rs:191 AES salt
         return h.digest()[: min(len(self.key) + 5, 16)]
 
     def decrypt(self, data: bytes, obj_num: int, gen_num: int = 0) -> bytes:
-        """RC4 decrypt (streams and strings share the scheme)."""
-        return rc4_crypt(self._object_key(obj_num, gen_num), data)
+        """Decrypt a stream/string with the per-object key: RC4, or
+        AES-128-CBC with the IV prefixed (V4 /AESV2)."""
+        key = self._object_key(obj_num, gen_num)
+        if self.algorithm == "aes":
+            from .aes import aes_cbc_decrypt
 
-    # encryption is the same operation (RC4 is symmetric) — used by the
-    # corpus generator
-    encrypt = decrypt
+            return aes_cbc_decrypt(key, data)
+        return rc4_crypt(key, data)
+
+    def encrypt(self, data: bytes, obj_num: int, gen_num: int = 0,
+                iv: bytes = b"\x00" * 16) -> bytes:
+        """Inverse direction (used by the corpus generator)."""
+        key = self._object_key(obj_num, gen_num)
+        if self.algorithm == "aes":
+            from .aes import aes_cbc_encrypt
+
+            return aes_cbc_encrypt(key, iv, data)
+        return rc4_crypt(key, data)

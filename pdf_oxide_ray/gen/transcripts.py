@@ -339,11 +339,14 @@ def make_pdf_payload(rng: random.Random) -> str:
     encrypted = (rng.random() < 0.08 and not broken_xref
                  and not use_xrefstm and not tagged)
     if encrypted:
+        from ..core.aes import aes_cbc_encrypt
         from ..core.encryption import (compute_encryption_key,
                                        compute_user_key_r2,
                                        compute_user_key_r3, rc4_crypt)
 
-        revision = rng.choice([2, 3])
+        # 1/3 AES-128 (V4 /AESV2), else RC4 R2/R3
+        use_aes = rng.random() < 0.34
+        revision = 4 if use_aes else rng.choice([2, 3])
         key_len = 5 if revision == 2 else 16
         owner_key = bytes(rng.randrange(256) for _ in range(32))
         file_id = bytes(rng.randrange(256) for _ in range(16))
@@ -360,7 +363,12 @@ def make_pdf_payload(rng: random.Random) -> str:
             h.update(enc_key)
             h.update(num.to_bytes(4, "little")[:3])
             h.update(b"\x00\x00")
+            if use_aes:
+                h.update(b"sAlT")
             obj_key = h.digest()[: min(len(enc_key) + 5, 16)]
+            if use_aes:
+                iv = bytes(rng.randrange(256) for _ in range(16))
+                return aes_cbc_encrypt(obj_key, iv, data)
             return rc4_crypt(obj_key, data)
 
         b.encrypt_fn = _enc_stream
@@ -504,9 +512,15 @@ def make_pdf_payload(rng: random.Random) -> str:
                  .encode())
     if encrypted:
         b.encrypt_fn = None  # the /Encrypt dict itself stays plaintext
+        if use_aes:
+            v_entry = ("/V 4 /R 4 /Length 128 "
+                       "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+                       "/StmF /StdCF /StrF /StdCF ")
+        else:
+            v_entry = (f"/V {1 if revision == 2 else 2} /R {revision} "
+                       f"/Length {key_len * 8} ")
         enc_num = b.add(
-            f"<< /Filter /Standard /V {1 if revision == 2 else 2} "
-            f"/R {revision} /Length {key_len * 8} "
+            f"<< /Filter /Standard {v_entry}"
             f"/O <{owner_key.hex().upper()}> /U <{user_key.hex().upper()}> "
             f"/P {perms} >>".encode())
         b.trailer_extra = (f" /Encrypt {enc_num} 0 R "

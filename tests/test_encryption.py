@@ -84,3 +84,69 @@ def test_generator_encrypted_pdfs_extract():
         assert res["status"] == "ok", res["error"][:200]
         assert res["extracted_text"].strip()
     assert n >= 3
+
+
+def test_aes_fips_vector():
+    from pdf_oxide_ray.core.aes import (aes128_decrypt_block,
+                                        aes128_encrypt_block)
+
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = aes128_encrypt_block(key, pt)
+    assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"  # FIPS-197 C.1
+    assert aes128_decrypt_block(key, ct) == pt
+
+
+def test_aes_cbc_roundtrip_and_padding():
+    from pdf_oxide_ray.core.aes import aes_cbc_decrypt, aes_cbc_encrypt
+
+    key = b"0123456789abcdef"
+    for n in (0, 1, 15, 16, 17, 100):
+        data = bytes(range(256))[:n]
+        enc = aes_cbc_encrypt(key, b"\x07" * 16, data)
+        assert len(enc) % 16 == 0 and len(enc) >= 32
+        assert aes_cbc_decrypt(key, enc) == data
+    # invalid payloads pass through rather than raising
+    assert aes_cbc_decrypt(key, b"short") == b"short"
+
+
+def test_handler_v4_aesv2_accepted():
+    from pdf_oxide_ray.core.encryption import (EncryptionHandler,
+                                               compute_encryption_key,
+                                               compute_user_key_r3)
+
+    o = bytes(range(32))
+    fid = bytes(range(16))
+    key = compute_encryption_key(b"", o, -44, fid, 4, 16)
+    u = compute_user_key_r3(key, fid)
+    h = EncryptionHandler(
+        {"Filter": "Standard", "V": 4, "R": 4, "Length": 128,
+         "CF": {"StdCF": {"CFM": "AESV2", "Length": 16}},
+         "O": o, "U": u, "P": -44}, fid)
+    assert h.algorithm == "aes"
+    # encrypt/decrypt roundtrip through the per-object key
+    data = b"stream contents here"
+    enc = h.encrypt(data, 7, iv=b"\x05" * 16)
+    assert h.decrypt(enc, 7) == data
+    assert h.decrypt(enc, 8) != data  # different object key
+
+
+def test_handler_v5_rejected():
+    with pytest.raises(EncryptionError):
+        EncryptionHandler({"Filter": "Standard", "V": 5, "R": 6,
+                           "CF": {"StdCF": {"CFM": "AESV3"}},
+                           "O": b"\x00" * 32, "U": b"\x00" * 32, "P": -1},
+                          b"")
+
+
+def test_generator_aes_pdfs_extract():
+    n = 0
+    for seed in range(300):
+        payload = make_pdf_payload(random.Random(seed))
+        if "/AESV2" not in payload:
+            continue
+        n += 1
+        res = extract_payload(payload.encode("utf-8").decode("utf-8"))
+        assert res["status"] == "ok", res["error"][:200]
+        assert res["extracted_text"].strip()
+    assert n >= 2
