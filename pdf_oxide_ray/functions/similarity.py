@@ -108,6 +108,68 @@ def add_lsh_bucket(batch: pd.DataFrame, n_planes: int = 12,
     return batch
 
 
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: the scale path for similarity search
+# ---------------------------------------------------------------------------
+
+def train_ivf_centroids(sample: np.ndarray, n_lists: int = 16,
+                        n_iters: int = 10, seed: int = 7) -> np.ndarray:
+    """Deterministic spherical k-means over a (driver-side) SAMPLE of the
+    corpus — at 100 TB the coarse quantizer trains on a tiny sample, the
+    assignment pass streams (the standard IVF recipe)."""
+    sample = normalize_rows(sample.astype(np.float64))
+    rs = np.random.RandomState(seed)
+    n_lists = min(n_lists, len(sample))
+    centroids = sample[rs.choice(len(sample), n_lists, replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for c in range(n_lists):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids = normalize_rows(centroids)
+    return centroids
+
+
+def add_ivf_list(batch: pd.DataFrame, centroids_ref,
+                 vec_col: str = "embedding") -> pd.DataFrame:
+    """map_batches body: assign each vector to its nearest centroid (the
+    inverted list id). Centroids ride a ray.put broadcast."""
+    import ray
+
+    centroids = ray.get(centroids_ref)
+    mat = normalize_rows(np.stack(batch[vec_col].to_numpy())
+                         .astype(np.float64))
+    batch = batch.copy()
+    batch["ivf_list"] = np.argmax(mat @ centroids.T, axis=1).astype("int64")
+    return batch
+
+
+def ivf_topk(ds, query_matrix: np.ndarray, centroids: np.ndarray,
+             k: int = 5, n_probe: int = 4,
+             vec_col: str = "embedding", id_col: str = "vec_id"):
+    """IVF ANN search: probe only the ``n_probe`` inverted lists nearest
+    each query. The dataset is filtered to the probed lists (vectorized
+    expression filter), then exact-scored — at scale this touches
+    n_probe/n_lists of the corpus instead of all of it."""
+    import ray
+
+    q = normalize_rows(query_matrix.astype(np.float64))
+    probe_lists = np.argsort(-(q @ centroids.T), axis=1)[:, :n_probe]
+    wanted = frozenset(int(x) for x in probe_lists.ravel())
+    centroids_ref = ray.put(centroids)
+
+    def assign_and_probe(b: pd.DataFrame) -> pd.DataFrame:
+        b = add_ivf_list(b, centroids_ref, vec_col)
+        return b[b["ivf_list"].isin(wanted)]
+
+    probed = ds.map_batches(assign_and_probe, batch_format="pandas")
+    q_ref = ray.put(q)
+    candidates = probed.map_batches(batch_topk_fn(q_ref, k),
+                                    batch_format="pandas").to_pandas()
+    return reduce_topk(candidates, k)
+
+
 def bucket_near_dups(group: pd.DataFrame, tau: float = 0.95) -> pd.DataFrame:
     """Within one LSH bucket: all-pairs cosine; emit id pairs >= tau."""
     if len(group) < 2:

@@ -633,6 +633,21 @@ def q_embedding_knn(sf_dir: str) -> pd.DataFrame:
     return out.astype({"query_id": "int64", "vec_id": "int64"})
 
 
+def q_embedding_ivf_knn(sf_dir: str) -> pd.DataFrame:
+    """IVF ANN top-k (the similarity-search scale path): spherical
+    k-means coarse quantizer trained on a driver-side sample, inverted
+    lists assigned per batch, only the n_probe nearest lists scored per
+    query — touches n_probe/n_lists of the corpus instead of all of it."""
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    sample = np.stack(ds.limit(2000).to_pandas()["embedding"].to_numpy())
+    centroids = fsim.train_ivf_centroids(sample, n_lists=16)
+    out = fsim.ivf_topk(ds, _query_matrix(sf_dir), centroids,
+                        k=_KNN_K, n_probe=6)
+    out["score"] = np.round(out["score"].astype(np.float64), 4)
+    out = out.drop(columns=["rank"])
+    return out.astype({"query_id": "int64", "vec_id": "int64"})
+
+
 def q_embedding_near_dups(sf_dir: str) -> pd.DataFrame:
     """LSH-bucketed cosine near-dup pairs (scale path; no SQL twin)."""
     ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -1029,6 +1044,7 @@ QUERIES = {
     "simhash_buckets": q_simhash_buckets,
     "ngram_dup_pairs": q_ngram_dup_pairs,
     "embedding_knn": q_embedding_knn,
+    "embedding_ivf_knn": q_embedding_ivf_knn,
     "embedding_near_dups": q_embedding_near_dups,
     "embedding_sim_pairs": q_embedding_sim_pairs,
     "media_features": q_media_features,

@@ -125,3 +125,34 @@ def test_winnow_fingerprints_shared_substring():
     # deterministic + short-input safe
     assert (winnow_fingerprints("tiny") == winnow_fingerprints("tiny")).all()
     assert len(winnow_fingerprints("")) == 0
+
+
+def test_ivf_equals_brute_force_when_probing_all(ray_session):
+    """IVF with n_probe == n_lists scores every list — must reproduce the
+    exact brute-force top-k; with fewer probes recall stays high."""
+    import numpy as np
+    import ray.data as rd
+
+    from pdf_oxide_ray.functions import similarity as fsim
+
+    rs = np.random.RandomState(3)
+    vecs = rs.randn(400, 32)
+    tbl = {"vec_id": list(range(400)), "embedding": [v for v in vecs]}
+    import pandas as pd
+    ds = rd.from_pandas(pd.DataFrame(tbl)).repartition(8)
+    queries = vecs[:3] + rs.randn(3, 32) * 0.01
+    centroids = fsim.train_ivf_centroids(vecs, n_lists=8)
+
+    exact = fsim.brute_force_topk(ds, queries, k=5)
+    full_probe = fsim.ivf_topk(ds, queries, centroids, k=5, n_probe=8)
+    e = exact.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    f = full_probe.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert (e["vec_id"] == f["vec_id"]).all()
+
+    approx = fsim.ivf_topk(ds, queries, centroids, k=5, n_probe=3)
+    hits = 0
+    for qid in range(3):
+        es = set(e.loc[e["query_id"] == qid, "vec_id"])
+        as_ = set(approx.loc[approx["query_id"] == qid, "vec_id"])
+        hits += len(es & as_)
+    assert hits / 15 >= 0.6  # recall@5 with 3/8 lists probed
