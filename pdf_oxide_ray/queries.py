@@ -167,6 +167,26 @@ def q_events_sliding(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def q_quantity_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact grouped quantiles (p50/p90 of l_quantity per returnflag):
+    quantiles need the full value set per group, so this is a true
+    map_groups shape (3 groups — each fits a worker easily; for
+    high-cardinality keys switch to a sketch, e.g. KLL)."""
+    ds = _pq(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def per_flag(g: pd.DataFrame) -> pd.DataFrame:
+        q = g["l_quantity"].to_numpy(dtype=np.float64)
+        return pd.DataFrame({
+            "l_returnflag": [g["l_returnflag"].iloc[0]],
+            "p50": [float(np.percentile(q, 50))],
+            "p90": [float(np.percentile(q, 90))],
+        })
+
+    out = ds.groupby("l_returnflag").map_groups(
+        per_flag, batch_format="pandas").to_pandas()
+    return _round6(out, ["p50", "p90"])
+
+
 def q_distinct_event_types(sf_dir: str) -> pd.DataFrame:
     ds = _pq(sf_dir, "events", ["event_type"])
     vals = sorted(ds.unique("event_type"))
@@ -1020,6 +1040,7 @@ QUERIES = {
     "revenue_by_flag": q_revenue_by_flag,
     "events_hourly": q_events_hourly,
     "events_sliding": q_events_sliding,
+    "quantity_quantiles": q_quantity_quantiles,
     "distinct_event_types": q_distinct_event_types,
     "top_events": q_top_events,
     "top_customers": q_top_customers,
@@ -1098,6 +1119,11 @@ ORACLE_SQL = {
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3""",
+    "quantity_quantiles": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
+               ROUND(quantile_cont(l_quantity, 0.9), 6) AS p90
+        FROM lineitem GROUP BY l_returnflag""",
     "normalize_text": """
         SELECT doc_id,
                md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
