@@ -330,6 +330,51 @@ def q_supplier_nation_region(sf_dir: str) -> pd.DataFrame:
 # text ops over documents
 # ---------------------------------------------------------------------------
 
+def q_customers_without_orders(sf_dir: str) -> pd.DataFrame:
+    """ANTI-join: customers with no orders. The distinct key set of the
+    fact side is collected via a small aggregate and broadcast (key sets
+    are tiny relative to fact rows; for billions of DISTINCT keys use the
+    bucketed join with an anti flag instead)."""
+    import ray
+
+    keys = set(_pq(sf_dir, "orders", ["o_custkey"]).unique("o_custkey"))
+    keys_ref = ray.put(keys)
+
+    def anti(b: pd.DataFrame) -> pd.DataFrame:
+        have = ray.get(keys_ref)
+        return b[~b["c_custkey"].isin(have)][["c_custkey", "c_name"]]
+
+    out = _pq(sf_dir, "customer", ["c_custkey", "c_name"]) \
+        .map_batches(anti, batch_format="pandas").to_pandas()
+    if out.empty:  # every customer ordered: empty frame keeps the schema
+        return pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                             "c_name": pd.Series(dtype="object")})
+    return out.astype({"c_custkey": "int64"})
+
+
+def q_customers_with_orders(sf_dir: str) -> pd.DataFrame:
+    """SEMI-join: count customers that placed at least one order per
+    market segment (broadcast key-set membership; one partial-agg row per
+    segment per batch crosses the shuffle)."""
+    import ray
+
+    keys = set(_pq(sf_dir, "orders", ["o_custkey"]).unique("o_custkey"))
+    keys_ref = ray.put(keys)
+
+    def semi(b: pd.DataFrame) -> pd.DataFrame:
+        have = ray.get(keys_ref)
+        hit = b[b["c_custkey"].isin(have)]
+        return hit.groupby("c_mktsegment", as_index=False).agg(
+            n=("c_custkey", "size"))
+
+    out = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
+        .map_batches(semi, batch_format="pandas") \
+        .groupby("c_mktsegment").aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
 def q_artifact_strip(sf_dir: str) -> pd.DataFrame:
     """Reference R5 artifact removal applied per doc; returns cleaned length
     (whitespace.rs:91-114 regex chain, same order)."""
@@ -1049,6 +1094,8 @@ QUERIES = {
     "join_customer_orders": q_join_customer_orders,
     "join_lineitem_orders": q_join_lineitem_orders,
     "supplier_nation_region": q_supplier_nation_region,
+    "customers_without_orders": q_customers_without_orders,
+    "customers_with_orders": q_customers_with_orders,
     "artifact_strip": q_artifact_strip,
     "token_counts": q_token_counts,
     "token_counts_bpe": q_token_counts_bpe,
@@ -1119,6 +1166,14 @@ ORACLE_SQL = {
         SELECT a.vec_id AS id_a, b.vec_id AS id_b
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3""",
+    "customers_without_orders": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+    "customers_with_orders": """
+        SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n
+        FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders)
+        GROUP BY c_mktsegment""",
     "quantity_quantiles": """
         SELECT l_returnflag,
                ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
