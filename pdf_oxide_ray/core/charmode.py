@@ -124,12 +124,15 @@ class CharExtractor:
         elif op in ("Td", "TD") and len(args) >= 2:
             if op == "TD":
                 self.leading = -float(args[1])
-            self.tlm = Matrix(1, 0, 0, 1, float(args[0]),
-                              float(args[1])).multiply(self.tlm)
+            # Tlm = Tlm x T(tx,ty) — same composition order as the span
+            # interpreter and the reference (text_line_matrix.multiply(tm));
+            # the operand order only matters under non-identity scale/rotation
+            self.tlm = self.tlm.multiply(Matrix(1, 0, 0, 1, float(args[0]),
+                                                float(args[1])))
             self.tm = Matrix(self.tlm.a, self.tlm.b, self.tlm.c,
                              self.tlm.d, self.tlm.e, self.tlm.f)
         elif op == "T*":
-            self.tlm = Matrix(1, 0, 0, 1, 0, -self.leading).multiply(self.tlm)
+            self.tlm = self.tlm.multiply(Matrix(1, 0, 0, 1, 0, -self.leading))
             self.tm = Matrix(self.tlm.a, self.tlm.b, self.tlm.c,
                              self.tlm.d, self.tlm.e, self.tlm.f)
         elif op == "TL" and args:
@@ -144,7 +147,7 @@ class CharExtractor:
             self._show(args[0])
         elif op in ("'", '"'):
             data = args[-1] if args else b""
-            self.tlm = Matrix(1, 0, 0, 1, 0, -self.leading).multiply(self.tlm)
+            self.tlm = self.tlm.multiply(Matrix(1, 0, 0, 1, 0, -self.leading))
             self.tm = Matrix(self.tlm.a, self.tlm.b, self.tlm.c,
                              self.tlm.d, self.tlm.e, self.tlm.f)
             if isinstance(data, bytes):

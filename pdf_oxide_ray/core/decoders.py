@@ -123,7 +123,10 @@ def lzw_decode(data: bytes, early_change: int = 1) -> bytes:
             if len(out) > MAX_DECODED_SIZE:
                 raise DecodeError("LZWDecode output exceeds cap")
             prev = entry
-            if len(table) + early_change - 1 >= (1 << code_width) and code_width < 12:
+            # width bump at next_code >= 511/1023/2047 for EarlyChange=1
+            # (the PDF default; pdf.js/pdfminer agree) — bumping one code
+            # later desyncs any stream whose table crosses the boundary
+            if len(table) + early_change >= (1 << code_width) and code_width < 12:
                 code_width += 1
     return bytes(out)
 

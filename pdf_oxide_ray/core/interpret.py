@@ -158,11 +158,15 @@ class TextExtractor:
                 self._process_tj_array(arr)
         elif op == "'" and args:
             # reference Quote arm (text.rs:1333): newline + char-mode show;
-            # in span mode the shown text is NOT added to spans (parity).
+            # in span mode the shown text is NOT added to spans (parity),
+            # but the text matrix still advances past it (show_text runs in
+            # the reference) so later spans on the line get a fresh x.
             cur = st.current()
             tm = Matrix.translation(0.0, -cur.leading)
             cur.text_line_matrix = cur.text_line_matrix.multiply(tm)
             cur.text_matrix = cur.text_line_matrix
+            if isinstance(args[-1], bytes):
+                self._advance_position_for_string(args[-1])
         elif op == '"' and len(args) >= 3:
             cur = st.current()
             cur.word_space = float(args[0])
@@ -170,6 +174,8 @@ class TextExtractor:
             tm = Matrix.translation(0.0, -cur.leading)
             cur.text_line_matrix = cur.text_line_matrix.multiply(tm)
             cur.text_matrix = cur.text_line_matrix
+            if isinstance(args[-1], bytes):
+                self._advance_position_for_string(args[-1])
         elif op == "Tc" and args:
             st.current().char_space = float(args[0])
         elif op == "Tw" and args:

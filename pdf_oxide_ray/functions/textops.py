@@ -24,8 +24,13 @@ RE_WS = re.compile(r"\s+")
 RE_PUNCT = re.compile(r"[.!?,;:]")
 RE_DIGIT = re.compile(r"\d")
 # GPT-2-style pre-tokenizer shape (public BPE regex family): optional space +
-# letters | digits | non-space-non-alnum runs
-RE_BPE = re.compile(r" ?[A-Za-z]+| ?\d+| ?[^\sA-Za-z\d]+|\s+(?!\S)|\s+")
+# letters | digits | non-space-non-alnum runs. We standardize on the
+# RE2-portable variant (no lookahead, explicit [0-9], single trailing \s+
+# instead of the classic `\s+(?!\S)|\s+` pair) so the exact same pattern
+# runs in both Python re and DuckDB regexp_extract_all — the oracle twin
+# counts identical token spans.
+RE_BPE = re.compile(r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+")
+BPE_PATTERN_SQL = r" ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
 
 # tiny per-language stopword profiles (public common-word lists)
 _LANG_STOPWORDS = {

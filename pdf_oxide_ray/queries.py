@@ -38,6 +38,19 @@ def _round6(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
     return df
 
 
+def _cents(s: pd.Series) -> pd.Series:
+    """Exact integer cents for a 2-decimal money column.
+
+    Float64 sums of ~1e8-magnitude money columns diverge between DuckDB
+    and pandas by more than the 1e-6 rounding grid (measured 2.8e-6 at
+    sf0.01), so every money rollup aggregates int64 cents and divides by
+    100.0 at the end; the oracle SQL mirrors the identical chain
+    (round(x*100) -> BIGINT -> SUM -> DOUBLE -> /100.0), making both
+    sides bit-identical doubles."""
+    return pd.Series(np.round(s.to_numpy(np.float64) * 100.0)
+                     .astype(np.int64), index=s.index)
+
+
 import contextlib  # noqa: E402
 
 
@@ -76,29 +89,33 @@ def q_turn_counts(sf_dir: str) -> pd.DataFrame:
 
 def q_category_stats(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q1-shaped rollup over lineitem (mirrors the reference's
-    per-category stats fold, validate_dataset.rs:31-141)."""
+    per-category stats fold, validate_dataset.rs:31-141). All money/qty
+    sums run over exact int64 (cents) partials — see ``_cents``."""
     ds = _pq(sf_dir, "lineitem",
              ["l_returnflag", "l_linestatus", "l_quantity",
               "l_extendedprice", "l_discount"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        g = b.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
-            sum_qty=("l_quantity", "sum"),
-            sum_price=("l_extendedprice", "sum"),
-            disc_sum=("l_discount", "sum"),
-            n=("l_quantity", "size"))
-        return g
+        b = b.assign(qty_i=b["l_quantity"].astype(np.int64),
+                     price_c=_cents(b["l_extendedprice"]),
+                     disc_c=_cents(b["l_discount"]))
+        return b.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
+            qty_i=("qty_i", "sum"),
+            price_c=("price_c", "sum"),
+            disc_c=("disc_c", "sum"),
+            n=("qty_i", "size"))
 
     agg = ds.map_batches(partial, batch_format="pandas") \
         .groupby(["l_returnflag", "l_linestatus"]).aggregate(
-            Sum("sum_qty", alias_name="sum_qty"),
-            Sum("sum_price", alias_name="sum_price"),
-            Sum("disc_sum", alias_name="disc_sum"),
+            Sum("qty_i", alias_name="qty_i"),
+            Sum("price_c", alias_name="price_c"),
+            Sum("disc_c", alias_name="disc_c"),
             Sum("n", alias_name="n")).to_pandas()
-    agg["avg_disc"] = agg["disc_sum"] / agg["n"]
+    agg["sum_qty"] = agg["qty_i"].astype(np.float64)
+    agg["sum_price"] = agg["price_c"].astype(np.float64) / 100.0
+    agg["avg_disc"] = (agg["disc_c"].astype(np.float64) / 100.0) / agg["n"]
     agg["n"] = agg["n"].astype("int64")
-    agg = agg.drop(columns=["disc_sum"])
-    return _round6(agg, ["sum_qty", "sum_price", "avg_disc"])
+    return agg.drop(columns=["qty_i", "price_c", "disc_c"])
 
 
 def q_revenue_by_flag(sf_dir: str) -> pd.DataFrame:
@@ -109,15 +126,18 @@ def q_revenue_by_flag(sf_dir: str) -> pd.DataFrame:
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         b = b[b["l_shipdate"] < cutoff]
-        rev = b["l_extendedprice"] * (1.0 - b["l_discount"])
+        # exact integer 1/10000ths: cents(price) * (100 - cents(discount))
+        rev_i = _cents(b["l_extendedprice"]).to_numpy() \
+            * (100 - _cents(b["l_discount"]).to_numpy())
         return pd.DataFrame({"l_returnflag": b["l_returnflag"],
-                             "revenue": rev}) \
+                             "rev_i": rev_i}) \
             .groupby("l_returnflag", as_index=False).sum()
 
     out = ds.map_batches(partial, batch_format="pandas") \
         .groupby("l_returnflag") \
-        .aggregate(Sum("revenue", alias_name="revenue")).to_pandas()
-    return _round6(out, ["revenue"])
+        .aggregate(Sum("rev_i", alias_name="rev_i")).to_pandas()
+    out["revenue"] = out["rev_i"].astype(np.float64) / 10000.0
+    return out.drop(columns=["rev_i"])
 
 
 def q_events_hourly(sf_dir: str) -> pd.DataFrame:
@@ -125,17 +145,22 @@ def q_events_hourly(sf_dir: str) -> pd.DataFrame:
     ds = _pq(sf_dir, "events", ["event_type", "ts", "value"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.assign(hour=b["ts"].dt.floor("h"))
+        # sum exact integer micro-units (round(value*1e6)) so the grouped
+        # average is order-independent; the oracle mirrors the same chain
+        b = b.assign(hour=b["ts"].dt.floor("h"),
+                     value_u=pd.Series(
+                         np.round(b["value"].to_numpy(np.float64) * 1e6)
+                         .astype(np.int64), index=b.index))
         return b.groupby(["event_type", "hour"], as_index=False).agg(
-            n=("value", "size"), value_sum=("value", "sum"))
+            n=("value_u", "size"), value_u=("value_u", "sum"))
 
     agg = ds.map_batches(partial, batch_format="pandas") \
         .groupby(["event_type", "hour"]).aggregate(
             Sum("n", alias_name="n"),
-            Sum("value_sum", alias_name="value_sum")).to_pandas()
-    agg["avg_value"] = agg["value_sum"] / agg["n"]
+            Sum("value_u", alias_name="value_u")).to_pandas()
+    agg["avg_value"] = (agg["value_u"].astype(np.float64) / 1e6) / agg["n"]
     agg["n"] = agg["n"].astype("int64")
-    return _round6(agg.drop(columns=["value_sum"]), ["avg_value"])
+    return agg.drop(columns=["value_u"])
 
 
 def q_events_sliding(sf_dir: str) -> pd.DataFrame:
@@ -146,18 +171,25 @@ def q_events_sliding(sf_dir: str) -> pd.DataFrame:
     hop_us = 15 * 60 * 1_000_000
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        # vectorized 4-way explode: tile types, subtract k*hop per copy
-        bucket = b["ts"].dt.floor("15min").to_numpy()
-        n = len(bucket)
+        # pre-aggregate per (type, 15-min bucket) FIRST, then 4-way-explode
+        # only the aggregated partials — the explode and the shuffle shrink
+        # by the per-batch dedup factor (raw events >> distinct buckets)
+        pre = pd.DataFrame({
+            "event_type": b["event_type"],
+            "bucket": b["ts"].dt.floor("15min"),
+        }).groupby(["event_type", "bucket"], as_index=False) \
+            .agg(n=("bucket", "size"))
+        m = len(pre)
         offsets = np.repeat(np.arange(4, dtype="timedelta64[us]")
-                            * hop_us, n)
+                            * hop_us, m)
         exploded = pd.DataFrame({
-            "event_type": np.tile(b["event_type"].to_numpy(), 4),
-            "window_start": np.tile(bucket, 4) - offsets,
+            "event_type": np.tile(pre["event_type"].to_numpy(), 4),
+            "window_start": np.tile(pre["bucket"].to_numpy(), 4) - offsets,
+            "n": np.tile(pre["n"].to_numpy(), 4),
         })
         return exploded.groupby(
             ["event_type", "window_start"], as_index=False).agg(
-            n=("event_type", "size"))
+            n=("n", "sum"))
 
     with _scoped_parallelism(64):
         out = ds.map_batches(partial, batch_format="pandas") \
@@ -210,14 +242,15 @@ def q_top_customers(sf_dir: str) -> pd.DataFrame:
     """Grouped sum then top-10 (partial agg -> small groupby -> sort+limit)."""
     ds = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     partial = ds.map_batches(
-        lambda b: b.groupby("o_custkey", as_index=False)
-        .agg(total_spent=("o_totalprice", "sum")),
+        lambda b: b.assign(spent_c=_cents(b["o_totalprice"]))
+        .groupby("o_custkey", as_index=False).agg(spent_c=("spent_c", "sum")),
         batch_format="pandas")
     agg = partial.groupby("o_custkey").aggregate(
-        Sum("total_spent", alias_name="total_spent"))
-    out = agg.sort(["total_spent", "o_custkey"],
+        Sum("spent_c", alias_name="spent_c"))
+    out = agg.sort(["spent_c", "o_custkey"],
                    descending=[True, False]).limit(10).to_pandas()
-    return _round6(out, ["total_spent"])
+    out["total_spent"] = out["spent_c"].astype(np.float64) / 100.0
+    return out.drop(columns=["spent_c"])
 
 
 # ---------------------------------------------------------------------------
@@ -270,15 +303,17 @@ def q_join_customer_orders(sf_dir: str) -> pd.DataFrame:
     orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     joined = broadcast_join(orders, cust, on="o_custkey", right_on="c_custkey")
     partial = joined.map_batches(
-        lambda b: b.groupby("c_mktsegment", as_index=False).agg(
-            n_orders=("o_totalprice", "size"),
-            total_price=("o_totalprice", "sum")),
+        lambda b: b.assign(price_c=_cents(b["o_totalprice"]))
+        .groupby("c_mktsegment", as_index=False).agg(
+            n_orders=("price_c", "size"),
+            price_c=("price_c", "sum")),
         batch_format="pandas")
     out = partial.groupby("c_mktsegment").aggregate(
         Sum("n_orders", alias_name="n_orders"),
-        Sum("total_price", alias_name="total_price")).to_pandas()
+        Sum("price_c", alias_name="price_c")).to_pandas()
     out["n_orders"] = out["n_orders"].astype("int64")
-    return _round6(out, ["total_price"])
+    out["total_price"] = out["price_c"].astype(np.float64) / 100.0
+    return out.drop(columns=["price_c"])
 
 
 def q_join_lineitem_orders(sf_dir: str) -> pd.DataFrame:
@@ -291,17 +326,19 @@ def q_join_lineitem_orders(sf_dir: str) -> pd.DataFrame:
                                 num_buckets=32)
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        rev = b["l_extendedprice"] * (1.0 - b["l_discount"])
+        rev_i = _cents(b["l_extendedprice"]).to_numpy() \
+            * (100 - _cents(b["l_discount"]).to_numpy())
         return pd.DataFrame({"o_orderpriority": b["o_orderpriority"],
-                             "revenue": rev, "n": 1}) \
+                             "rev_i": rev_i, "n": 1}) \
             .groupby("o_orderpriority", as_index=False).sum()
 
     out = joined.map_batches(partial, batch_format="pandas") \
         .groupby("o_orderpriority").aggregate(
-            Sum("revenue", alias_name="revenue"),
+            Sum("rev_i", alias_name="rev_i"),
             Sum("n", alias_name="n")).to_pandas()
     out["n"] = out["n"].astype("int64")
-    return _round6(out, ["revenue"])
+    out["revenue"] = out["rev_i"].astype(np.float64) / 10000.0
+    return out.drop(columns=["rev_i"])
 
 
 def q_supplier_nation_region(sf_dir: str) -> pd.DataFrame:
@@ -315,15 +352,46 @@ def q_supplier_nation_region(sf_dir: str) -> pd.DataFrame:
     sup = _pq(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
     joined = broadcast_join(sup, dim, on="s_nationkey", right_on="n_nationkey")
     partial = joined.map_batches(
-        lambda b: b.groupby("r_name", as_index=False).agg(
-            n_suppliers=("s_acctbal", "size"),
-            total_acctbal=("s_acctbal", "sum")),
+        lambda b: b.assign(bal_c=_cents(b["s_acctbal"]))
+        .groupby("r_name", as_index=False).agg(
+            n_suppliers=("bal_c", "size"),
+            bal_c=("bal_c", "sum")),
         batch_format="pandas")
     out = partial.groupby("r_name").aggregate(
         Sum("n_suppliers", alias_name="n_suppliers"),
-        Sum("total_acctbal", alias_name="total_acctbal")).to_pandas()
+        Sum("bal_c", alias_name="bal_c")).to_pandas()
     out["n_suppliers"] = out["n_suppliers"].astype("int64")
-    return _round6(out, ["total_acctbal"])
+    out["total_acctbal"] = out["bal_c"].astype(np.float64) / 100.0
+    return out.drop(columns=["bal_c"])
+
+
+def q_promo_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14-shaped promo revenue share: part x lineitem with the part
+    side broadcast (dimension table: one ray.put, read per worker — no
+    shuffle at all; the rollup is a single global pair of int64 sums)."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_type"]).to_pandas()
+    part["is_promo"] = part["p_type"].str.startswith("PROMO")
+    part = part[["p_partkey", "is_promo"]]
+    li = _pq(sf_dir, "lineitem",
+             ["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"])
+    lo, hi = pd.Timestamp("1995-09-01"), pd.Timestamp("1995-12-01")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[(b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)]
+        rev_i = _cents(b["l_extendedprice"]).to_numpy() \
+            * (100 - _cents(b["l_discount"]).to_numpy())
+        return pd.DataFrame({
+            "promo_i": [int(rev_i[b["is_promo"].to_numpy()].sum())],
+            "total_i": [int(rev_i.sum())]})
+
+    joined = broadcast_join(li, part, on="l_partkey", right_on="p_partkey")
+    agg = joined.map_batches(partial, batch_format="pandas").sum(
+        ["promo_i", "total_i"])
+    promo = 100.0 * float(agg["sum(promo_i)"]) / float(agg["sum(total_i)"])
+    return pd.DataFrame({"promo_revenue": [promo]})
 
 
 # ---------------------------------------------------------------------------
@@ -417,10 +485,10 @@ def q_doc_stats(sf_dir: str) -> pd.DataFrame:
     out = partial.groupby("lang").aggregate(
         Sum("n_docs", alias_name="n_docs"),
         Sum("sum_chars", alias_name="sum_chars")).to_pandas()
-    out["avg_chars"] = out["sum_chars"] / out["n_docs"]
+    out["avg_chars"] = out["sum_chars"].astype(np.float64) / out["n_docs"]
     out["n_docs"] = out["n_docs"].astype("int64")
     out["sum_chars"] = out["sum_chars"].astype("int64")
-    return _round6(out, ["avg_chars"])
+    return out
 
 
 def q_fingerprint_md5(sf_dir: str) -> pd.DataFrame:
@@ -431,12 +499,15 @@ def q_fingerprint_md5(sf_dir: str) -> pd.DataFrame:
         batch_format="pandas").to_pandas()
 
 
+_WINNOW_PAIR_THRESHOLD = 20  # min shared fingerprints for a dup pair
+
+
 def q_winnow_dup_pairs(sf_dir: str) -> pd.DataFrame:
     """Rolling-hash document fingerprinting (winnowing): explode each doc
     into its fingerprint set, groupby(fingerprint) to find co-occurring
     docs, then count shared fingerprints per pair and keep pairs sharing
-    >= 10 (MOSS-style plagiarism/dup detection; only (fp, doc_id) pairs
-    cross the shuffle, never text)."""
+    >= _WINNOW_PAIR_THRESHOLD (MOSS-style plagiarism/dup detection; only
+    (fp, doc_id) pairs cross the shuffle, never text)."""
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
     num_buckets = 64
 
@@ -476,7 +547,7 @@ def q_winnow_dup_pairs(sf_dir: str) -> pd.DataFrame:
         .groupby("bucket").map_groups(pairs_in_bucket,
                                       batch_format="pandas") \
         .groupby(["id_a", "id_b"]).sum("n").to_pandas()
-    out = pair_counts[pair_counts["sum(n)"] >= 20]
+    out = pair_counts[pair_counts["sum(n)"] >= _WINNOW_PAIR_THRESHOLD]
     return out[["id_a", "id_b"]].astype("int64") \
         .sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
@@ -541,17 +612,22 @@ def q_quality_features(sf_dir: str) -> pd.DataFrame:
 
 
 def q_quality_score(sf_dir: str) -> pd.DataFrame:
-    """Composite heuristic score (banded ratios — no SQL twin)."""
+    """Composite heuristic score. The banded-ratio chain is mirrored
+    term-for-term in the DuckDB oracle (same operand order), so both sides
+    produce bit-identical doubles — no rounding needed."""
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
         lambda b: pd.DataFrame({
             "doc_id": b["doc_id"],
-            "quality": np.round(ftext.quality_score(b["text"]), 6)}),
+            "quality": ftext.quality_score(b["text"]).to_numpy()}),
         batch_format="pandas").to_pandas()
 
 
 def q_lang_id(sf_dir: str) -> pd.DataFrame:
-    """Heuristic language ID (stopword profiles; no SQL twin)."""
+    """Heuristic language ID (stopword profiles). The SQL twin mirrors the
+    stopword-hit argmax with first-max-wins tie-breaking; the CJK charset
+    shortcut has no SQL mirror, so the oracle only holds on ASCII corpora
+    (the testdata is pure ASCII — verified max codepoint 0x79)."""
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
     return ds.map_batches(
         lambda b: pd.DataFrame({"doc_id": b["doc_id"],
@@ -579,11 +655,20 @@ def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id"]].astype({"doc_id": "int64"})
 
 
+_MINHASH_HOT_BAND = 64  # degenerate band-bucket guard (O(n^2) pair bound)
+
+
 def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
     """MinHash+LSH near-dup clusters: signature per batch -> explode band
-    rows -> groupby band -> candidate pairs -> Jaccard verify >= 0.8 ->
-    min-label components. Returns (doc_id, cluster_root) for docs in
-    clusters of size > 1."""
+    rows -> groupby band -> candidate pairs (hot-band guarded) -> Jaccard
+    verify >= 0.8 INSIDE map_batches against texts joined in by doc_id ->
+    min-label components over the (tiny) verified edge list. Returns
+    (doc_id, cluster_root) for docs in clusters of size > 1.
+
+    Scale plan: texts never reach the driver — only int candidate ids do
+    (to broadcast the filter set) plus the verified edges; candidate
+    texts flow through two bucketed hash joins of pairs x filtered docs.
+    """
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
 
     def bands(b: pd.DataFrame) -> pd.DataFrame:
@@ -600,32 +685,60 @@ def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
     band_rows = ds.map_batches(bands, batch_format="pandas")
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(g["doc_id"].tolist()))
-        out_a, out_b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b})
+        ids = np.sort(g["doc_id"].unique())
+        if not 2 <= len(ids) <= _MINHASH_HOT_BAND:
+            # a degenerate band hash (e.g. many near-empty docs) would go
+            # O(n^2) here; such docs are caught by exact dedup instead
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64")})
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+
+    from ray.data.aggregate import Count
 
     cand = band_rows.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pandas").to_pandas().drop_duplicates()
-    if cand.empty:
+        pairs, batch_format="pandas") \
+        .groupby(["id_a", "id_b"]).aggregate(Count()) \
+        .select_columns(["id_a", "id_b"])
+
+    # distinct candidate ids (ints only) -> broadcast filter set
+    cand_ids = set(cand.map_batches(
+        lambda b: pd.DataFrame({"doc_id": np.concatenate(
+            [b["id_a"].to_numpy(), b["id_b"].to_numpy()])}),
+        batch_format="pandas").unique("doc_id"))
+    if not cand_ids:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                              "cluster_root": pd.Series(dtype="int64")})
-    # verify candidates (small set) against the texts
-    import pyarrow.parquet as pq
+    import ray
 
-    texts = dict(zip(
-        *pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                       columns=["doc_id", "text"]).to_pandas()
-        [["doc_id", "text"]].T.values.tolist())) if False else None
-    tdf = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
-                        columns=["doc_id", "text"]).to_pandas()
-    tmap = dict(zip(tdf["doc_id"], tdf["text"]))
-    verified = [(a, b) for a, b in zip(cand["id_a"], cand["id_b"])
-                if fdedup.jaccard(tmap[a], tmap[b]) >= 0.8]
-    comp = fdedup.connected_components(verified)
+    ids_ref = ray.put(cand_ids)
+
+    def keep_candidates(b: pd.DataFrame) -> pd.DataFrame:
+        have = ray.get(ids_ref)
+        return b[b["doc_id"].isin(have)]
+
+    cdocs = ds.map_batches(keep_candidates, batch_format="pandas")
+
+    # join texts onto the pairs (both sides can be large: bucketed joins)
+    docs_a = cdocs.map_batches(
+        lambda b: b.rename(columns={"text": "text_a"}), batch_format="pandas")
+    with_a = bucketed_hash_join(cand, docs_a, "id_a", "doc_id",
+                                num_buckets=16) \
+        .map_batches(lambda b: b[["id_a", "id_b", "text_a"]],
+                     batch_format="pandas")
+    docs_b = cdocs.map_batches(
+        lambda b: b.rename(columns={"text": "text_b"}), batch_format="pandas")
+    with_b = bucketed_hash_join(with_a, docs_b, "id_b", "doc_id",
+                                num_buckets=16)
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        keep = [fdedup.jaccard(ta, tb) >= 0.8
+                for ta, tb in zip(b["text_a"], b["text_b"])]
+        return b.loc[keep, ["id_a", "id_b"]]
+
+    edges = with_b.map_batches(verify, batch_format="pandas").to_pandas()
+    comp = fdedup.connected_components(
+        list(zip(edges["id_a"].tolist(), edges["id_b"].tolist())))
     if not comp:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                              "cluster_root": pd.Series(dtype="int64")})
@@ -731,11 +844,19 @@ def q_embedding_sim_pairs(sf_dir: str) -> pd.DataFrame:
     baseline for similarity search: the full (small) embedding matrix is
     normalized once and broadcast via ray.put; each batch does one
     float64 matmul against it. No shuffle; exact, so it carries a DuckDB
-    list_cosine_similarity oracle."""
+    list_cosine_similarity oracle. PRODUCTION NOTE: O(N^2) brute force —
+    size-gated below; route real corpora through q_embedding_ivf_knn /
+    q_embedding_near_dups (the sub-quadratic scale paths)."""
     import ray
 
     tau = 0.3
     ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    n_rows = ds.count()
+    if n_rows > 2_000_000:  # the broadcast matrix would exceed worker heaps
+        raise ValueError(
+            f"embedding_sim_pairs is the exact O(N^2) baseline; {n_rows} "
+            "rows is past the gate — use embedding_ivf_knn or "
+            "embedding_near_dups at this scale")
     full = ds.to_pandas()
     ids = full["vec_id"].to_numpy()
     mat = np.stack(full["embedding"].to_numpy()).astype(np.float64)
@@ -1094,6 +1215,7 @@ QUERIES = {
     "join_customer_orders": q_join_customer_orders,
     "join_lineitem_orders": q_join_lineitem_orders,
     "supplier_nation_region": q_supplier_nation_region,
+    "promo_revenue": q_promo_revenue,
     "customers_without_orders": q_customers_without_orders,
     "customers_with_orders": q_customers_with_orders,
     "artifact_strip": q_artifact_strip,
@@ -1131,14 +1253,18 @@ ORACLE_SQL = {
         "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id",
     "category_stats": """
         SELECT l_returnflag, l_linestatus,
-               ROUND(SUM(l_quantity), 6) AS sum_qty,
-               ROUND(SUM(l_extendedprice), 6) AS sum_price,
-               ROUND(SUM(l_discount) / COUNT(*), 6) AS avg_disc,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS sum_price,
+               CAST(SUM(CAST(round(l_discount * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 / COUNT(*) AS avg_disc,
                COUNT(*) AS n
         FROM lineitem GROUP BY l_returnflag, l_linestatus""",
     "revenue_by_flag": """
         SELECT l_returnflag,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                    AS DOUBLE) / 10000.0 AS revenue
         FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01'
         GROUP BY l_returnflag""",
     "events_sliding": """
@@ -1151,7 +1277,8 @@ ORACLE_SQL = {
         FROM w GROUP BY event_type, window_start""",
     "events_hourly": """
         SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n,
-               ROUND(SUM(value) / COUNT(*), 6) AS avg_value
+               CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+                   / 1000000.0 / COUNT(*) AS avg_value
         FROM events GROUP BY event_type, date_trunc('hour', ts)""",
     "distinct_event_types":
         "SELECT DISTINCT event_type FROM events",
@@ -1159,7 +1286,9 @@ ORACLE_SQL = {
         SELECT event_id, event_type, ROUND(value, 6) AS value FROM events
         ORDER BY value DESC, event_id LIMIT 10""",
     "top_customers": """
-        SELECT o_custkey, ROUND(SUM(o_totalprice), 6) AS total_spent
+        SELECT o_custkey,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS total_spent
         FROM orders GROUP BY o_custkey
         ORDER BY total_spent DESC, o_custkey LIMIT 10""",
     "embedding_sim_pairs": """
@@ -1237,18 +1366,22 @@ ORACLE_SQL = {
         FROM events GROUP BY user_id""",
     "join_customer_orders": """
         SELECT c_mktsegment, COUNT(*) AS n_orders,
-               ROUND(SUM(o_totalprice), 6) AS total_price
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS total_price
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY c_mktsegment""",
     "join_lineitem_orders": """
         SELECT o_orderpriority,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                    AS DOUBLE) / 10000.0 AS revenue,
                COUNT(*) AS n
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         GROUP BY o_orderpriority""",
     "supplier_nation_region": """
         SELECT r_name, COUNT(*) AS n_suppliers,
-               ROUND(SUM(s_acctbal), 6) AS total_acctbal
+               CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS total_acctbal
         FROM supplier
         JOIN nation ON s_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
@@ -1272,10 +1405,118 @@ ORACLE_SQL = {
     "doc_stats": """
         SELECT lang, COUNT(*) AS n_docs,
                CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-               ROUND(SUM(n_chars) / COUNT(*), 6) AS avg_chars
+               CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
         FROM documents GROUP BY lang""",
     "fingerprint_md5":
         "SELECT doc_id, md5(text) AS fp FROM documents",
+    "promo_revenue": """
+        SELECT 100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN
+                   CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT))
+               ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+               AS DOUBLE) AS promo_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+          AND l_shipdate < TIMESTAMP '1995-12-01'""",
+    "token_counts_bpe": r"""
+        SELECT doc_id, CAST(length(regexp_extract_all(text,
+            ' ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+')) AS BIGINT)
+            AS n_tokens_bpe
+        FROM documents""",
+    "quality_score": r"""
+        WITH w AS (
+          SELECT doc_id,
+                 length(list_filter(regexp_split_to_array(text, '\s+'),
+                        x -> x <> '')) AS n_tokens,
+                 length(text) - length(regexp_replace(text, '[.!?,;:]',
+                        '', 'g')) AS n_punct,
+                 list_filter(regexp_split_to_array(lower(text), '\s+'),
+                        x -> x <> '') AS words
+          FROM documents),
+        f AS (
+          SELECT doc_id, n_tokens, n_punct,
+                 CASE WHEN len(words) = 0 THEN 0.0 ELSE
+                   CAST(len(list_filter(words, x -> list_contains(
+                     ['the','and','of','to','a','in','is','that','for','it'],
+                     x))) AS DOUBLE) / len(words) END AS stop_ratio,
+                 CASE WHEN len(words) = 0 THEN 0.0 ELSE
+                   CAST(list_sum(list_transform(words, x -> length(x)))
+                        AS DOUBLE) / len(words) END AS mean_word_len
+          FROM w)
+        SELECT doc_id,
+               0.3 * least(greatest(n_tokens / 50.0, 0.0), 1.0)
+               + 0.2 * least(greatest(
+                   n_punct / greatest(n_tokens / 10.0, 1.0), 0.0), 1.0)
+               + 0.25 * least(greatest(
+                   1.0 - abs(stop_ratio - 0.35) / 0.35, 0.0), 1.0)
+               + 0.25 * least(greatest(
+                   1.0 - abs(mean_word_len - 4.5) / 4.5, 0.0), 1.0)
+               AS quality
+        FROM f""",
+    "lang_id": r"""
+        WITH w AS (
+          SELECT doc_id, list_distinct(regexp_split_to_array(
+                     substr(lower(text), 1, 2000), '\s+')) AS words
+          FROM documents),
+        h AS (
+          SELECT doc_id,
+            len(list_intersect(words,
+              ['the','and','of','to','a','in','is','that','for','it']))
+              AS h_en,
+            len(list_intersect(words,
+              ['der','die','das','und','ist','nicht','ein','zu','mit']))
+              AS h_de,
+            len(list_intersect(words,
+              ['le','la','les','et','est','un','une','pour','dans','que']))
+              AS h_fr,
+            len(list_intersect(words,
+              ['el','la','los','las','es','un','una','para','que','con']))
+              AS h_es
+          FROM w)
+        SELECT doc_id,
+               CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'unknown'
+                    WHEN h_en >= h_de AND h_en >= h_fr AND h_en >= h_es
+                         THEN 'en'
+                    WHEN h_de >= h_fr AND h_de >= h_es THEN 'de'
+                    WHEN h_fr >= h_es THEN 'fr'
+                    ELSE 'es' END AS lang_pred
+        FROM h""",
+    "minhash_dedup": """
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[0-9A-Za-z_]+')
+                 AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) = 0 THEN ['']
+                      WHEN len(t) < 5 THEN [array_to_string(t, ' ')]
+                      ELSE list_distinct(list_transform(
+                          range(1, len(t) - 3),
+                          i -> array_to_string(t[i:i+4], ' ')))
+                 END AS grams
+          FROM toks),
+        ex AS (SELECT doc_id, unnest(grams) AS g FROM sh),
+        cnt AS (SELECT doc_id, count(*) AS c FROM ex GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        edges AS (
+          SELECT id_a, id_b FROM inter
+          JOIN cnt ca ON ca.doc_id = id_a
+          JOIN cnt cb ON cb.doc_id = id_b
+          WHERE CAST(i AS DOUBLE) / (ca.c + cb.c - i) >= 0.8),
+        sym AS (SELECT id_a AS a, id_b AS b FROM edges
+                UNION SELECT id_b, id_a FROM edges),
+        reach(a, b) AS (
+          SELECT a, b FROM sym
+          UNION
+          SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+          WHERE s.b <> r.a)
+        SELECT a AS doc_id, least(a, min(b)) AS cluster_root
+        FROM reach GROUP BY a""",
     "quality_features": r"""
         SELECT doc_id,
             CAST(length(list_filter(regexp_split_to_array(text, '\s+'),

@@ -92,14 +92,21 @@ def assemble_salted(extracted_ds, hot_turns_threshold: int = 1000,
     Requires a MATERIALIZED input (it is consumed twice: a skinny count
     pass and the salted shuffle); ``run_flagship_job`` is the production
     path — this is the salting strategy for the pure-Dataset pipeline.
+
+    Driver footprint: only the HOT conversations (count >= threshold,
+    bounded by corpus_turns/threshold) ever reach the driver — the count
+    aggregate is filtered distributed-side first, and cold conversations
+    (exactly one salt group) compute base=0 / conv_turns locally.
     """
     import ray
 
-    # pass 0 (skinny): per-conversation turn counts -> hot set
-    counts = extracted_ds.select_columns(["conv_id"]) \
-        .groupby("conv_id").count().to_pandas()
-    hot = frozenset(counts.loc[counts["count()"] >= hot_turns_threshold,
-                               "conv_id"])
+    # pass 0 (skinny): distributed per-conv counts, filter to the hot set
+    # BEFORE anything is pulled to the driver (one row per hot conv only)
+    hot_counts = extracted_ds.select_columns(["conv_id"]) \
+        .groupby("conv_id").count() \
+        .map_batches(lambda b: b[b["count()"] >= hot_turns_threshold],
+                     batch_format="pandas").to_pandas()
+    hot = frozenset(hot_counts["conv_id"])
     span = salt_span or max(hot_turns_threshold // 4, 1)
     hot_ref = ray.put(hot)
 
@@ -120,39 +127,56 @@ def assemble_salted(extracted_ds, hot_turns_threshold: int = 1000,
         local = np.concatenate(([0], np.cumsum(sizes[:-1])))
         group = group.append_column("local_offset",
                                     pa.array(local, pa.int64()))
-        return group.append_column(
+        group = group.append_column(
             "salt_chars",
             pa.array(np.full(len(sizes), int(sizes.sum()), dtype=np.int64)))
+        return group.append_column(
+            "salt_turns",
+            pa.array(np.full(len(sizes), len(sizes), dtype=np.int32)))
 
     salted = extracted_ds.map_batches(add_salt, batch_format="pyarrow") \
         .groupby(["conv_id", "salt"]) \
         .map_groups(per_salt_group, batch_format="pyarrow")
     salted = salted.materialize()
 
-    # rebase: per-(conv, salt) totals -> exclusive prefix over salts
-    totals = salted.select_columns(["conv_id", "salt", "salt_chars"]) \
-        .groupby(["conv_id", "salt"]) \
-        .max("salt_chars").to_pandas() \
-        .sort_values(["conv_id", "salt"], kind="mergesort")
-    totals["base"] = (totals.groupby("conv_id")["max(salt_chars)"]
-                      .cumsum() - totals["max(salt_chars)"])
-    conv_turns_map = counts.set_index("conv_id")["count()"].to_dict()
-    base_map = {(c, s): int(b) for c, s, b in
-                zip(totals["conv_id"], totals["salt"], totals["base"])}
-    maps_ref = ray.put((base_map, conv_turns_map))
+    # rebase table for HOT convs only: (conv, salt) char totals -> exclusive
+    # prefix over salts + per-conv turn totals. Tiny by construction.
+    if hot:
+        totals = salted.select_columns(["conv_id", "salt", "salt_chars",
+                                        "salt_turns"]) \
+            .map_batches(lambda b: b[b["conv_id"].isin(hot)],
+                         batch_format="pandas") \
+            .groupby(["conv_id", "salt"]) \
+            .max(["salt_chars", "salt_turns"]).to_pandas() \
+            .sort_values(["conv_id", "salt"], kind="mergesort")
+        totals["base"] = (totals.groupby("conv_id")["max(salt_chars)"]
+                          .cumsum() - totals["max(salt_chars)"])
+        turns_tot = totals.groupby("conv_id")["max(salt_turns)"].sum()
+        base_map = {(c, s): int(b) for c, s, b in
+                    zip(totals["conv_id"], totals["salt"], totals["base"])}
+        turns_map = {c: int(t) for c, t in turns_tot.items()}
+    else:
+        base_map, turns_map = {}, {}
+    maps_ref = ray.put((base_map, turns_map))
 
     def rebase(batch: pa.Table) -> pa.Table:
-        bases, turns_map = ray.get(maps_ref)
+        bases, turns_tot_map = ray.get(maps_ref)
         conv = batch.column("conv_id").to_pylist()
         salt = batch.column("salt").to_pylist()
         local = batch.column("local_offset").to_numpy()
-        offs = np.fromiter((bases[(c, s)] for c, s in zip(conv, salt)),
-                           dtype=np.int64, count=len(conv)) + local
-        cturns = np.fromiter((turns_map[c] for c in conv),
-                             dtype=np.int32, count=len(conv))
+        salt_turns = batch.column("salt_turns").to_numpy()
+        # cold convs: single salt group -> base 0, conv_turns = salt_turns
+        offs = np.fromiter(
+            (bases.get((c, s), 0) for c, s in zip(conv, salt)),
+            dtype=np.int64, count=len(conv)) + local
+        cturns = np.fromiter(
+            (turns_tot_map.get(c, int(st))
+             for c, st in zip(conv, salt_turns)),
+            dtype=np.int32, count=len(conv))
         batch = batch.append_column("turn_offset", pa.array(offs, pa.int64()))
         batch = batch.append_column("conv_turns", pa.array(cturns, pa.int32()))
-        return batch.drop_columns(["salt", "local_offset", "salt_chars"])
+        return batch.drop_columns(["salt", "local_offset", "salt_chars",
+                                   "salt_turns"])
 
     return salted.map_batches(rebase, batch_format="pyarrow")
 

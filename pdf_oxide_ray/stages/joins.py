@@ -20,17 +20,22 @@ import pandas as pd
 
 # per-worker-process cache of fetched broadcast sides; ray.get of the same
 # ObjectRef is zero-copy from the local plasma store, and the cache avoids
-# even that call per batch
+# even that call per batch. Capped (FIFO evict) so a long-lived worker that
+# sees many distinct broadcast refs doesn't grow its heap unboundedly.
 _BROADCAST_CACHE: dict = {}
+_BROADCAST_CACHE_MAX = 8
 
 
 def _get_broadcast(ref):
     import ray
 
-    obj = _BROADCAST_CACHE.get(ref.hex() if hasattr(ref, "hex") else id(ref))
+    key = ref.hex() if hasattr(ref, "hex") else id(ref)
+    obj = _BROADCAST_CACHE.get(key)
     if obj is None:
         obj = ray.get(ref)
-        _BROADCAST_CACHE[ref.hex() if hasattr(ref, "hex") else id(ref)] = obj
+        while len(_BROADCAST_CACHE) >= _BROADCAST_CACHE_MAX:
+            _BROADCAST_CACHE.pop(next(iter(_BROADCAST_CACHE)))
+        _BROADCAST_CACHE[key] = obj
     return obj
 
 
@@ -78,12 +83,33 @@ def bucketed_hash_join(left_ds, right_ds, left_on: str, right_on: str,
     raise it to salt skewed keys.
     """
 
-    left_cols = list(left_ds.schema().names)
-    right_cols = list(right_ds.schema().names)
+    left_schema = left_ds.schema()
+    right_schema = right_ds.schema()
+    left_cols = list(left_schema.names)
+    right_cols = list(right_schema.names)
     clash = (set(left_cols) & set(right_cols)) - {left_on, right_on}
     if clash:
         raise ValueError(f"column collision between join sides: {clash}")
     all_cols = left_cols + [c for c in right_cols if c not in left_cols]
+
+    # the union's reindex pads each side's missing columns with NaN, which
+    # promotes int/bool columns to float64 — record the original dtypes so
+    # merge_bucket can restore them (a float64 join key would otherwise
+    # hash through _bucket_of's string branch and miss every bucket)
+    def _int_dtypes(schema) -> dict:
+        out = {}
+        for name, typ in zip(schema.names, schema.types):
+            try:
+                dt = np.dtype(typ.to_pandas_dtype()
+                              if hasattr(typ, "to_pandas_dtype") else typ)
+            except (TypeError, NotImplementedError):
+                continue
+            if dt.kind in "iub":
+                out[name] = dt
+        return out
+
+    left_restore = _int_dtypes(left_schema)
+    right_restore = _int_dtypes(right_schema)
 
     def tag(side: str, on: str):
         def _tag(batch: pd.DataFrame) -> pd.DataFrame:
@@ -102,6 +128,10 @@ def bucketed_hash_join(left_ds, right_ds, left_on: str, right_on: str,
         lmask = group["__side"] == "l"
         lg = group.loc[lmask, left_cols]
         rg = group.loc[~lmask, right_cols]
+        if left_restore:
+            lg = lg.astype(left_restore)
+        if right_restore:
+            rg = rg.astype(right_restore)
         return lg.merge(rg, how=how, left_on=left_on, right_on=right_on)
 
     return both.groupby("__bucket").map_groups(merge_bucket,

@@ -219,6 +219,15 @@ class AnnotateOffsetsBroadcast:
         lk = self._lookup
         conv = np.asarray(batch.column("conv_id").to_pandas())
         tidx = batch.column("turn_idx").to_numpy()
+        if len(lk["keys"]) == 0:
+            # an all-filtered shard yields an empty lookup table: emit the
+            # not-found sentinels for the whole batch instead of indexing
+            # an empty array with pos - 1 == -1
+            n = len(batch)
+            batch = batch.append_column(
+                "turn_offset", pa.array(np.full(n, -1, np.int64)))
+            return batch.append_column(
+                "conv_turns", pa.array(np.zeros(n, np.int32)))
         keys = _row_keys(conv, tidx)
         pos = np.searchsorted(lk["keys"], keys)
         pos = np.minimum(pos, len(lk["keys"]) - 1)

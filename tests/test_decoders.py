@@ -51,10 +51,19 @@ def _lzw_encode(data: bytes) -> bytes:
             w = wc
         else:
             emit(table[w], width)
-            table[wc] = next_code
-            next_code += 1
-            if next_code + 0 >= (1 << width) and width < 12:
-                width += 1
+            if next_code >= 4095:  # 12-bit table full: emit CLEAR, reset
+                emit(256, width)
+                table = {bytes([i]): i for i in range(256)}
+                next_code = 258
+                width = 9
+            else:
+                table[wc] = next_code
+                next_code += 1
+                # EarlyChange=1 (the PDF default): the encoder bumps the
+                # width one code early, mirrored by the decoder's
+                # len(table)+early >= 1<<width condition
+                if next_code >= (1 << width) and width < 12:
+                    width += 1
             w = bytes([ch])
     if w:
         emit(table[w], width)
@@ -75,6 +84,16 @@ def _lzw_encode(data: bytes) -> bytes:
 
 def test_lzw_roundtrip():
     data = b"TOBEORNOTTOBEORTOBEORNOT"
+    assert lzw_decode(_lzw_encode(data)) == data
+
+
+def test_lzw_roundtrip_crosses_width_boundary():
+    """Regression: streams whose dictionary crosses the 9->10 (and 10->11)
+    bit boundary desynced when the decoder bumped the code width one code
+    too late (at next_code 512 instead of 511 for EarlyChange=1)."""
+    import numpy as np
+
+    data = np.random.RandomState(7).bytes(6000)  # ~4k+ novel dict entries
     assert lzw_decode(_lzw_encode(data)) == data
 
 

@@ -24,7 +24,7 @@ TABLES = ("region nation customer supplier part orders lineitem events "
 def value_hash(df: pd.DataFrame) -> str:
     df = df[sorted(df.columns)]
     df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
-    payload = df.to_csv(index=False, float_format="%.6g").encode()
+    payload = df.to_csv(index=False, float_format="%.17g").encode()
     return hashlib.md5(payload).hexdigest()
 
 
