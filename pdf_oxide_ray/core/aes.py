@@ -62,22 +62,31 @@ _M9, _M11, _M13, _M14 = (_mul_table(9), _mul_table(11),
 
 
 def _expand_key(key: bytes) -> list[bytes]:
-    """128-bit key -> 11 round keys (FIPS-197 §5.2)."""
-    words = [key[i : i + 4] for i in range(0, 16, 4)]
-    for r in range(10):
-        w = words[-1]
-        w = bytes((_SBOX[w[1]] ^ _RCON[r], _SBOX[w[2]], _SBOX[w[3]],
-                   _SBOX[w[0]]))
-        for j in range(4):
-            prev = words[-4]
-            w = bytes(a ^ b for a, b in zip(prev, w))
-            words.append(w)
-    return [b"".join(words[i : i + 4]) for i in range(0, 44, 4)]
+    """FIPS-197 §5.2 key expansion, generalized to 128/192/256-bit keys
+    (Nk = 4/6/8, Nr = Nk + 6) — AES-256 is what PDF 2.0 R6 crypt filters
+    (/AESV3) use."""
+    nk = len(key) // 4
+    if nk not in (4, 6, 8) or len(key) % 4:
+        raise ValueError(f"bad AES key length {len(key)}")
+    nr = nk + 6
+    words = [key[4 * i : 4 * i + 4] for i in range(nk)]
+    i = nk
+    while len(words) < 4 * (nr + 1):
+        temp = words[-1]
+        if i % nk == 0:
+            temp = bytes((_SBOX[temp[1]] ^ _RCON[i // nk - 1],
+                          _SBOX[temp[2]], _SBOX[temp[3]], _SBOX[temp[0]]))
+        elif nk > 6 and i % nk == 4:
+            temp = bytes(_SBOX[b] for b in temp)
+        words.append(bytes(a ^ b for a, b in zip(words[-nk], temp)))
+        i += 1
+    return [b"".join(words[j : j + 4]) for j in range(0, 4 * (nr + 1), 4)]
 
 
 def _encrypt_block(block: bytes, round_keys: list[bytes]) -> bytes:
+    nr = len(round_keys) - 1
     s = bytearray(a ^ b for a, b in zip(block, round_keys[0]))
-    for rnd in range(1, 10):
+    for rnd in range(1, nr):
         # SubBytes + ShiftRows (column-major state: s[r + 4c])
         t = bytearray(16)
         for c in range(4):
@@ -92,7 +101,7 @@ def _encrypt_block(block: bytes, round_keys: list[bytes]) -> bytes:
             s[4 * c + 2] = a0 ^ a1 ^ _M2[a2] ^ _M3[a3] ^ rk[4 * c + 2]
             s[4 * c + 3] = _M3[a0] ^ a1 ^ a2 ^ _M2[a3] ^ rk[4 * c + 3]
     # final round: no MixColumns
-    rk = round_keys[10]
+    rk = round_keys[nr]
     out = bytearray(16)
     for c in range(4):
         for r in range(4):
@@ -101,8 +110,9 @@ def _encrypt_block(block: bytes, round_keys: list[bytes]) -> bytes:
 
 
 def _decrypt_block(block: bytes, round_keys: list[bytes]) -> bytes:
-    s = bytearray(a ^ b for a, b in zip(block, round_keys[10]))
-    for rnd in range(9, 0, -1):
+    nr = len(round_keys) - 1
+    s = bytearray(a ^ b for a, b in zip(block, round_keys[nr]))
+    for rnd in range(nr - 1, 0, -1):
         # InvShiftRows + InvSubBytes
         t = bytearray(16)
         for c in range(4):
@@ -147,6 +157,36 @@ def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
         block = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
         prev = _encrypt_block(block, rks)
         out += prev
+    return bytes(out)
+
+
+def aes_cbc_encrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Raw CBC (no padding, no IV prefix): data length must be a multiple
+    of 16. Used by the PDF 2.0 R6 hash chain (Algorithm 2.B) and the
+    UE/OE file-key wrap (ISO 32000-2 §7.6.4.3.3/.4)."""
+    if len(data) % 16:
+        raise ValueError("nopad CBC needs 16-byte-aligned input")
+    rks = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        block = bytes(a ^ b for a, b in zip(data[i : i + 16], prev))
+        prev = _encrypt_block(block, rks)
+        out += prev
+    return bytes(out)
+
+
+def aes_cbc_decrypt_nopad(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """Raw CBC decrypt (no padding, no IV prefix)."""
+    if len(data) % 16:
+        raise ValueError("nopad CBC needs 16-byte-aligned input")
+    rks = _expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        block = data[i : i + 16]
+        out += bytes(a ^ b for a, b in zip(_decrypt_block(block, rks), prev))
+        prev = block
     return bytes(out)
 
 

@@ -15,9 +15,15 @@ computation of the reference's encryption stack:
 
 AES-128-CBC (handler V4 with the /AESV2 crypt filter) is supported via
 the pure-Python FIPS-197 cipher in ``aes.py`` (validated against the
-FIPS Appendix C vector); AES-256 (V5/R6) is not implemented —
-``EncryptionHandler`` raises a clear error so such payloads surface as
-``status='error'`` rows rather than silent corruption.
+FIPS Appendix C vectors).
+
+AES-256 (V5 with /AESV3, revisions 5 and 6) follows the reference's
+surface (``/root/reference/src/encryption/mod.rs:183-231`` parses
+OE/UE/Perms and maps (5,5)/(5,6) to Algorithm::Aes256) with the full
+public ISO 32000-2 §7.6.4 key derivation: SHA-256 validation against
+the /U validation salt (plus the Algorithm 2.B SHA-256/384/512 chain
+for R6), then the file key unwrapped from /UE via AES-256-CBC with a
+zero IV. V5 uses the file key directly per object (no MD5 rekeying).
 """
 
 from __future__ import annotations
@@ -100,6 +106,38 @@ class EncryptionError(ValueError):
     pass
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=256)
+def hash_r6(password: bytes, salt: bytes, udata: bytes = b"") -> bytes:
+    """ISO 32000-2 Algorithm 2.B (the R6 iterated SHA-2 hash).
+
+    Start with SHA-256(pwd + salt + udata); then repeat: K1 = 64 copies
+    of (pwd + K + udata), E = AES-128-CBC(K[0:16], iv=K[16:32], K1), and
+    rehash K1... no — rehash E with SHA-{256,384,512} picked by the first
+    16 bytes of E mod 3 (256 == 1 mod 3, so byte-sum mod 3 is identical).
+    Stop after round >= 64 when E[-1] <= round - 32.
+    """
+    from .aes import aes_cbc_encrypt_nopad
+
+    k = hashlib.sha256(password + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (password + k + udata) * 64
+        e = aes_cbc_encrypt_nopad(k[:16], k[16:32], k1)
+        mod = sum(e[:16]) % 3
+        if mod == 0:
+            k = hashlib.sha256(e).digest()
+        elif mod == 1:
+            k = hashlib.sha384(e).digest()
+        else:
+            k = hashlib.sha512(e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
 class EncryptionHandler:
     """Standard security handler (handler.rs:38-200); empty-password auth
     at construction (mirrors the reference's lazy init,
@@ -112,6 +150,9 @@ class EncryptionHandler:
         self.v = int(encrypt_dict.get("V", 1) or 1)
         self.r = int(encrypt_dict.get("R", 2) or 2)
         self.algorithm = "rc4"
+        if self.v >= 5 or self.r >= 5:
+            self._init_v5(encrypt_dict)
+            return
         if self.v >= 4:
             # V4: crypt filters — AESV2 (AES-128-CBC) or V2 (RC4)
             cfm = None
@@ -125,11 +166,7 @@ class EncryptionHandler:
             elif cfm == "V2":
                 self.algorithm = "rc4"
             else:
-                raise EncryptionError(
-                    f"unsupported crypt filter {cfm!r} (AESV3/V5 needs "
-                    f"AES-256, not implemented)")
-        if self.v >= 5 or self.r >= 5:
-            raise EncryptionError("AES-256 (V5/R6) not implemented")
+                raise EncryptionError(f"unsupported crypt filter {cfm!r}")
         length_bits = int(encrypt_dict.get("Length", 40) or 40)
         self.key_length = max(5, min(length_bits // 8, 16))
         o = encrypt_dict.get("O")
@@ -143,7 +180,39 @@ class EncryptionHandler:
             raise EncryptionError("empty user password rejected")
         self.key = key
 
+    def _init_v5(self, encrypt_dict: dict) -> None:
+        """AES-256 (V5, R5/R6) empty-user-password authentication:
+        validate against /U's validation salt, derive the intermediate key
+        from /U's key salt, unwrap the 32-byte file key from /UE
+        (ISO 32000-2 §7.6.4.3.3 Algorithm 2.A steps f-g; reference
+        mod.rs:183-231 carries the same OE/UE fields)."""
+        from .aes import aes_cbc_decrypt_nopad
+
+        u = encrypt_dict.get("U")
+        ue = encrypt_dict.get("UE")
+        if not isinstance(u, bytes) or len(u) < 48:
+            raise EncryptionError("V5 requires a 48-byte /U")
+        if not isinstance(ue, bytes) or len(ue) != 32:
+            raise EncryptionError("V5 requires a 32-byte /UE")
+        password = b""
+        vsalt, ksalt = u[32:40], u[40:48]
+        if self.r >= 6:
+            expected = hash_r6(password, vsalt)
+            intermediate = hash_r6(password, ksalt)
+        else:  # R5 (Adobe ExtensionLevel 3): single SHA-256
+            expected = hashlib.sha256(password + vsalt).digest()
+            intermediate = hashlib.sha256(password + ksalt).digest()
+        if expected != u[:32]:
+            raise EncryptionError("empty user password rejected (V5)")
+        self.key = aes_cbc_decrypt_nopad(intermediate, b"\x00" * 16, ue)
+        self.algorithm = "aes"
+        self.key_length = 32
+
     def _object_key(self, obj_num: int, gen_num: int) -> bytes:
+        if self.key_length == 32:
+            # V5: the file key is used directly — no per-object MD5 rekey
+            # (ISO 32000-2 §7.6.9; contrast handler.rs:182-200 for V<=4)
+            return self.key
         h = hashlib.md5()
         h.update(self.key)
         h.update(obj_num.to_bytes(4, "little")[:3])

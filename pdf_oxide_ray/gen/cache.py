@@ -8,7 +8,7 @@ import os
 from .transcripts import write_corpus
 
 # bump when extraction semantics change (golden tables must regenerate)
-CORPUS_VERSION = 8
+CORPUS_VERSION = 9
 
 CACHE_ROOT = os.environ.get(
     "PDF_OXIDE_RAY_CACHE", f"/tmp/pdf_oxide_ray_corpora_v{CORPUS_VERSION}")

@@ -338,40 +338,94 @@ def make_pdf_payload(rng: random.Random) -> str:
     # live inside content streams in these docs)
     encrypted = (rng.random() < 0.08 and not broken_xref
                  and not use_xrefstm and not tagged)
+    use_aes256 = False
     if encrypted:
-        from ..core.aes import aes_cbc_encrypt
+        from ..core.aes import aes_cbc_encrypt, aes_cbc_encrypt_nopad
         from ..core.encryption import (compute_encryption_key,
                                        compute_user_key_r2,
-                                       compute_user_key_r3, rc4_crypt)
+                                       compute_user_key_r3, hash_r6,
+                                       rc4_crypt)
 
-        # 1/3 AES-128 (V4 /AESV2), else RC4 R2/R3
-        use_aes = rng.random() < 0.34
-        revision = 4 if use_aes else rng.choice([2, 3])
-        key_len = 5 if revision == 2 else 16
-        owner_key = bytes(rng.randrange(256) for _ in range(32))
-        file_id = bytes(rng.randrange(256) for _ in range(16))
-        perms = -44
-        enc_key = compute_encryption_key(b"", owner_key, perms, file_id,
-                                         revision, key_len)
-        user_key = (compute_user_key_r3(enc_key, file_id) if revision >= 3
-                    else compute_user_key_r2(enc_key))
+        # ~15% AES-256 (V5: R5 mostly, R6 sometimes), ~28% AES-128
+        # (V4 /AESV2), else RC4 R2/R3
+        mode = rng.random()
+        use_aes256 = mode < 0.15
+        use_aes = not use_aes256 and mode < 0.43
+        if use_aes256:
+            revision = 6 if rng.random() < 0.3 else 5
+            file_key = bytes(rng.randrange(256) for _ in range(32))
+            file_id = bytes(rng.randrange(256) for _ in range(16))
+            perms = -44
+            if revision == 6:
+                # FIXED salts across R6 docs: hash_r6 costs ~80 ms in pure
+                # Python, and the lru_cache on it makes a shared-salt
+                # corpus decrypt at full speed (the handler itself caches
+                # per-document anyway; salts vary per doc in the wild)
+                vsalt, ksalt = b"\x01\x23\x45\x67\x89\xab\xcd\xef", \
+                    b"\xfe\xdc\xba\x98\x76\x54\x32\x10"
+                u_hash = hash_r6(b"", vsalt)
+                intermediate = hash_r6(b"", ksalt)
+            else:
+                import hashlib as _hl
 
-        def _enc_stream(num: int, data: bytes) -> bytes:
-            import hashlib as _hl
+                vsalt = bytes(rng.randrange(256) for _ in range(8))
+                ksalt = bytes(rng.randrange(256) for _ in range(8))
+                u_hash = _hl.sha256(b"" + vsalt).digest()
+                intermediate = _hl.sha256(b"" + ksalt).digest()
+            user_key = u_hash + vsalt + ksalt  # /U (48 bytes)
+            ue = aes_cbc_encrypt_nopad(intermediate, b"\x00" * 16, file_key)
+            # owner entries (valid shape; user-password path is what the
+            # extractor authenticates)
+            import hashlib as _hl2
 
-            h = _hl.md5()
-            h.update(enc_key)
-            h.update(num.to_bytes(4, "little")[:3])
-            h.update(b"\x00\x00")
-            if use_aes:
-                h.update(b"sAlT")
-            obj_key = h.digest()[: min(len(enc_key) + 5, 16)]
-            if use_aes:
+            ovsalt = bytes(rng.randrange(256) for _ in range(8))
+            oksalt = bytes(rng.randrange(256) for _ in range(8))
+            if revision == 6:
+                o_hash = hash_r6(b"", ovsalt, user_key)
+                o_inter = hash_r6(b"", oksalt, user_key)
+            else:
+                o_hash = _hl2.sha256(b"" + ovsalt + user_key).digest()
+                o_inter = _hl2.sha256(b"" + oksalt + user_key).digest()
+            owner_key = o_hash + ovsalt + oksalt  # /O (48 bytes)
+            oe = aes_cbc_encrypt_nopad(o_inter, b"\x00" * 16, file_key)
+            perms_block = ((perms & 0xFFFFFFFF).to_bytes(4, "little")
+                           + b"\xff\xff\xff\xff" + b"Tadb"
+                           + bytes(rng.randrange(256) for _ in range(4)))
+            perms_enc = aes_cbc_encrypt_nopad(file_key, b"\x00" * 16,
+                                              perms_block)
+
+            def _enc_stream_v5(num: int, data: bytes) -> bytes:
                 iv = bytes(rng.randrange(256) for _ in range(16))
-                return aes_cbc_encrypt(obj_key, iv, data)
-            return rc4_crypt(obj_key, data)
+                return aes_cbc_encrypt(file_key, iv, data)
 
-        b.encrypt_fn = _enc_stream
+            b.encrypt_fn = _enc_stream_v5
+        else:
+            revision = 4 if use_aes else rng.choice([2, 3])
+            key_len = 5 if revision == 2 else 16
+            owner_key = bytes(rng.randrange(256) for _ in range(32))
+            file_id = bytes(rng.randrange(256) for _ in range(16))
+            perms = -44
+            enc_key = compute_encryption_key(b"", owner_key, perms, file_id,
+                                             revision, key_len)
+            user_key = (compute_user_key_r3(enc_key, file_id)
+                        if revision >= 3 else compute_user_key_r2(enc_key))
+
+            def _enc_stream(num: int, data: bytes) -> bytes:
+                import hashlib as _hl
+
+                h = _hl.md5()
+                h.update(enc_key)
+                h.update(num.to_bytes(4, "little")[:3])
+                h.update(b"\x00\x00")
+                if use_aes:
+                    h.update(b"sAlT")
+                obj_key = h.digest()[: min(len(enc_key) + 5, 16)]
+                if use_aes:
+                    iv = bytes(rng.randrange(256) for _ in range(16))
+                    return aes_cbc_encrypt(obj_key, iv, data)
+                return rc4_crypt(obj_key, data)
+
+            b.encrypt_fn = _enc_stream
 
     if use_xrefstm:
         font1, font2 = b.add_objstm([
@@ -512,17 +566,29 @@ def make_pdf_payload(rng: random.Random) -> str:
                  .encode())
     if encrypted:
         b.encrypt_fn = None  # the /Encrypt dict itself stays plaintext
-        if use_aes:
-            v_entry = ("/V 4 /R 4 /Length 128 "
-                       "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
-                       "/StmF /StdCF /StrF /StdCF ")
+        if use_aes256:
+            enc_num = b.add(
+                f"<< /Filter /Standard /V 5 /R {revision} /Length 256 "
+                f"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+                f"/StmF /StdCF /StrF /StdCF "
+                f"/O <{owner_key.hex().upper()}> "
+                f"/U <{user_key.hex().upper()}> "
+                f"/OE <{oe.hex().upper()}> /UE <{ue.hex().upper()}> "
+                f"/Perms <{perms_enc.hex().upper()}> "
+                f"/P {perms} >>".encode())
         else:
-            v_entry = (f"/V {1 if revision == 2 else 2} /R {revision} "
-                       f"/Length {key_len * 8} ")
-        enc_num = b.add(
-            f"<< /Filter /Standard {v_entry}"
-            f"/O <{owner_key.hex().upper()}> /U <{user_key.hex().upper()}> "
-            f"/P {perms} >>".encode())
+            if use_aes:
+                v_entry = ("/V 4 /R 4 /Length 128 "
+                           "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+                           "/StmF /StdCF /StrF /StdCF ")
+            else:
+                v_entry = (f"/V {1 if revision == 2 else 2} /R {revision} "
+                           f"/Length {key_len * 8} ")
+            enc_num = b.add(
+                f"<< /Filter /Standard {v_entry}"
+                f"/O <{owner_key.hex().upper()}> "
+                f"/U <{user_key.hex().upper()}> "
+                f"/P {perms} >>".encode())
         b.trailer_extra = (f" /Encrypt {enc_num} 0 R "
                            f"/ID [ <{file_id.hex().upper()}> "
                            f"<{file_id.hex().upper()}> ]")

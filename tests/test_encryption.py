@@ -131,12 +131,86 @@ def test_handler_v4_aesv2_accepted():
     assert h.decrypt(enc, 8) != data  # different object key
 
 
-def test_handler_v5_rejected():
+def test_handler_v5_malformed_rejected():
+    # a V5 dict without the 48-byte /U + 32-byte /UE must raise cleanly
     with pytest.raises(EncryptionError):
         EncryptionHandler({"Filter": "Standard", "V": 5, "R": 6,
                            "CF": {"StdCF": {"CFM": "AESV3"}},
                            "O": b"\x00" * 32, "U": b"\x00" * 32, "P": -1},
                           b"")
+
+
+def test_aes256_fips_vector():
+    # FIPS-197 Appendix C.3
+    from pdf_oxide_ray.core.aes import _decrypt_block, _encrypt_block, _expand_key
+
+    key = bytes.fromhex("000102030405060708090a0b0c0d0e0f"
+                        "101112131415161718191a1b1c1d1e1f")
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    ct = _encrypt_block(pt, _expand_key(key))
+    assert ct.hex() == "8ea2b7ca516745bfeafc49904b496089"
+    assert _decrypt_block(ct, _expand_key(key)) == pt
+
+
+def test_hash_r6_deterministic_and_sized():
+    from pdf_oxide_ray.core.encryption import hash_r6
+
+    a = hash_r6(b"", b"saltsalt")
+    assert len(a) == 32
+    assert hash_r6(b"", b"saltsalt") == a
+    assert hash_r6(b"", b"other-sa") != a
+    assert hash_r6(b"pw", b"saltsalt", b"u" * 48) != a
+
+
+def _v5_dict(revision: int):
+    """Build a V5 encrypt dict + matching handler inputs by hand."""
+    import hashlib
+
+    from pdf_oxide_ray.core.aes import aes_cbc_encrypt_nopad
+    from pdf_oxide_ray.core.encryption import hash_r6
+
+    file_key = bytes(range(32))
+    vsalt, ksalt = b"\x11" * 8, b"\x22" * 8
+    if revision == 6:
+        u_hash = hash_r6(b"", vsalt)
+        inter = hash_r6(b"", ksalt)
+    else:
+        u_hash = hashlib.sha256(vsalt).digest()
+        inter = hashlib.sha256(ksalt).digest()
+    u = u_hash + vsalt + ksalt
+    ue = aes_cbc_encrypt_nopad(inter, b"\x00" * 16, file_key)
+    return ({"Filter": "Standard", "V": 5, "R": revision, "Length": 256,
+             "CF": {"StdCF": {"CFM": "AESV3", "Length": 32}},
+             "O": b"\x00" * 48, "OE": b"\x00" * 32,
+             "U": u, "UE": ue, "P": -44}, file_key)
+
+
+@pytest.mark.parametrize("revision", [5, 6])
+def test_handler_v5_roundtrip(revision):
+    enc, file_key = _v5_dict(revision)
+    h = EncryptionHandler(enc, b"")
+    assert h.key == file_key
+    assert h.key_length == 32
+    data = b"stream contents for AES-256"
+    ct = h.encrypt(data, 3, iv=b"\x07" * 16)
+    assert h.decrypt(ct, 3) == data
+    # V5 keys are NOT per-object: any object number decrypts
+    assert h.decrypt(ct, 99) == data
+
+
+def test_generator_v5_pdfs_extract():
+    n = n6 = 0
+    for seed in range(1200):
+        payload = make_pdf_payload(random.Random(seed))
+        if "/AESV3" not in payload:
+            continue
+        n += 1
+        if "/R 6" in payload:
+            n6 += 1
+        res = extract_payload(payload)
+        assert res["status"] == "ok", res["error"][:200]
+        assert res["extracted_text"].strip()
+    assert n >= 2
 
 
 def test_generator_aes_pdfs_extract():
