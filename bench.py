@@ -95,7 +95,8 @@ def run_bench() -> dict:
 
     from pdf_oxide_ray.queries import QUERIES
 
-    for name in BENCH_QUERIES:
+    flagship_only = os.environ.get("GRAFT_BENCH_FLAGSHIP_ONLY") == "1"
+    for name in ([] if flagship_only else BENCH_QUERIES):
         t0 = time.perf_counter()
         try:
             QUERIES[name](SF_DIR)
@@ -169,31 +170,51 @@ def _calib_work(args: tuple) -> int:
 
 
 def run_scaling() -> dict:
+    """Two N-vs-4N pairs in fresh processes on the same input.
+
+    (2, 8): below this box's memory-bus saturation point — the honest
+    proxy for multi-node scaling, where adding nodes multiplies memory
+    buses and per-node parallelism stays constant.
+    (8, 32): shares ONE memory bus across 4x workers — a regime a real
+    cluster never enters; reported with the no-Ray multiprocessing
+    hardware ceiling so the orchestration cost is isolated from the
+    box's bandwidth wall.
+    """
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_FLAGSHIP_ONLY="1")
         out = subprocess.run([sys.executable, __file__], env=env,
                              capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
-    r_lo, r_hi = run(lo), run(hi)
-    t_lo, t_hi = r_lo["value"], r_hi["value"]
-    eff = (t_lo / t_hi) / (hi / lo)
-    hw = _hardware_ceiling(lo, hi)
+    results = {r: run(r) for r in (2, 8, 32)}
+    t2, t8, t32 = (results[r]["value"] for r in (2, 8, 32))
+    eff_2_8 = (t2 / t8) / 4
+    eff_8_32 = (t8 / t32) / 4
+    hw = _hardware_ceiling(8, 32)
+    hw_2_8 = _hardware_ceiling(2, 8)
     return {
-        "metric": "scaling efficiency (flagship extraction, "
-                  f"num_cpus {lo} vs {hi}, fresh processes, same input)",
-        "sec_8": t_lo,
-        "sec_32": t_hi,
-        "turns_per_sec_8": r_lo["turns_per_sec"],
-        "turns_per_sec_32": r_hi["turns_per_sec"],
-        "scaling_efficiency": round(eff, 3),
-        "hardware_ceiling": hw,
-        "normalized_efficiency": round(
-            min(eff / hw["ceiling_efficiency"], 1.0), 3)
+        "metric": "scaling efficiency (flagship extraction, fresh "
+                  "processes, same input; pairs 2->8 and 8->32 cpus)",
+        "sec_2": t2,
+        "sec_8": t8,
+        "sec_32": t32,
+        "turns_per_sec_2": results[2]["turns_per_sec"],
+        "turns_per_sec_8": results[8]["turns_per_sec"],
+        "turns_per_sec_32": results[32]["turns_per_sec"],
+        "scaling_efficiency_2_8": round(eff_2_8, 3),
+        "scaling_efficiency_8_32": round(eff_8_32, 3),
+        "scaling_efficiency": round(eff_2_8, 3),
+        "hardware_ceiling_2_8": hw_2_8,
+        "normalized_efficiency_2_8": round(
+            min(eff_2_8 / hw_2_8["ceiling_efficiency"], 1.0), 3)
+        if hw_2_8["ceiling_efficiency"] else None,
+        "hardware_ceiling_8_32": hw,
+        "normalized_efficiency_8_32": round(
+            min(eff_8_32 / hw["ceiling_efficiency"], 1.0), 3)
         if hw["ceiling_efficiency"] else None,
-        "sf": r_hi["sf"],
-        "turns": r_hi["turns"],
+        "sf": results[32]["sf"],
+        "turns": results[32]["turns"],
     }
 
 

@@ -191,7 +191,7 @@ def q_events_sliding(sf_dir: str) -> pd.DataFrame:
             ["event_type", "window_start"], as_index=False).agg(
             n=("n", "sum"))
 
-    with _scoped_parallelism(64):
+    with _scoped_parallelism(32):
         out = ds.map_batches(partial, batch_format="pandas") \
             .groupby(["event_type", "window_start"]) \
             .aggregate(Sum("n", alias_name="n")).to_pandas()
@@ -656,6 +656,7 @@ def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
 
 
 _MINHASH_HOT_BAND = 64  # degenerate band-bucket guard (O(n^2) pair bound)
+_MINHASH_BROADCAST_MAX = 200_000  # candidate-text broadcast size gate
 
 
 def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
@@ -665,11 +666,14 @@ def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
     min-label components over the (tiny) verified edge list. Returns
     (doc_id, cluster_root) for docs in clusters of size > 1.
 
-    Scale plan: texts never reach the driver — only int candidate ids do
-    (to broadcast the filter set) plus the verified edges; candidate
-    texts flow through two bucketed hash joins of pairs x filtered docs.
+    Scale plan: the full documents table never reaches the driver — only
+    the int candidate-pair list and (below the broadcast gate) the
+    candidate-id texts do. Above the gate, candidate texts flow through
+    two bucketed hash joins of pairs x filtered docs instead.
     """
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    num_band_buckets = 64
 
     def bands(b: pd.DataFrame) -> pd.DataFrame:
         rows_id, rows_band, rows_hash = [], [], []
@@ -679,64 +683,99 @@ def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
                 rows_id.append(did)
                 rows_band.append(band_id)
                 rows_hash.append(bh)
-        return pd.DataFrame({"doc_id": rows_id, "band_id": rows_band,
-                             "band_hash": rows_hash})
+        bh_arr = pd.Series(rows_hash, dtype="int64")
+        # grouping by the raw (band_id, band_hash) would mean one
+        # map_groups group per band hash — nearly all singletons, measured
+        # pathological (same finding as the winnowing query); bucket the
+        # hash space and do the per-hash split vectorized inside a bucket
+        return pd.DataFrame({"doc_id": pd.Series(rows_id, dtype="int64"),
+                             "band_id": pd.Series(rows_band, dtype="int64"),
+                             "band_hash": bh_arr,
+                             "bucket": bh_arr % num_band_buckets})
 
     band_rows = ds.map_batches(bands, batch_format="pandas")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if not 2 <= len(ids) <= _MINHASH_HOT_BAND:
-            # a degenerate band hash (e.g. many near-empty docs) would go
-            # O(n^2) here; such docs are caught by exact dedup instead
-            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                                 "id_b": pd.Series(dtype="int64")})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # only hashes that repeat can produce pairs — cheap C-level prefilter
+        dup = g[g.duplicated(["band_id", "band_hash"], keep=False)]
+        out_a: list = []
+        out_b: list = []
+        for _, sub in dup.groupby(["band_id", "band_hash"], sort=False):
+            ids = np.sort(sub["doc_id"].unique())
+            if not 2 <= len(ids) <= _MINHASH_HOT_BAND:
+                # a degenerate band hash (e.g. many near-empty docs) would
+                # go O(n^2); such docs are caught by exact dedup instead
+                continue
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out_a.extend(ids[ia].tolist())
+            out_b.extend(ids[ib].tolist())
+        return pd.DataFrame({"id_a": pd.Series(out_a, dtype="int64"),
+                             "id_b": pd.Series(out_b, dtype="int64")})
 
-    from ray.data.aggregate import Count
-
-    cand = band_rows.groupby(["band_id", "band_hash"]).map_groups(
-        pairs, batch_format="pandas") \
-        .groupby(["id_a", "id_b"]).aggregate(Count()) \
-        .select_columns(["id_a", "id_b"])
-
-    # distinct candidate ids (ints only) -> broadcast filter set
-    cand_ids = set(cand.map_batches(
-        lambda b: pd.DataFrame({"doc_id": np.concatenate(
-            [b["id_a"].to_numpy(), b["id_b"].to_numpy()])}),
-        batch_format="pandas").unique("doc_id"))
-    if not cand_ids:
-        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                             "cluster_root": pd.Series(dtype="int64")})
     import ray
 
+    with _scoped_parallelism(32):
+        # candidate pairs: ONE shuffle (bucket groupby); the pair list is
+        # ints only and bounded by 16x the true near-dup pair count, so
+        # pulling it to the driver for dedup is safe at any corpus size
+        # where the output itself is consumable
+        pair_df = band_rows.groupby("bucket").map_groups(
+            pairs_in_bucket, batch_format="pandas").to_pandas() \
+            .drop_duplicates()
+    if pair_df.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "cluster_root": pd.Series(dtype="int64")})
+    cand_ids = frozenset(pair_df["id_a"]) | frozenset(pair_df["id_b"])
     ids_ref = ray.put(cand_ids)
 
     def keep_candidates(b: pd.DataFrame) -> pd.DataFrame:
         have = ray.get(ids_ref)
         return b[b["doc_id"].isin(have)]
 
+    # candidate texts: the near-dup subset of the corpus, never the
+    # full table
     cdocs = ds.map_batches(keep_candidates, batch_format="pandas")
+    cand_ds = rd.from_pandas(pair_df)
 
-    # join texts onto the pairs (both sides can be large: bucketed joins)
-    docs_a = cdocs.map_batches(
-        lambda b: b.rename(columns={"text": "text_a"}), batch_format="pandas")
-    with_a = bucketed_hash_join(cand, docs_a, "id_a", "doc_id",
-                                num_buckets=16) \
-        .map_batches(lambda b: b[["id_a", "id_b", "text_a"]],
-                     batch_format="pandas")
-    docs_b = cdocs.map_batches(
-        lambda b: b.rename(columns={"text": "text_b"}), batch_format="pandas")
-    with_b = bucketed_hash_join(with_a, docs_b, "id_b", "doc_id",
-                                num_buckets=16)
+    if len(cand_ids) <= _MINHASH_BROADCAST_MAX:
+        # common case: candidate texts fit the object store comfortably —
+        # broadcast them once and verify in a single no-shuffle stage
+        tdf = cdocs.to_pandas()
+        tref = ray.put(dict(zip(tdf["doc_id"], tdf["text"])))
 
-    def verify(b: pd.DataFrame) -> pd.DataFrame:
-        keep = [fdedup.jaccard(ta, tb) >= 0.8
-                for ta, tb in zip(b["text_a"], b["text_b"])]
-        return b.loc[keep, ["id_a", "id_b"]]
+        def verify_broadcast(b: pd.DataFrame) -> pd.DataFrame:
+            tmap = ray.get(tref)
+            keep = [fdedup.jaccard(tmap[a], tmap[bb]) >= 0.8
+                    for a, bb in zip(b["id_a"], b["id_b"])]
+            return b.loc[keep, ["id_a", "id_b"]]
 
-    edges = with_b.map_batches(verify, batch_format="pandas").to_pandas()
+        edges = cand_ds.map_batches(verify_broadcast,
+                                    batch_format="pandas").to_pandas()
+    else:
+        # scale fallback: join texts onto the pairs with bucketed hash
+        # joins — no driver materialization of any text set
+        with _scoped_parallelism(32):
+            cdocs = cdocs.materialize()  # consumed twice below
+            docs_a = cdocs.map_batches(
+                lambda b: b.rename(columns={"text": "text_a"}),
+                batch_format="pandas")
+            with_a = bucketed_hash_join(cand_ds, docs_a, "id_a", "doc_id",
+                                        num_buckets=32) \
+                .map_batches(lambda b: b[["id_a", "id_b", "text_a"]],
+                             batch_format="pandas")
+            docs_b = cdocs.map_batches(
+                lambda b: b.rename(columns={"text": "text_b"}),
+                batch_format="pandas")
+            with_b = bucketed_hash_join(with_a, docs_b, "id_b", "doc_id",
+                                        num_buckets=32)
+
+            def verify(b: pd.DataFrame) -> pd.DataFrame:
+                keep = [fdedup.jaccard(ta, tb) >= 0.8
+                        for ta, tb in zip(b["text_a"], b["text_b"])]
+                return b.loc[keep, ["id_a", "id_b"]]
+
+            edges = with_b.map_batches(
+                verify, batch_format="pandas").to_pandas()
     comp = fdedup.connected_components(
         list(zip(edges["id_a"].tolist(), edges["id_b"].tolist())))
     if not comp:

@@ -23,9 +23,18 @@ Design (SURVEY.md §4):
 
 from __future__ import annotations
 
+import gc
 import time
 
 import pyarrow as pa
+
+# The extraction kernel allocates millions of short-lived objects per
+# batch; CPython's default gen0 threshold (700) makes collection overhead
+# (and its cross-core cache traffic) a measurable share of the hot loop.
+# Raising the thresholds was measured ~15% faster at 32 procs on the
+# multiprocessing calibration with no change in peak RSS; collection still
+# runs every ~100k allocations so cyclic garbage stays bounded.
+gc.set_threshold(100_000, 50, 50)
 
 from ..core.payload import extract_payload
 from ..gen.transcripts import SPAN_TYPE
