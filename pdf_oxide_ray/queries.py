@@ -635,6 +635,88 @@ def q_lang_id(sf_dir: str) -> pd.DataFrame:
         batch_format="pandas").to_pandas()
 
 
+def q_props_rollup(sf_dir: str) -> pd.DataFrame:
+    """Semi-structured payload column: parse the JSON ``props`` per event
+    (vectorized str.extract — compiled once per batch) and roll up the
+    extracted metric per event type. Covers the one events column no other
+    query touches."""
+    ds = _pq(sf_dir, "events", ["event_type", "props"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        k = b["props"].fillna("").str.extract(r"(\d+)", expand=False) \
+            .fillna("0").astype(np.int64)
+        return pd.DataFrame({"event_type": b["event_type"], "k_sum": k,
+                             "n": 1}) \
+            .groupby("event_type", as_index=False).sum()
+
+    out = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("event_type").aggregate(
+            Sum("k_sum", alias_name="k_sum"),
+            Sum("n", alias_name="n")).to_pandas()
+    out["avg_k"] = (out["k_sum"].astype(np.float64)) / out["n"]
+    out["k_sum"] = out["k_sum"].astype("int64")
+    return out.drop(columns=["n"])
+
+
+def q_split_assign(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val/test split assignment (training-data prep):
+    first hex nibble of md5(doc_id) routes 1/16 to test, 1/16 to val,
+    rest to train — stable under any partitioning/reordering because the
+    hash depends only on the row key. Pure map, no shuffle."""
+    import hashlib
+
+    ds = _pq(sf_dir, "documents", ["doc_id"])
+
+    def assign(b: pd.DataFrame) -> pd.DataFrame:
+        nib = b["doc_id"].map(
+            lambda d: hashlib.md5(str(d).encode()).hexdigest()[0])
+        split = np.where(nib == "0", "test",
+                         np.where(nib == "1", "val", "train"))
+        return pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
+                             "split": split})
+
+    return ds.map_batches(assign, batch_format="pandas").to_pandas()
+
+
+def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic stratified sample: per-language doc counts of an
+    exact 2/16 hash sample (md5 nibble in {0,1}) — the reproducible
+    corpus-sampling op (no RNG, no shuffle; partial counts only)."""
+    import hashlib
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "lang"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        nib = b["doc_id"].map(
+            lambda d: hashlib.md5(str(d).encode()).hexdigest()[0])
+        hit = b[(nib == "0") | (nib == "1")]
+        return hit.groupby("lang", as_index=False).agg(
+            n_sampled=("doc_id", "size"))
+
+    out = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("lang").aggregate(
+            Sum("n_sampled", alias_name="n_sampled")).to_pandas()
+    out["n_sampled"] = out["n_sampled"].astype("int64")
+    return out
+
+
+def q_token_histogram(sf_dir: str) -> pd.DataFrame:
+    """Corpus token-length histogram (10-token buckets): per-batch partial
+    counts, tiny groupby — the length-distribution op a filtering pipeline
+    reads before picking cutoffs."""
+    ds = _pq(sf_dir, "documents", ["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        n = ftext.token_count_ws(b["text"])
+        return pd.DataFrame({"bucket": (n // 10) * 10}) \
+            .groupby("bucket", as_index=False).agg(n_docs=("bucket", "size"))
+
+    out = ds.map_batches(partial, batch_format="pandas") \
+        .groupby("bucket").aggregate(
+            Sum("n_docs", alias_name="n_docs")).to_pandas()
+    return out.astype({"bucket": "int64", "n_docs": "int64"})
+
+
 # ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------
@@ -1268,6 +1350,10 @@ QUERIES = {
     "quality_features": q_quality_features,
     "quality_score": q_quality_score,
     "lang_id": q_lang_id,
+    "props_rollup": q_props_rollup,
+    "split_assign": q_split_assign,
+    "stratified_sample": q_stratified_sample,
+    "token_histogram": q_token_histogram,
     "dedup_exact": q_dedup_exact,
     "minhash_dedup": q_minhash_dedup,
     "simhash_buckets": q_simhash_buckets,
@@ -1452,6 +1538,28 @@ ORACLE_SQL = {
         FROM documents GROUP BY lang""",
     "fingerprint_md5":
         "SELECT doc_id, md5(text) AS fp FROM documents",
+    "props_rollup": r"""
+        SELECT event_type,
+               CAST(SUM(CAST(regexp_extract(props, '\d+') AS BIGINT))
+                    AS BIGINT) AS k_sum,
+               CAST(SUM(CAST(regexp_extract(props, '\d+') AS BIGINT))
+                    AS DOUBLE) / COUNT(*) AS avg_k
+        FROM events GROUP BY event_type""",
+    "split_assign": """
+        SELECT doc_id,
+               CASE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                    WHEN '0' THEN 'test' WHEN '1' THEN 'val'
+                    ELSE 'train' END AS split
+        FROM documents""",
+    "stratified_sample": """
+        SELECT lang, COUNT(*) AS n_sampled FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+        GROUP BY lang""",
+    "token_histogram": r"""
+        SELECT CAST(length(list_filter(regexp_split_to_array(text, '\s+'),
+                    x -> x <> '')) // 10 * 10 AS BIGINT) AS bucket,
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY 1""",
     "promo_revenue": """
         SELECT 100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN
                    CAST(round(l_extendedprice * 100) AS BIGINT)

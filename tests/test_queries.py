@@ -63,6 +63,9 @@ def _sql_checked_names():
     "ordered_assembly", "join_customer_orders", "join_lineitem_orders",
     "supplier_nation_region", "artifact_strip", "token_counts", "doc_stats",
     "fingerprint_md5", "quality_features", "dedup_exact", "embedding_knn",
+    "promo_revenue", "token_counts_bpe", "quality_score", "lang_id",
+    "minhash_dedup", "props_rollup", "split_assign", "stratified_sample",
+    "token_histogram",
 ])
 def test_query_vs_oracle(ray_session, oracle_con, name):
     import __ray_entry__ as e
