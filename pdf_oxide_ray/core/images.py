@@ -88,3 +88,67 @@ def extract_images_all(doc) -> list[PdfImage]:
     for page in doc.pages():
         out.extend(extract_images(doc, page))
     return out
+
+
+_CS_COMPONENTS = {
+    # reference ColorSpace::components (images.rs:261-273)
+    "DeviceGray": 1, "CalGray": 1, "Separation": 1, "Indexed": 1,
+    "DeviceRGB": 3, "CalRGB": 3, "Lab": 3, "ICCBased": 3, "Pattern": 3,
+    "DeviceCMYK": 4, "DeviceN": 4,
+}
+
+
+def to_rgb_pixels(data: bytes, width: int, height: int, color_space: str,
+                  bits_per_component: int = 8) -> "np.ndarray":
+    """Raw decoded samples -> (height, width, 3) uint8 RGB.
+
+    Re-implements the computation of the reference's raw-pixel path
+    (``images.rs:206-430``: components per color space, bit depth
+    normalization, CMYK -> RGB with the naive (1-c)(1-k) formula) in
+    pure numpy — no image codec library needed for non-DCT images.
+    """
+    import numpy as np
+
+    if width <= 0 or height <= 0:
+        raise ValueError("image has no geometry")
+    ncomp = _CS_COMPONENTS.get(color_space, 0)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    bits = bits_per_component or 8
+    if bits == 16:
+        samples = arr[::2]  # high byte of big-endian 16-bit samples
+    elif bits == 8:
+        samples = arr
+    elif bits in (1, 2, 4):
+        if not ncomp:
+            ncomp = 1
+        row_bits = width * ncomp * bits
+        row_bytes = (row_bits + 7) // 8  # PDF rows are byte-aligned
+        need = height * row_bytes
+        if len(arr) < need:
+            arr = np.pad(arr, (0, need - len(arr)))
+        rows = arr[:need].reshape(height, row_bytes)
+        unpacked = np.unpackbits(rows, axis=1)[:, :row_bits]
+        grouped = unpacked.reshape(height, width * ncomp, bits)
+        weights = (1 << np.arange(bits - 1, -1, -1)).astype(np.uint16)
+        vals = (grouped.astype(np.uint16) * weights).sum(axis=2)
+        samples = (vals * (255 // ((1 << bits) - 1))).astype(np.uint8).ravel()
+    else:
+        raise ValueError(f"unsupported bits per component {bits}")
+    if not ncomp:  # unknown color space: infer from the sample count
+        ncomp = max(1, min(4, len(samples) // (width * height) or 1))
+    need = width * height * ncomp
+    if len(samples) < need:
+        samples = np.pad(samples, (0, need - len(samples)))
+    px = samples[:need].reshape(height, width, ncomp)
+    if ncomp == 1:
+        return np.repeat(px, 3, axis=2)
+    if ncomp == 3:
+        return np.ascontiguousarray(px)
+    # CMYK -> RGB: r = (255-c)(255-k)/255 etc (naive conversion, matching
+    # the reference's non-ICC fallback)
+    c, m, y, k = (px[:, :, i].astype(np.uint16) for i in range(4))
+    inv_k = 255 - k
+    rgb = np.stack([(255 - c) * inv_k // 255,
+                    (255 - m) * inv_k // 255,
+                    (255 - y) * inv_k // 255], axis=2)
+    return rgb.astype(np.uint8)

@@ -1215,8 +1215,9 @@ def q_range_purchase_views(sf_dir: str) -> pd.DataFrame:
 def q_pdf_images(sf_dir: str) -> pd.DataFrame:
     """S8 image extraction bridged into the multimodal actor stage:
     map_batches pulls Image XObjects out of corpus PDFs as opaque binary +
-    typed metadata rows, then the MediaFeatures actor pool featurizes them
-    (fake decoder; codecs absent in this container)."""
+    typed metadata rows, then the MediaFeatures actor pool decodes the raw
+    samples to RGB pixels for real (pure numpy — bit expansion, gray/CMYK
+    conversion; only DCT/JPX would need a codec lib) and featurizes."""
     import ray.data as rd_
 
     from .gen.cache import tag_for_sf_dir, transcripts_path
@@ -1247,7 +1248,9 @@ def q_pdf_images(sf_dir: str) -> pd.DataFrame:
                     "payload": im.data,
                     "meta": {"media_type": "image", "format": im.format,
                              "width": im.width, "height": im.height,
-                             "duration_ms": 0},
+                             "duration_ms": 0,
+                             "color_space": im.color_space,
+                             "bits": im.bits_per_component},
                 })
         return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
 
@@ -1255,9 +1258,11 @@ def q_pdf_images(sf_dir: str) -> pd.DataFrame:
 
     ds = read_transcripts(path, columns=["conv_id", "turn_idx", "text"])
     media = ds.map_batches(pull_images, batch_format="pyarrow")
+    # REAL decoder: the generator's XObjects are Flate raw-RGB, decoded
+    # to pixels in pure numpy (codec-less); jpeg would yield error rows
     feats = media.map_batches(
         MediaFeatures, batch_format="pyarrow", batch_size=16, concurrency=2,
-        fn_constructor_kwargs={"use_fake_decoder": True}).to_pandas()
+        fn_constructor_kwargs={"use_fake_decoder": False}).to_pandas()
     if feats.empty:
         return pd.DataFrame({"n_images": [0], "n_ok": [0]})
     return pd.DataFrame({

@@ -21,10 +21,12 @@ import pyarrow as pa
 
 MEDIA_META_TYPE = pa.struct([
     ("media_type", pa.string()),   # "image" | "audio" | "video"
-    ("format", pa.string()),       # "jpeg" | "png" | "wav" | "mp4" | ...
+    ("format", pa.string()),       # "raw" | "jpeg" | "png" | "wav" | ...
     ("width", pa.int32()),
     ("height", pa.int32()),
     ("duration_ms", pa.int32()),
+    ("color_space", pa.string()),  # PDF color space name for format="raw"
+    ("bits", pa.int32()),          # bits per component for format="raw"
 ])
 
 MEDIA_SCHEMA = pa.schema([
@@ -42,6 +44,17 @@ class DecodeUnavailable(NotImplementedError):
 
 
 def _decode_real(payload: bytes, meta: dict) -> np.ndarray:
+    """Real decode path. format="raw" (decoded PDF image samples) is
+    decoded for real in pure numpy — bit expansion, gray/RGB/CMYK to RGB
+    (core/images.to_rgb_pixels, reference images.rs:206-430). Codec
+    formats (jpeg/png/audio/video) need libraries absent here."""
+    if meta.get("format") == "raw":
+        from ..core.images import to_rgb_pixels
+
+        return to_rgb_pixels(payload or b"", int(meta.get("width") or 0),
+                             int(meta.get("height") or 0),
+                             str(meta.get("color_space") or ""),
+                             int(meta.get("bits") or 8))
     raise DecodeUnavailable(
         f"no codec for {meta.get('format')!r} in this environment")
 
@@ -92,7 +105,7 @@ class MediaFeatures:
                 ws.append(arr.shape[1] if arr.ndim > 1 else 1)
                 statuses.append("ok")
                 errors.append("")
-            except NotImplementedError as exc:
+            except (NotImplementedError, ValueError) as exc:
                 feats.append([0.0] * FEATURE_DIM)
                 hs.append(0)
                 ws.append(0)

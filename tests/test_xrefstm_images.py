@@ -59,3 +59,62 @@ def test_image_extraction_and_text_skip():
         assert res["status"] == "ok"
         return
     raise AssertionError("no image pdf in 80 seeds")
+
+
+def test_to_rgb_pixels_gray_rgb_cmyk_and_bits():
+    """Real raw-pixel decode (images.rs:206-430 semantics): component
+    counts per color space, bit expansion, CMYK naive conversion."""
+    import numpy as np
+
+    from pdf_oxide_ray.core.images import to_rgb_pixels
+
+    # DeviceRGB 8-bit passthrough
+    rgb = to_rgb_pixels(bytes([255, 0, 0, 0, 255, 0]), 2, 1, "DeviceRGB")
+    assert rgb.shape == (1, 2, 3)
+    assert rgb[0, 0].tolist() == [255, 0, 0]
+    assert rgb[0, 1].tolist() == [0, 255, 0]
+    # DeviceGray replicates
+    g = to_rgb_pixels(bytes([7, 200]), 2, 1, "DeviceGray")
+    assert g[0, 0].tolist() == [7, 7, 7] and g[0, 1].tolist() == [200] * 3
+    # 1-bit gray expands to 0/255 with byte-aligned rows
+    one = to_rgb_pixels(bytes([0b10100000]), 3, 1, "DeviceGray",
+                        bits_per_component=1)
+    assert one[0, :, 0].tolist() == [255, 0, 255]
+    # CMYK: pure K black -> RGB black; zero ink -> white
+    cmyk = to_rgb_pixels(bytes([0, 0, 0, 255, 0, 0, 0, 0]), 2, 1,
+                         "DeviceCMYK")
+    assert cmyk[0, 0].tolist() == [0, 0, 0]
+    assert cmyk[0, 1].tolist() == [255, 255, 255]
+    # 16-bit keeps the high byte
+    hi = to_rgb_pixels(bytes([0xAB, 0xCD]), 1, 1, "DeviceGray",
+                       bits_per_component=16)
+    assert hi[0, 0, 0] == 0xAB
+    # short data is zero-padded, not an error
+    short = to_rgb_pixels(b"\xff", 2, 2, "DeviceRGB")
+    assert short.shape == (2, 2, 3) and short[0, 0, 0] == 255
+
+
+def test_media_features_real_decoder_on_raw():
+    import numpy as np
+    import pyarrow as pa
+
+    from pdf_oxide_ray.stages.multimodal import MEDIA_SCHEMA, MediaFeatures
+
+    tbl = pa.Table.from_pylist([{
+        "media_id": 1,
+        "payload": bytes([10, 20, 30] * 4),
+        "meta": {"media_type": "image", "format": "raw", "width": 2,
+                 "height": 2, "duration_ms": 0,
+                 "color_space": "DeviceRGB", "bits": 8},
+    }, {
+        "media_id": 2,
+        "payload": b"\xff\xd8 not decodable here",
+        "meta": {"media_type": "image", "format": "jpeg", "width": 2,
+                 "height": 2, "duration_ms": 0,
+                 "color_space": "", "bits": 8},
+    }], schema=MEDIA_SCHEMA)
+    out = MediaFeatures(use_fake_decoder=False)(tbl).to_pylist()
+    assert out[0]["status"] == "ok"
+    assert out[0]["decoded_h"] == 2 and out[0]["decoded_w"] == 2
+    assert abs(out[0]["feature"][0]) > 0  # real pixels, non-zero features
+    assert out[1]["status"] == "error"  # jpeg needs a codec lib
