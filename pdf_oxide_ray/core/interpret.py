@@ -116,6 +116,21 @@ class TextExtractor:
 
     def _execute(self, op: str, args: list) -> None:  # noqa: C901
         st = self.state_stack
+        # hottest operators first (Tj/TJ dominate real content streams)
+        if op == "Tj" and args:
+            data = args[-1]
+            if isinstance(data, bytes):
+                if self.tj_span_buffer is None:
+                    self.tj_span_buffer = _TjBuffer(st.current(),
+                                                    self.current_mcid)
+                self.tj_span_buffer.append(data, self.fonts)
+                self._advance_position_for_string(data)
+            return
+        if op == "TJ" and args:
+            arr = args[-1]
+            if isinstance(arr, list):
+                self._process_tj_array(arr)
+            return
         if op == "Tf" and len(args) >= 2:
             cur = st.current()
             cur.font_name = str(args[0])
@@ -145,17 +160,6 @@ class TextExtractor:
             tm = Matrix.translation(0.0, -cur.leading)
             cur.text_line_matrix = cur.text_line_matrix.multiply(tm)
             cur.text_matrix = cur.text_line_matrix
-        elif op == "Tj" and args:
-            data = args[-1]
-            if isinstance(data, bytes):
-                if self.tj_span_buffer is None:
-                    self.tj_span_buffer = _TjBuffer(st.current(), self.current_mcid)
-                self.tj_span_buffer.append(data, self.fonts)
-                self._advance_position_for_string(data)
-        elif op == "TJ" and args:
-            arr = args[-1]
-            if isinstance(arr, list):
-                self._process_tj_array(arr)
         elif op == "'" and args:
             # reference Quote arm (text.rs:1333): newline + char-mode show;
             # in span mode the shown text is NOT added to spans (parity),
