@@ -56,3 +56,29 @@ def test_deterministic(text):
 @given(st.text(max_size=200))
 def test_kind_detection_total(text):
     assert detect_payload_kind(text) in ("pdf", "html", "plain")
+
+
+def test_tampered_v5_encryption_dicts_absorbed():
+    """A V5/R6 doc with corrupted /U, /UE, or truncated entries must yield
+    a status='error' (or ok-empty) row, never raise out of extract_payload."""
+    import random
+
+    from pdf_oxide_ray.core.payload import extract_payload
+    from pdf_oxide_ray.gen.transcripts import make_pdf_payload
+
+    v5 = None
+    for seed in range(1200):
+        p = make_pdf_payload(random.Random(seed))
+        if "/AESV3" in p:
+            v5 = p
+            break
+    assert v5 is not None
+    tampered = [
+        v5.replace("/UE <", "/XE <", 1),                  # drop /UE
+        v5.replace("/U <", "/U <00", 1),                  # corrupt /U length
+        v5.replace("/R 5", "/R 6").replace("/R 66", "/R 6"),  # wrong rev
+        v5[: len(v5) // 2],                                # truncation
+    ]
+    for t in tampered:
+        res = extract_payload(t)
+        assert isinstance(res["status"], str)  # absorbed, never raised
