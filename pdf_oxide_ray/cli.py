@@ -58,6 +58,17 @@ def main(argv: list[str] | None = None) -> int:
                            help="corpus rollup over an extracted output dir")
     p_met.add_argument("--input", required=True)
 
+    p_exp = sub.add_parser("export", help="export text/markdown/html "
+                           "(reference export_to_* bins)")
+    p_exp.add_argument("--input", required=True)
+    p_exp.add_argument("--output", required=True)
+    p_exp.add_argument("--format", choices=["text", "markdown", "html"],
+                       default="text")
+
+    p_val = sub.add_parser("validate", help="quality tails over an "
+                           "extracted output dir (validate_dataset shape)")
+    p_val.add_argument("--input", required=True)
+
     args = parser.parse_args(argv)
     _ensure_ray()
     import ray
@@ -80,6 +91,19 @@ def main(argv: list[str] | None = None) -> int:
                 want_markdown=not args.no_markdown,
                 keep_spans=not args.no_spans)
             print(json.dumps(summary))
+        elif args.cmd == "export":
+            from .pipelines.flagship import run_export
+
+            print(json.dumps(run_export(args.input, args.output,
+                                        fmt=args.format)))
+        elif args.cmd == "validate":
+            import ray.data as rd
+
+            from .pipelines.metrics import quality_tails
+
+            ds = rd.read_parquet(args.input)
+            print(json.dumps(
+                quality_tails(ds).to_dict("records")[0], default=str))
         elif args.cmd == "metrics":
             import ray.data as rd
 

@@ -339,3 +339,50 @@ def run_extraction_partitioned(input_path: str, out_dir: str, *,
         summary["rows"] += rows
         summary["errors"] += errors
     return summary
+
+
+def run_export(input_path: str, out_dir: str, fmt: str = "text", *,
+               batch_size: int = DEFAULT_BATCH_SIZE) -> dict:
+    """Per-format export job — the distributed analogue of the
+    reference's export_to_{text,markdown,html} bins
+    (``/root/reference/src/bin/export_to_*.rs``): extract, render the
+    requested format per turn, write (conv_id, turn_idx, content)
+    parquet. HTML renders each turn's spans through the semantic
+    converter (R6) inside the same batch pass."""
+    if fmt not in ("text", "markdown", "html"):
+        raise ValueError(f"unknown export format {fmt!r}")
+    tune_for_pipeline()
+    ds = read_transcripts(input_path)
+    extracted = extract_dataset(ds, want_markdown=(fmt == "markdown"),
+                                keep_spans=(fmt == "html"),
+                                batch_size=batch_size)
+
+    def render(b: pa.Table) -> pa.Table:
+        if fmt == "text":
+            content = b.column("extracted_text")
+        elif fmt == "markdown":
+            content = b.column("markdown")
+        else:
+            from ..core.html_out import convert_page_semantic
+            from ..core.interpret import TextSpan
+
+            html = []
+            for recs in b.column("spans").to_pylist():
+                spans = [TextSpan(text=r["text"], x=r["x"], y=r["y"],
+                                  width=r["w"], height=r["h"],
+                                  font_name=r["font"], font_size=r["size"],
+                                  bold=r["bold"], mcid=None,
+                                  sequence=r["seq"])
+                         for r in (recs or [])]
+                html.append(convert_page_semantic(spans) if spans else "")
+            content = pa.array(html, pa.large_string())
+        return pa.table({
+            "conv_id": b.column("conv_id"),
+            "turn_idx": b.column("turn_idx"),
+            "content": content,
+            "status": b.column("status"),
+        })
+
+    out = extracted.map_batches(render, batch_format="pyarrow")
+    out.write_parquet(out_dir)
+    return {"out_dir": out_dir, "format": fmt}

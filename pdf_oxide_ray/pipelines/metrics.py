@@ -61,3 +61,33 @@ def error_rows(extracted_ds, limit: int = 1000) -> pd.DataFrame:
     return extracted_ds.filter(expr="status == 'error'") \
         .select_columns(["conv_id", "turn_idx", "kind", "error"]) \
         .limit(limit).to_pandas()
+
+
+def quality_tails(extracted_ds) -> pd.DataFrame:
+    """Regression-suite quality tails over an extracted corpus — the
+    distributed analogue of the reference's known-issue metrics
+    (``docs/REGRESSION_TEST_SUITE.md:3-97``: % empty output, % containing
+    U+FFFD, % containing control chars). One partial row per batch
+    crosses the exchange."""
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        t = b["extracted_text"].fillna("")
+        return pd.DataFrame({
+            "n": [int(len(t))],
+            "n_empty": [int((t.str.strip() == "").sum())],
+            "n_replacement": [int(t.str.contains("�").sum())],
+            "n_control": [int(t.str.contains(
+                r"[\x00-\x08\x0b\x0c\x0e-\x1f]", regex=True).sum())],
+        })
+
+    agg = extracted_ds.select_columns(["extracted_text"]) \
+        .map_batches(partial, batch_format="pandas") \
+        .sum(["n", "n_empty", "n_replacement", "n_control"])
+    n = max(int(agg["sum(n)"]), 1)
+    return pd.DataFrame([{
+        "n_rows": int(agg["sum(n)"]),
+        "pct_empty": round(100.0 * agg["sum(n_empty)"] / n, 3),
+        "pct_replacement_char": round(
+            100.0 * agg["sum(n_replacement)"] / n, 3),
+        "pct_control_chars": round(100.0 * agg["sum(n_control)"] / n, 3),
+    }])

@@ -37,3 +37,28 @@ def test_cli_flagship_and_metrics(tmp_path):
     kinds = {row["kind"] for row in metrics["stats"]}
     assert kinds <= {"pdf", "html", "plain"}
     assert len(metrics["top_slowest"]) == 10
+
+
+@pytest.mark.slow
+def test_cli_export_and_validate(tmp_path):
+    import pyarrow.dataset as pads
+
+    src = transcripts_path("sf0.001", with_golden=False)
+    for fmt in ("text", "markdown", "html"):
+        out = str(tmp_path / f"exp_{fmt}")
+        json.loads(_run_cli("export", "--input", src, "--output", out,
+                            "--format", fmt))
+        t = pads.dataset(out).to_table()
+        assert t.num_rows > 0
+        assert set(t.schema.names) == {"conv_id", "turn_idx", "content",
+                                       "status"}
+        if fmt == "html":
+            body = "".join(t.column("content").to_pylist()[:200])
+            assert "<h1>" in body or "<p>" in body
+
+    flag_out = str(tmp_path / "flag")
+    _run_cli("flagship", "--input", src, "--output", flag_out, "--no-spans")
+    tails = json.loads(_run_cli("validate", "--input", flag_out))
+    assert tails["n_rows"] > 0
+    assert tails["pct_empty"] <= 100.0
+    assert tails["pct_control_chars"] <= 100.0
