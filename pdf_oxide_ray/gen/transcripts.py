@@ -726,13 +726,106 @@ def generate_transcripts(n_convs: int, seed: int = 42,
     return table, golden
 
 
+def _gen_conv_range(args: tuple) -> tuple:
+    """Picklable worker: generate rows for a contiguous conv-index slice.
+    Per-conv RNGs derive from (seed, conv, turn) only, so a slice's output
+    is byte-identical to the same slice of a sequential run."""
+    lo, hi, seed, median_turns, with_golden = args
+    conv_ids: list[str] = []
+    turn_idxs: list[int] = []
+    roles: list[str] = []
+    texts: list[str] = []
+    tools: list[str] = []
+    tss: list[int] = []
+    g_rows: list[dict] = []
+    base_ts = 1_700_000_000_000_000
+    roles_cycle = ("user", "assistant", "tool")
+    for i in range(lo, hi):
+        conv = f"conv{i:06d}"
+        conv_rng = _rng_for(seed, conv, -1)
+        if conv_rng.random() < 0.01:
+            n_turns = median_turns * 50
+        else:
+            n_turns = max(1, int(conv_rng.gauss(median_turns, 2)))
+        for t in range(n_turns):
+            rng = _rng_for(seed, conv, t)
+            kind, payload = make_turn_payload(rng)
+            role = roles_cycle[t % 3]
+            conv_ids.append(conv)
+            turn_idxs.append(t)
+            roles.append(role)
+            texts.append(payload)
+            tools.append("extractor" if role == "tool" else "")
+            tss.append(base_ts + i * 3_600_000_000 + t * 30_000_000)
+            if with_golden:
+                res = extract_payload(payload)
+                g_rows.append({
+                    "conv_id": conv, "turn_idx": t, "kind": res["kind"],
+                    "extracted_text": res["extracted_text"],
+                    "markdown": res["markdown"], "spans": res["spans"],
+                })
+    return conv_ids, turn_idxs, roles, texts, tools, tss, g_rows
+
+
+def generate_transcripts_parallel(n_convs: int, seed: int = 42,
+                                  median_turns: int = 6,
+                                  with_golden: bool = True,
+                                  processes: int | None = None
+                                  ) -> tuple[pa.Table, pa.Table | None]:
+    """Multiprocess twin of ``generate_transcripts`` — byte-identical
+    output (verified by Table.equals in tests): contiguous conv slices
+    per worker, concatenated in conv order, then the same seed-stable
+    global shuffle."""
+    import multiprocessing as mp
+    import os
+
+    procs = processes or min(16, os.cpu_count() or 1)
+    if n_convs < 512 or procs <= 1:
+        return generate_transcripts(n_convs, seed=seed,
+                                    median_turns=median_turns,
+                                    with_golden=with_golden)
+    bounds = np.linspace(0, n_convs, procs + 1).astype(int)
+    jobs = [(int(lo), int(hi), seed, median_turns, with_golden)
+            for lo, hi in zip(bounds[:-1], bounds[1:]) if hi > lo]
+    with mp.Pool(procs) as pool:
+        parts = pool.map(_gen_conv_range, jobs)
+    conv_ids: list[str] = []
+    turn_idxs: list[int] = []
+    roles: list[str] = []
+    texts: list[str] = []
+    tools: list[str] = []
+    tss: list[int] = []
+    g_rows: list[dict] = []
+    for p in parts:
+        conv_ids.extend(p[0])
+        turn_idxs.extend(p[1])
+        roles.extend(p[2])
+        texts.extend(p[3])
+        tools.extend(p[4])
+        tss.extend(p[5])
+        g_rows.extend(p[6])
+    order = np.random.RandomState(seed).permutation(len(conv_ids))
+    table = pa.table({
+        "conv_id": pa.array([conv_ids[j] for j in order], pa.string()),
+        "turn_idx": pa.array([turn_idxs[j] for j in order], pa.int32()),
+        "role": pa.array([roles[j] for j in order], pa.string()),
+        "text": pa.array([texts[j] for j in order], pa.string()),
+        "tool": pa.array([tools[j] for j in order], pa.string()),
+        "ts": pa.array([tss[j] for j in order], pa.timestamp("us")),
+    }, schema=TRANSCRIPT_SCHEMA)
+    golden = None
+    if with_golden:
+        golden = pa.Table.from_pylist(g_rows, schema=GOLDEN_SCHEMA)
+    return table, golden
+
+
 def write_corpus(out_dir: str, n_convs: int, seed: int = 42,
                  with_golden: bool = True) -> dict:
     import os
 
     os.makedirs(out_dir, exist_ok=True)
-    table, golden = generate_transcripts(n_convs, seed=seed,
-                                         with_golden=with_golden)
+    table, golden = generate_transcripts_parallel(
+        n_convs, seed=seed, with_golden=with_golden)
     pq.write_table(table, f"{out_dir}/transcripts.parquet")
     if golden is not None:
         pq.write_table(golden, f"{out_dir}/golden.parquet")

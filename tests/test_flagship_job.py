@@ -83,3 +83,15 @@ def test_job_counts_poison_rows_without_failing(ray_session, tmp_path):
     poison = got[got["conv_id"] == "convB"]
     assert (poison["turn_offset"] >= 0).all()
     assert summary["errors"] == int((got["status"] == "error").sum())
+
+
+def test_parallel_generation_byte_identical():
+    """generate_transcripts_parallel must reproduce the sequential tables
+    exactly (Table.equals) — the corpus is a deterministic artifact."""
+    from pdf_oxide_ray.gen.transcripts import (generate_transcripts,
+                                               generate_transcripts_parallel)
+
+    a, ga = generate_transcripts(520, seed=5)
+    b, gb = generate_transcripts_parallel(520, seed=5, processes=4)
+    assert a.equals(b)
+    assert ga.equals(gb)
