@@ -700,6 +700,71 @@ def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+_DECONTAM_K = 8  # benchmark-overlap shingle width (public decontamination
+# practice uses 8-13-gram overlap against eval sets)
+_BENCH_DOC_IDS = 10  # doc_id < 10 plays the role of the benchmark set
+
+
+def q_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word 8-gram
+    with the (small) benchmark set. The benchmark grams are built once and
+    broadcast via ray.put; the scan is a pure map — no shuffle. At 100 TB
+    the benchmark side stays small by definition (eval sets)."""
+    import ray
+
+    token_re = fdedup._TOKEN_RE
+
+    def grams_of(text: str) -> set:
+        toks = token_re.findall((text or "").lower())
+        return {" ".join(toks[i : i + _DECONTAM_K])
+                for i in range(len(toks) - _DECONTAM_K + 1)}
+
+    bench_df = _pq(sf_dir, "documents", ["doc_id", "text"]) \
+        .filter(expr=f"doc_id < {_BENCH_DOC_IDS}").to_pandas()
+    bench: set = set()
+    for t in bench_df["text"]:
+        bench |= grams_of(t)
+    bench_ref = ray.put(frozenset(bench))
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        bset = ray.get(bench_ref)
+        contaminated = [not bset.isdisjoint(grams_of(t))
+                        for t in b["text"]]
+        return pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
+                             "contaminated": contaminated})
+
+    return _pq(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(flag, batch_format="pandas").to_pandas()
+
+
+_REPETITION_MAX_DUP = 0.3  # keep docs whose duplicate-2gram fraction <= 0.3
+
+
+def q_repetition_filter(sf_dir: str) -> pd.DataFrame:
+    """C4/Gopher-style repetition quality rule: fraction of duplicate word
+    2-grams per doc; keep = dup_frac <= 0.3. Pure map; the fraction is an
+    exact int ratio so the oracle hash is deterministic."""
+    token_re = fdedup._TOKEN_RE
+
+    def stats(b: pd.DataFrame) -> pd.DataFrame:
+        fracs = []
+        for t in b["text"]:
+            toks = token_re.findall((t or "").lower())
+            n2 = len(toks) - 1
+            if n2 <= 0:
+                fracs.append(0.0)
+                continue
+            grams = {(toks[i], toks[i + 1]) for i in range(n2)}
+            fracs.append(1.0 - len(grams) / n2)
+        fr = np.asarray(fracs, dtype=np.float64)
+        return pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
+                             "dup_frac": fr,
+                             "keep": fr <= _REPETITION_MAX_DUP})
+
+    return _pq(sf_dir, "documents", ["doc_id", "text"]) \
+        .map_batches(stats, batch_format="pandas").to_pandas()
+
+
 def q_token_histogram(sf_dir: str) -> pd.DataFrame:
     """Corpus token-length histogram (10-token buckets): per-batch partial
     counts, tiny groupby — the length-distribution op a filtering pipeline
@@ -1359,6 +1424,8 @@ QUERIES = {
     "split_assign": q_split_assign,
     "stratified_sample": q_stratified_sample,
     "token_histogram": q_token_histogram,
+    "decontaminate": q_decontaminate,
+    "repetition_filter": q_repetition_filter,
     "dedup_exact": q_dedup_exact,
     "minhash_dedup": q_minhash_dedup,
     "simhash_buckets": q_simhash_buckets,
@@ -1565,6 +1632,48 @@ ORACLE_SQL = {
                     x -> x <> '')) // 10 * 10 AS BIGINT) AS bucket,
                COUNT(*) AS n_docs
         FROM documents GROUP BY 1""",
+    "decontaminate": f"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[0-9A-Za-z_]+')
+                 AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(t) < {_DECONTAM_K} THEN []
+                      ELSE list_distinct(list_transform(
+                          range(1, len(t) - {_DECONTAM_K - 2}),
+                          i -> array_to_string(
+                              t[i:i+{_DECONTAM_K - 1}], ' ')))
+                 END AS grams
+          FROM toks),
+        bench AS (
+          SELECT DISTINCT unnest(grams) AS g FROM sh
+          WHERE doc_id < {_BENCH_DOC_IDS})
+        SELECT s.doc_id,
+               EXISTS (SELECT 1 FROM bench b
+                       WHERE list_contains(s.grams, b.g)) AS contaminated
+        FROM sh s""",
+    "repetition_filter": """
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '[0-9A-Za-z_]+')
+                 AS t
+          FROM documents),
+        g AS (
+          SELECT doc_id, len(t) - 1 AS n2,
+                 CASE WHEN len(t) < 2 THEN []
+                      ELSE list_distinct(list_transform(
+                          range(1, len(t)),
+                          i -> t[i] || ' ' || t[i+1]))
+                 END AS grams
+          FROM toks)
+        SELECT doc_id,
+               CASE WHEN n2 <= 0 THEN 0.0
+                    ELSE 1.0 - CAST(len(grams) AS DOUBLE) / n2 END
+                   AS dup_frac,
+               CASE WHEN n2 <= 0 THEN TRUE
+                    ELSE 1.0 - CAST(len(grams) AS DOUBLE) / n2 <= 0.3 END
+                   AS keep
+        FROM g""",
     "promo_revenue": """
         SELECT 100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN
                    CAST(round(l_extendedprice * 100) AS BIGINT)

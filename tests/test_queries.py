@@ -65,7 +65,7 @@ def _sql_checked_names():
     "fingerprint_md5", "quality_features", "dedup_exact", "embedding_knn",
     "promo_revenue", "token_counts_bpe", "quality_score", "lang_id",
     "minhash_dedup", "props_rollup", "split_assign", "stratified_sample",
-    "token_histogram",
+    "token_histogram", "decontaminate", "repetition_filter",
 ])
 def test_query_vs_oracle(ray_session, oracle_con, name):
     import __ray_entry__ as e
