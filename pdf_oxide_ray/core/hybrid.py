@@ -2,12 +2,15 @@
 
 Re-implements the computation of ``ComplexityEstimator``
 (``/root/reference/src/hybrid/complexity_estimator.rs:83-190``) and the
-classical half of ``SmartLayoutAnalyzer::determine_reading_order``
-(``/root/reference/src/hybrid/smart_analyzer.rs:118-200``). The ML branch
-(tract-onnx LayoutReader) is feature-gated OFF by default in the
-reference (``Cargo.toml:94-102``) and is excluded here; the router
-therefore picks between the classical orderings: simple top-to-bottom
-for low-complexity pages, XY-Cut column-aware for the rest.
+full routing of ``SmartLayoutAnalyzer::determine_reading_order``
+(``/root/reference/src/hybrid/smart_analyzer.rs:118-200``): complexity
+estimate -> try the injected model above the threshold (with the
+reference's warn-and-fallback on failure) -> classical orderings (simple
+top-to-bottom for low-complexity pages, XY-Cut column-aware otherwise).
+The actual ONNX LayoutReader is feature-gated OFF by default in the
+reference (``Cargo.toml:94-102``) and no ONNX runtime exists in this
+container — ``LayoutModelStub`` fills the model slot with a declared
+deterministic substitute behind the identical interface.
 """
 
 from __future__ import annotations
@@ -75,15 +78,43 @@ def estimate_page_complexity(blocks: list[Block], page_width: float,
     return COMPLEX
 
 
+class LayoutModelStub:
+    """Injectable stand-in for the reference's feature-gated ONNX
+    LayoutReader (``src/hybrid/smart_analyzer.rs:30-60``; the real model
+    is OFF by default, ``Cargo.toml:94-102``). This container has no ONNX
+    runtime, so the slot is filled by a DECLARED deterministic substitute
+    — the spatial-graph Kahn ordering (L5) — exposing the exact interface
+    a real model would plug into (``predict_reading_order(blocks, w, h)``
+    may raise, triggering the reference's classical fallback)."""
+
+    def predict_reading_order(self, blocks: list[Block], page_width: float,
+                              page_height: float) -> list[int]:
+        from .layout import graph_based_reading_order
+
+        order = graph_based_reading_order(blocks)
+        if len(order) != len(blocks):
+            raise RuntimeError("model failed to order every block")
+        return order
+
+
 def smart_reading_order(blocks: list[Block], page_width: float = 612.0,
                         page_height: float = 792.0,
-                        complexity_threshold: float = 0.3) -> list[int]:
-    """The classical router (smart_analyzer.rs:118-200 with ML absent):
-    below the threshold use simple top-to-bottom/left-to-right; at or
-    above it use XY-Cut column-aware ordering."""
+                        complexity_threshold: float = 0.3,
+                        model=None) -> list[int]:
+    """The full router (smart_analyzer.rs:118-160): below the threshold
+    use simple top-to-bottom/left-to-right; at or above it try the
+    injected model first (ML branch — any exception falls back, matching
+    the reference's warn-and-fallback), else XY-Cut column-aware
+    ordering."""
     if not blocks:
         return []
     score = calculate_complexity_score(blocks, page_width, page_height)
+    if score >= complexity_threshold and model is not None:
+        try:
+            return model.predict_reading_order(blocks, page_width,
+                                               page_height)
+        except Exception:  # noqa: BLE001 - reference: warn + fall back
+            pass
     if score < complexity_threshold:
         return sorted(range(len(blocks)),
                       key=lambda i: (-blocks[i].y, blocks[i].x))

@@ -99,3 +99,42 @@ def test_markdown_default_mode_unchanged():
                                        reading_order_mode="top_to_bottom")
     assert default == explicit
     assert default.startswith("# **Title**")
+
+
+def test_router_ml_branch_with_injected_model():
+    """smart_analyzer.rs:136-160 routing: at/above the threshold the
+    injected model is consulted first; a failing model falls back to the
+    classical path; below the threshold the model is never called."""
+    from pdf_oxide_ray.core.hybrid import LayoutModelStub, smart_reading_order
+    from pdf_oxide_ray.core.layout import Block
+
+    # two-column layout -> complexity above threshold
+    blocks = [Block(x=50, y=700 - 30 * i, width=100, height=12,
+                    text=f"L{i}", font_size=12) for i in range(5)]
+    blocks += [Block(x=400, y=700 - 30 * i, width=100, height=12,
+                     text=f"R{i}", font_size=12) for i in range(5)]
+
+    order_model = smart_reading_order(blocks, model=LayoutModelStub(),
+                                      complexity_threshold=0.1)
+    assert sorted(order_model) == list(range(len(blocks)))
+
+    class Exploding:
+        def predict_reading_order(self, blocks, w, h):
+            raise RuntimeError("boom")
+
+    order_fallback = smart_reading_order(blocks, model=Exploding(),
+                                         complexity_threshold=0.1)
+    classical = smart_reading_order(blocks, complexity_threshold=0.1)
+    assert order_fallback == classical  # warn-and-fallback parity
+
+    class Counting:
+        calls = 0
+
+        def predict_reading_order(self, blocks, w, h):
+            Counting.calls += 1
+            return list(range(len(blocks)))
+
+    one = [Block(x=50, y=700, width=100, height=12, text="solo",
+                 font_size=12)]
+    smart_reading_order(one, model=Counting(), complexity_threshold=0.99)
+    assert Counting.calls == 0  # simple page: model never consulted
