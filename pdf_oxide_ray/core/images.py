@@ -142,6 +142,8 @@ def to_rgb_pixels(data: bytes, width: int, height: int, color_space: str,
     px = samples[:need].reshape(height, width, ncomp)
     if ncomp == 1:
         return np.repeat(px, 3, axis=2)
+    if ncomp == 2:  # inferred gray+alpha-like layout: first channel as gray
+        return np.repeat(px[:, :, :1], 3, axis=2)
     if ncomp == 3:
         return np.ascontiguousarray(px)
     # CMYK -> RGB: r = (255-c)(255-k)/255 etc (naive conversion, matching

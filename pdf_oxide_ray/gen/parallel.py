@@ -12,26 +12,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from .transcripts import (TRANSCRIPT_SCHEMA, _rng_for, make_turn_payload)
-
-_ROLES = ("user", "assistant", "tool")
-_BASE_TS = 1_700_000_000_000_000
-
-
-def _conv_rows(conv_index: int, seed: int, median_turns: int):
-    conv = f"conv{conv_index:06d}"
-    conv_rng = _rng_for(seed, conv, -1)
-    if conv_rng.random() < 0.01:
-        n_turns = median_turns * 50
-    else:
-        n_turns = max(1, int(conv_rng.gauss(median_turns, 2)))
-    for t in range(n_turns):
-        rng = _rng_for(seed, conv, t)
-        _, payload = make_turn_payload(rng)
-        role = _ROLES[t % 3]
-        yield (conv, t, role, payload,
-               "extractor" if role == "tool" else "",
-               _BASE_TS + conv_index * 3_600_000_000 + t * 30_000_000)
+from .transcripts import TRANSCRIPT_SCHEMA, conv_rows as _conv_rows
 
 
 class _GenBatch:

@@ -672,42 +672,8 @@ def generate_transcripts(n_convs: int, seed: int = 42,
                          ) -> tuple[pa.Table, pa.Table | None]:
     """Build (transcripts, golden) Arrow tables. Rows are shuffled
     (seed-stable) so ``turn_idx`` order must be restored by the pipeline."""
-    conv_ids: list[str] = []
-    turn_idxs: list[int] = []
-    roles: list[str] = []
-    texts: list[str] = []
-    tools: list[str] = []
-    tss: list[int] = []
-    g_rows: list[dict] = []
-
-    base_ts = 1_700_000_000_000_000  # fixed epoch-us base (no wall clock)
-    roles_cycle = ("user", "assistant", "tool")
-
-    for i in range(n_convs):
-        conv = f"conv{i:06d}"
-        conv_rng = _rng_for(seed, conv, -1)
-        # 1% of convs are hot: 50x median turns (FIXTURES.md skew rule)
-        if conv_rng.random() < 0.01:
-            n_turns = median_turns * 50
-        else:
-            n_turns = max(1, int(conv_rng.gauss(median_turns, 2)))
-        for t in range(n_turns):
-            rng = _rng_for(seed, conv, t)
-            kind, payload = make_turn_payload(rng)
-            role = roles_cycle[t % 3]
-            conv_ids.append(conv)
-            turn_idxs.append(t)
-            roles.append(role)
-            texts.append(payload)
-            tools.append("extractor" if role == "tool" else "")
-            tss.append(base_ts + i * 3_600_000_000 + t * 30_000_000)
-            if with_golden:
-                res = extract_payload(payload)
-                g_rows.append({
-                    "conv_id": conv, "turn_idx": t, "kind": res["kind"],
-                    "extracted_text": res["extracted_text"],
-                    "markdown": res["markdown"], "spans": res["spans"],
-                })
+    (conv_ids, turn_idxs, roles, texts, tools, tss, g_rows) = \
+        _gen_conv_range((0, n_convs, seed, median_turns, with_golden))
 
     # deterministic shuffle
     order = np.random.RandomState(seed).permutation(len(conv_ids))
@@ -726,6 +692,29 @@ def generate_transcripts(n_convs: int, seed: int = 42,
     return table, golden
 
 
+def conv_rows(conv_index: int, seed: int, median_turns: int = 6):
+    """THE single per-conversation row generator — every corpus path
+    (sequential, multiprocessing, Ray `gen/parallel.py`) must route
+    through this so the byte-identity invariant has one source of truth.
+    Yields (conv_id, turn_idx, role, text, tool, ts_us)."""
+    conv = f"conv{conv_index:06d}"
+    conv_rng = _rng_for(seed, conv, -1)
+    # 1% of convs are hot: 50x median turns (FIXTURES.md skew rule)
+    if conv_rng.random() < 0.01:
+        n_turns = median_turns * 50
+    else:
+        n_turns = max(1, int(conv_rng.gauss(median_turns, 2)))
+    roles_cycle = ("user", "assistant", "tool")
+    base_ts = 1_700_000_000_000_000  # fixed epoch-us base (no wall clock)
+    for t in range(n_turns):
+        rng = _rng_for(seed, conv, t)
+        _, payload = make_turn_payload(rng)
+        role = roles_cycle[t % 3]
+        yield (conv, t, role, payload,
+               "extractor" if role == "tool" else "",
+               base_ts + conv_index * 3_600_000_000 + t * 30_000_000)
+
+
 def _gen_conv_range(args: tuple) -> tuple:
     """Picklable worker: generate rows for a contiguous conv-index slice.
     Per-conv RNGs derive from (seed, conv, turn) only, so a slice's output
@@ -738,25 +727,15 @@ def _gen_conv_range(args: tuple) -> tuple:
     tools: list[str] = []
     tss: list[int] = []
     g_rows: list[dict] = []
-    base_ts = 1_700_000_000_000_000
-    roles_cycle = ("user", "assistant", "tool")
     for i in range(lo, hi):
-        conv = f"conv{i:06d}"
-        conv_rng = _rng_for(seed, conv, -1)
-        if conv_rng.random() < 0.01:
-            n_turns = median_turns * 50
-        else:
-            n_turns = max(1, int(conv_rng.gauss(median_turns, 2)))
-        for t in range(n_turns):
-            rng = _rng_for(seed, conv, t)
-            kind, payload = make_turn_payload(rng)
-            role = roles_cycle[t % 3]
+        for conv, t, role, payload, tool, ts in conv_rows(i, seed,
+                                                          median_turns):
             conv_ids.append(conv)
             turn_idxs.append(t)
             roles.append(role)
             texts.append(payload)
-            tools.append("extractor" if role == "tool" else "")
-            tss.append(base_ts + i * 3_600_000_000 + t * 30_000_000)
+            tools.append(tool)
+            tss.append(ts)
             if with_golden:
                 res = extract_payload(payload)
                 g_rows.append({

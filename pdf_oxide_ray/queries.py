@@ -46,8 +46,10 @@ def _cents(s: pd.Series) -> pd.Series:
     sf0.01), so every money rollup aggregates int64 cents and divides by
     100.0 at the end; the oracle SQL mirrors the identical chain
     (round(x*100) -> BIGINT -> SUM -> DOUBLE -> /100.0), making both
-    sides bit-identical doubles."""
-    return pd.Series(np.round(s.to_numpy(np.float64) * 100.0)
+    sides bit-identical doubles. NULLs become 0 (matching SQL SUM's
+    skip-NULL semantics for totals) via nan_to_num, and np.rint matches
+    DuckDB's round-half-even double->int cast."""
+    return pd.Series(np.rint(np.nan_to_num(s.to_numpy(np.float64)) * 100.0)
                      .astype(np.int64), index=s.index)
 
 
@@ -96,7 +98,11 @@ def q_category_stats(sf_dir: str) -> pd.DataFrame:
               "l_extendedprice", "l_discount"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
-        b = b.assign(qty_i=b["l_quantity"].astype(np.int64),
+        # np.rint == DuckDB's half-even double->BIGINT cast (astype would
+        # truncate a fractional quantity where the oracle rounds)
+        b = b.assign(qty_i=np.rint(np.nan_to_num(
+                         b["l_quantity"].to_numpy(np.float64)))
+                     .astype(np.int64),
                      price_c=_cents(b["l_extendedprice"]),
                      disc_c=_cents(b["l_discount"]))
         return b.groupby(["l_returnflag", "l_linestatus"], as_index=False).agg(
@@ -849,9 +855,16 @@ def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
         out_b: list = []
         for _, sub in dup.groupby(["band_id", "band_hash"], sort=False):
             ids = np.sort(sub["doc_id"].unique())
-            if not 2 <= len(ids) <= _MINHASH_HOT_BAND:
-                # a degenerate band hash (e.g. many near-empty docs) would
-                # go O(n^2); such docs are caught by exact dedup instead
+            if len(ids) < 2:
+                continue
+            if len(ids) > _MINHASH_HOT_BAND:
+                # hot band (a 65+-doc near-dup family): emit a STAR
+                # (min-id, other) instead of all pairs — O(n) edges that
+                # preserve union-find connectivity after verification, so
+                # the cluster output matches the all-pairs oracle while
+                # bounding the blow-up
+                out_a.extend([int(ids[0])] * (len(ids) - 1))
+                out_b.extend(ids[1:].tolist())
                 continue
             ia, ib = np.triu_indices(len(ids), k=1)
             out_a.extend(ids[ia].tolist())
@@ -908,7 +921,8 @@ def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
                 batch_format="pandas")
             with_a = bucketed_hash_join(cand_ds, docs_a, "id_a", "doc_id",
                                         num_buckets=32) \
-                .map_batches(lambda b: b[["id_a", "id_b", "text_a"]],
+                .map_batches(lambda b: b[["id_a", "id_b", "text_a"]]
+                             .astype({"id_b": "int64"}),
                              batch_format="pandas")
             docs_b = cdocs.map_batches(
                 lambda b: b.rename(columns={"text": "text_b"}),
@@ -1612,9 +1626,11 @@ ORACLE_SQL = {
         "SELECT doc_id, md5(text) AS fp FROM documents",
     "props_rollup": r"""
         SELECT event_type,
-               CAST(SUM(CAST(regexp_extract(props, '\d+') AS BIGINT))
+               CAST(SUM(CAST(COALESCE(NULLIF(
+                        regexp_extract(props, '\d+'), ''), '0') AS BIGINT))
                     AS BIGINT) AS k_sum,
-               CAST(SUM(CAST(regexp_extract(props, '\d+') AS BIGINT))
+               CAST(SUM(CAST(COALESCE(NULLIF(
+                        regexp_extract(props, '\d+'), ''), '0') AS BIGINT))
                     AS DOUBLE) / COUNT(*) AS avg_k
         FROM events GROUP BY event_type""",
     "split_assign": """

@@ -33,8 +33,17 @@ import pyarrow as pa
 # (and its cross-core cache traffic) a measurable share of the hot loop.
 # Raising the thresholds was measured ~15% faster at 32 procs on the
 # multiprocessing calibration with no change in peak RSS; collection still
-# runs every ~100k allocations so cyclic garbage stays bounded.
-gc.set_threshold(100_000, 50, 50)
+# runs every ~100k allocations so cyclic garbage stays bounded. Applied
+# lazily in the WORKER process only (first batch), not at import time —
+# a driver or test process importing this module keeps default GC.
+_GC_TUNED = False
+
+
+def _tune_worker_gc() -> None:
+    global _GC_TUNED
+    if not _GC_TUNED:
+        gc.set_threshold(100_000, 50, 50)
+        _GC_TUNED = True
 
 from ..core.payload import extract_payload
 from ..gen.transcripts import SPAN_TYPE
@@ -69,6 +78,7 @@ class ExtractTurns:
         self.keep_spans = keep_spans
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        _tune_worker_gc()
         texts = batch.column("text").to_pylist()
         kinds: list[str] = []
         extracted: list[str] = []

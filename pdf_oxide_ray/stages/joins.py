@@ -65,6 +65,15 @@ def broadcast_join(ds, right: pd.DataFrame, on: str,
 
 def _bucket_of(keys: pd.Series, num_buckets: int) -> np.ndarray:
     arr = keys.to_numpy()
+    if arr.dtype.kind == "f":
+        # integral floats (int keys NaN-promoted by an upstream union
+        # reindex) must hash like the ints they are, or a chained join's
+        # two sides land in different buckets
+        as_int = arr.astype(np.int64, copy=False) \
+            if not np.isnan(arr).any() else None
+        if as_int is not None and np.array_equal(
+                as_int.astype(arr.dtype), arr):
+            arr = as_int
     if arr.dtype.kind in "iu":
         return (arr.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
                 >> np.uint64(32)).astype(np.int64) % num_buckets
@@ -93,23 +102,25 @@ def bucketed_hash_join(left_ds, right_ds, left_on: str, right_on: str,
     all_cols = left_cols + [c for c in right_cols if c not in left_cols]
 
     # the union's reindex pads each side's missing columns with NaN, which
-    # promotes int/bool columns to float64 — record the original dtypes so
-    # merge_bucket can restore them (a float64 join key would otherwise
-    # hash through _bucket_of's string branch and miss every bucket)
-    def _int_dtypes(schema) -> dict:
-        out = {}
+    # promotes int/bool columns to float64 — restore ONLY the join keys'
+    # original dtypes (a float64 join key would otherwise hash through
+    # _bucket_of's string branch and miss every bucket; restoring every
+    # int column would crash on legitimately-nullable non-key ints)
+    def _key_dtype(schema, key: str) -> dict:
         for name, typ in zip(schema.names, schema.types):
+            if name != key:
+                continue
             try:
                 dt = np.dtype(typ.to_pandas_dtype()
                               if hasattr(typ, "to_pandas_dtype") else typ)
             except (TypeError, NotImplementedError):
-                continue
+                return {}
             if dt.kind in "iub":
-                out[name] = dt
-        return out
+                return {name: dt}
+        return {}
 
-    left_restore = _int_dtypes(left_schema)
-    right_restore = _int_dtypes(right_schema)
+    left_restore = _key_dtype(left_schema, left_on)
+    right_restore = _key_dtype(right_schema, right_on)
 
     def tag(side: str, on: str):
         def _tag(batch: pd.DataFrame) -> pd.DataFrame:

@@ -159,3 +159,28 @@ def test_ivf_equals_brute_force_when_probing_all(ray_session):
         as_ = set(approx.loc[approx["query_id"] == qid, "vec_id"])
         hits += len(es & as_)
     assert hits / 15 >= 0.6  # recall@5 with 3/8 lists probed
+
+
+def test_minhash_hot_band_star_keeps_large_families(ray_session, tmp_path):
+    """65+ near-identical docs exceed the hot-band pair guard; the star
+    fallback must still cluster the whole family (union-find needs only
+    a spanning set of verified edges)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_oxide_ray.queries import _MINHASH_HOT_BAND, q_minhash_dedup
+
+    n = _MINHASH_HOT_BAND + 6
+    base = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through the quiet field toward the river bank")
+    docs = [base + (" again" if i % 2 else "") for i in range(n)]
+    docs += ["completely unrelated text about database query engines "
+             "and vectorized execution plans"] * 1
+    tbl = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                    "text": pa.array(docs, pa.string())})
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    out = q_minhash_dedup(str(tmp_path))
+    # the family of n docs forms one cluster rooted at doc 0
+    assert len(out) == n
+    assert set(out["cluster_root"]) == {0}
+    assert set(out["doc_id"]) == set(range(n))
