@@ -78,13 +78,22 @@ def run_bench() -> dict:
     import shutil
     import tempfile
 
-    out_dir = tempfile.mkdtemp(prefix="bench_flagship_", dir="/tmp")
-    t0 = time.perf_counter()
-    summary = run_flagship_job(corpus, out_dir, keep_spans=True,
-                               want_markdown=True)
-    headline = time.perf_counter() - t0
+    # median of 3 runs (the reference's published numbers average 3 runs;
+    # this box shows +-30% run-to-run noise) — flagship-only mode keeps a
+    # single run for the scaling subprocesses where fresh-process cost
+    # dominates anyway
+    n_runs = 1 if os.environ.get("GRAFT_BENCH_FLAGSHIP_ONLY") == "1" else 3
+    walls = []
+    summary = None
+    for _ in range(n_runs):
+        out_dir = tempfile.mkdtemp(prefix="bench_flagship_", dir="/tmp")
+        t0 = time.perf_counter()
+        summary = run_flagship_job(corpus, out_dir, keep_spans=True,
+                                   want_markdown=True)
+        walls.append(time.perf_counter() - t0)
+        shutil.rmtree(out_dir, ignore_errors=True)
+    headline = sorted(walls)[len(walls) // 2]
     rows = summary["rows"]
-    shutil.rmtree(out_dir, ignore_errors=True)
 
     timings: dict[str, float] = {
         "flagship_extract": round(headline, 3),
@@ -115,6 +124,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "turns": rows,
         "turns_per_sec": round(rows / headline, 1),
+        "flagship_runs_sec": [round(w, 3) for w in walls],
         "input_turns": n_turns,
     }
     ray.shutdown()
