@@ -55,6 +55,23 @@ def _cents(s: pd.Series) -> pd.Series:
 
 import contextlib  # noqa: E402
 
+_REDUCE_GATE_ROWS = 5_000_000
+
+
+def _reduce_partials(partials, by: list[str],
+                     sum_cols: list[str]) -> pd.DataFrame:
+    """Final reduce over per-batch PARTIAL aggregates. Below the gate the
+    partials (one row per key per batch — tiny by construction) combine
+    on the driver: a Ray groupby costs seconds of pure exchange overhead
+    on kilorow inputs (measured ~4s on 15k rows). Above the gate (huge
+    key cardinality x blocks) the reduce stays a distributed shuffle."""
+    m = partials.materialize()
+    if m.count() <= _REDUCE_GATE_ROWS:
+        return m.to_pandas().groupby(by, as_index=False)[sum_cols].sum()
+    with _scoped_parallelism(32):
+        return m.groupby(by).aggregate(
+            *[Sum(c, alias_name=c) for c in sum_cols]).to_pandas()
+
 
 @contextlib.contextmanager
 def _scoped_parallelism(n: int):
@@ -84,7 +101,7 @@ def q_turn_counts(sf_dir: str) -> pd.DataFrame:
     partial = ds.map_batches(
         lambda b: b.groupby("user_id", as_index=False).agg(n=("user_id", "size")),
         batch_format="pandas")
-    out = partial.groupby("user_id").aggregate(Sum("n", alias_name="n")).to_pandas()
+    out = _reduce_partials(partial, ["user_id"], ["n"])
     out["n"] = out["n"].astype("int64")
     return out
 
@@ -111,12 +128,9 @@ def q_category_stats(sf_dir: str) -> pd.DataFrame:
             disc_c=("disc_c", "sum"),
             n=("qty_i", "size"))
 
-    agg = ds.map_batches(partial, batch_format="pandas") \
-        .groupby(["l_returnflag", "l_linestatus"]).aggregate(
-            Sum("qty_i", alias_name="qty_i"),
-            Sum("price_c", alias_name="price_c"),
-            Sum("disc_c", alias_name="disc_c"),
-            Sum("n", alias_name="n")).to_pandas()
+    agg = _reduce_partials(ds.map_batches(partial, batch_format="pandas"),
+                           ["l_returnflag", "l_linestatus"],
+                           ["qty_i", "price_c", "disc_c", "n"])
     agg["sum_qty"] = agg["qty_i"].astype(np.float64)
     agg["sum_price"] = agg["price_c"].astype(np.float64) / 100.0
     agg["avg_disc"] = (agg["disc_c"].astype(np.float64) / 100.0) / agg["n"]
@@ -139,9 +153,8 @@ def q_revenue_by_flag(sf_dir: str) -> pd.DataFrame:
                              "rev_i": rev_i}) \
             .groupby("l_returnflag", as_index=False).sum()
 
-    out = ds.map_batches(partial, batch_format="pandas") \
-        .groupby("l_returnflag") \
-        .aggregate(Sum("rev_i", alias_name="rev_i")).to_pandas()
+    out = _reduce_partials(ds.map_batches(partial, batch_format="pandas"),
+                           ["l_returnflag"], ["rev_i"])
     out["revenue"] = out["rev_i"].astype(np.float64) / 10000.0
     return out.drop(columns=["rev_i"])
 
@@ -160,10 +173,8 @@ def q_events_hourly(sf_dir: str) -> pd.DataFrame:
         return b.groupby(["event_type", "hour"], as_index=False).agg(
             n=("value_u", "size"), value_u=("value_u", "sum"))
 
-    agg = ds.map_batches(partial, batch_format="pandas") \
-        .groupby(["event_type", "hour"]).aggregate(
-            Sum("n", alias_name="n"),
-            Sum("value_u", alias_name="value_u")).to_pandas()
+    agg = _reduce_partials(ds.map_batches(partial, batch_format="pandas"),
+                           ["event_type", "hour"], ["n", "value_u"])
     agg["avg_value"] = (agg["value_u"].astype(np.float64) / 1e6) / agg["n"]
     agg["n"] = agg["n"].astype("int64")
     return agg.drop(columns=["value_u"])
@@ -197,18 +208,8 @@ def q_events_sliding(sf_dir: str) -> pd.DataFrame:
             ["event_type", "window_start"], as_index=False).agg(
             n=("n", "sum"))
 
-    mapped = ds.map_batches(partial, batch_format="pandas").materialize()
-    if mapped.count() <= 5_000_000:
-        # the partials are already one row per (type, window) per batch —
-        # a small final reduce beats a full shuffle (measured: the Ray
-        # groupby costs ~4s of pure exchange overhead on a 15k-row input)
-        out = mapped.to_pandas().groupby(
-            ["event_type", "window_start"], as_index=False).agg(
-            n=("n", "sum"))
-    else:  # many windows x types: keep the reduce distributed
-        with _scoped_parallelism(32):
-            out = mapped.groupby(["event_type", "window_start"]) \
-                .aggregate(Sum("n", alias_name="n")).to_pandas()
+    out = _reduce_partials(ds.map_batches(partial, batch_format="pandas"),
+                           ["event_type", "window_start"], ["n"])
     out["n"] = out["n"].astype("int64")
     return out
 
@@ -322,9 +323,8 @@ def q_join_customer_orders(sf_dir: str) -> pd.DataFrame:
             n_orders=("price_c", "size"),
             price_c=("price_c", "sum")),
         batch_format="pandas")
-    out = partial.groupby("c_mktsegment").aggregate(
-        Sum("n_orders", alias_name="n_orders"),
-        Sum("price_c", alias_name="price_c")).to_pandas()
+    out = _reduce_partials(partial, ["c_mktsegment"],
+                           ["n_orders", "price_c"])
     out["n_orders"] = out["n_orders"].astype("int64")
     out["total_price"] = out["price_c"].astype(np.float64) / 100.0
     return out.drop(columns=["price_c"])
@@ -346,10 +346,9 @@ def q_join_lineitem_orders(sf_dir: str) -> pd.DataFrame:
                              "rev_i": rev_i, "n": 1}) \
             .groupby("o_orderpriority", as_index=False).sum()
 
-    out = joined.map_batches(partial, batch_format="pandas") \
-        .groupby("o_orderpriority").aggregate(
-            Sum("rev_i", alias_name="rev_i"),
-            Sum("n", alias_name="n")).to_pandas()
+    out = _reduce_partials(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["o_orderpriority"], ["rev_i", "n"])
     out["n"] = out["n"].astype("int64")
     out["revenue"] = out["rev_i"].astype(np.float64) / 10000.0
     return out.drop(columns=["rev_i"])
@@ -371,9 +370,7 @@ def q_supplier_nation_region(sf_dir: str) -> pd.DataFrame:
             n_suppliers=("bal_c", "size"),
             bal_c=("bal_c", "sum")),
         batch_format="pandas")
-    out = partial.groupby("r_name").aggregate(
-        Sum("n_suppliers", alias_name="n_suppliers"),
-        Sum("bal_c", alias_name="bal_c")).to_pandas()
+    out = _reduce_partials(partial, ["r_name"], ["n_suppliers", "bal_c"])
     out["n_suppliers"] = out["n_suppliers"].astype("int64")
     out["total_acctbal"] = out["bal_c"].astype(np.float64) / 100.0
     return out.drop(columns=["bal_c"])
@@ -449,10 +446,9 @@ def q_customers_with_orders(sf_dir: str) -> pd.DataFrame:
         return hit.groupby("c_mktsegment", as_index=False).agg(
             n=("c_custkey", "size"))
 
-    out = _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"]) \
-        .map_batches(semi, batch_format="pandas") \
-        .groupby("c_mktsegment").aggregate(Sum("n", alias_name="n")) \
-        .to_pandas()
+    out = _reduce_partials(
+        _pq(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        .map_batches(semi, batch_format="pandas"), ["c_mktsegment"], ["n"])
     out["n"] = out["n"].astype("int64")
     return out
 
@@ -496,9 +492,7 @@ def q_doc_stats(sf_dir: str) -> pd.DataFrame:
         lambda b: b.groupby("lang", as_index=False).agg(
             n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum")),
         batch_format="pandas")
-    out = partial.groupby("lang").aggregate(
-        Sum("n_docs", alias_name="n_docs"),
-        Sum("sum_chars", alias_name="sum_chars")).to_pandas()
+    out = _reduce_partials(partial, ["lang"], ["n_docs", "sum_chars"])
     out["avg_chars"] = out["sum_chars"].astype(np.float64) / out["n_docs"]
     out["n_docs"] = out["n_docs"].astype("int64")
     out["sum_chars"] = out["sum_chars"].astype("int64")
@@ -663,10 +657,8 @@ def q_props_rollup(sf_dir: str) -> pd.DataFrame:
                              "n": 1}) \
             .groupby("event_type", as_index=False).sum()
 
-    out = ds.map_batches(partial, batch_format="pandas") \
-        .groupby("event_type").aggregate(
-            Sum("k_sum", alias_name="k_sum"),
-            Sum("n", alias_name="n")).to_pandas()
+    out = _reduce_partials(ds.map_batches(partial, batch_format="pandas"),
+                           ["event_type"], ["k_sum", "n"])
     out["avg_k"] = (out["k_sum"].astype(np.float64)) / out["n"]
     out["k_sum"] = out["k_sum"].astype("int64")
     return out.drop(columns=["n"])
@@ -707,9 +699,8 @@ def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
         return hit.groupby("lang", as_index=False).agg(
             n_sampled=("doc_id", "size"))
 
-    out = ds.map_batches(partial, batch_format="pandas") \
-        .groupby("lang").aggregate(
-            Sum("n_sampled", alias_name="n_sampled")).to_pandas()
+    out = _reduce_partials(ds.map_batches(partial, batch_format="pandas"),
+                           ["lang"], ["n_sampled"])
     out["n_sampled"] = out["n_sampled"].astype("int64")
     return out
 
@@ -790,9 +781,8 @@ def q_token_histogram(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"bucket": (n // 10) * 10}) \
             .groupby("bucket", as_index=False).agg(n_docs=("bucket", "size"))
 
-    out = ds.map_batches(partial, batch_format="pandas") \
-        .groupby("bucket").aggregate(
-            Sum("n_docs", alias_name="n_docs")).to_pandas()
+    out = _reduce_partials(ds.map_batches(partial, batch_format="pandas"),
+                           ["bucket"], ["n_docs"])
     return out.astype({"bucket": "int64", "n_docs": "int64"})
 
 
