@@ -1263,9 +1263,11 @@ def q_asof_purchase_click(sf_dir: str) -> pd.DataFrame:
     ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
     purchases = ev.filter(expr="event_type == 'purchase'")
     clicks = ev.filter(expr="event_type == 'click'")
-    out = asof_join(purchases, clicks, on="user_id", left_ts="ts",
-                    right_ts="ts", left_cols=["event_id"],
-                    right_cols=["event_id"]).to_pandas()
+    with _scoped_parallelism(32):  # skinny exchange; 200 partitions is
+        # pure overhead at this group cardinality
+        out = asof_join(purchases, clicks, on="user_id", left_ts="ts",
+                        right_ts="ts", left_cols=["event_id"],
+                        right_cols=["event_id"]).to_pandas()
     out = out.rename(columns={"ts": "purchase_ts", "ts_right": "click_ts",
                               "event_id": "purchase_id",
                               "event_id_right": "click_id"})
@@ -1280,10 +1282,11 @@ def q_range_purchase_views(sf_dir: str) -> pd.DataFrame:
     ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
     purchases = ev.filter(expr="event_type == 'purchase'")
     views = ev.filter(expr="event_type == 'view'")
-    out = range_count_join(
-        purchases, views, on="user_id", left_ts="ts", right_ts="ts",
-        left_id="event_id", lower=-pd.Timedelta(hours=1),
-        upper=pd.Timedelta(0), count_name="n_views_1h").to_pandas()
+    with _scoped_parallelism(32):
+        out = range_count_join(
+            purchases, views, on="user_id", left_ts="ts", right_ts="ts",
+            left_id="event_id", lower=-pd.Timedelta(hours=1),
+            upper=pd.Timedelta(0), count_name="n_views_1h").to_pandas()
     out = out.rename(columns={"event_id": "purchase_id"})
     return out[["purchase_id", "n_views_1h"]].astype(
         {"purchase_id": "int64", "n_views_1h": "int64"})
