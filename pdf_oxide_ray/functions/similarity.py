@@ -187,3 +187,40 @@ def bucket_near_dups(group: pd.DataFrame, tau: float = 0.95) -> pd.DataFrame:
         "id_b": np.maximum(ids[ia[mask]], ids[ib[mask]]),
         "score": sims[ia[mask], ib[mask]].astype(np.float64),
     })
+
+
+class HashingEmbedder:
+    """Actor-pool text-embedding stage (the batched model-inference shape:
+    expensive state in ``__init__`` once per actor, vectorized scoring in
+    ``__call__`` per batch). The "model" is a deterministic
+    feature-hashing vectorizer (the public hashing trick; no encoder
+    weights exist in this container) — swap the body for a real encoder in
+    production; the Ray plumbing (pool sizing, batch shape,
+    fixed-size list<float> output, L2 normalization) is what this stage
+    locks in."""
+
+    def __init__(self, dim: int = 64, text_col: str = "text",
+                 out_col: str = "embedding"):
+        import re
+
+        self.dim = dim
+        self.text_col = text_col
+        self.out_col = out_col
+        self.token_re = re.compile(r"\w+")
+
+    def _embed(self, text: str) -> np.ndarray:
+        import hashlib
+
+        v = np.zeros(self.dim, dtype=np.float32)
+        for tok in self.token_re.findall((text or "").lower()):
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+            v[h % self.dim] += 1.0 if (h >> 63) else -1.0
+        n = float(np.linalg.norm(v))
+        return v / n if n > 0 else v
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "vec_id": batch["doc_id"].astype("int64"),
+            self.out_col: [self._embed(t) for t in batch[self.text_col]],
+        })

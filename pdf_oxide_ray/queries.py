@@ -1077,6 +1077,30 @@ def q_embedding_sim_pairs(sf_dir: str) -> pd.DataFrame:
     return out.drop_duplicates().reset_index(drop=True)
 
 
+def q_doc_embed_knn(sf_dir: str) -> pd.DataFrame:
+    """End-to-end text -> embed -> ANN over the documents table: an
+    actor-pool embedding stage (HashingEmbedder: model state once per
+    actor, the batched-inference shape) feeds brute-force cosine top-k.
+    Self-validating invariant (also pinned in pytest): each query doc's
+    own vector is its top hit at score 1. No SQL twin (the embedding is
+    a model stand-in, not SQL-expressible)."""
+    import ray
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    # pool strictly below session CPUs: an actor pool equal to num_cpus
+    # starves the read stage (observed deadlock in 4-cpu test sessions)
+    pool = max(1, min(4, int(ray.cluster_resources().get("CPU", 2)) - 2))
+    emb = ds.map_batches(fsim.HashingEmbedder, batch_format="pandas",
+                         batch_size=256, concurrency=pool,
+                         fn_constructor_kwargs={"dim": 64}).materialize()
+    qdf = emb.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    out = fsim.brute_force_topk(emb, qmat, k=5)
+    out["score"] = np.round(out["score"].astype(np.float64), 4)
+    return out.drop(columns=["rank"]).astype({"query_id": "int64",
+                                              "vec_id": "int64"})
+
+
 # ---------------------------------------------------------------------------
 # multimodal (stubbed codecs, real Ray plumbing) + metrics rollups
 # ---------------------------------------------------------------------------
@@ -1448,6 +1472,7 @@ QUERIES = {
     "embedding_knn": q_embedding_knn,
     "embedding_ivf_knn": q_embedding_ivf_knn,
     "embedding_near_dups": q_embedding_near_dups,
+    "doc_embed_knn": q_doc_embed_knn,
     "embedding_sim_pairs": q_embedding_sim_pairs,
     "media_features": q_media_features,
     "frame_sampling": q_frame_sampling,

@@ -184,3 +184,16 @@ def test_minhash_hot_band_star_keeps_large_families(ray_session, tmp_path):
     assert len(out) == n
     assert set(out["cluster_root"]) == {0}
     assert set(out["doc_id"]) == set(range(n))
+
+
+def test_doc_embed_knn_self_hit(ray_session):
+    """End-to-end embed+ANN invariant: each query doc's own vector is its
+    top hit at score 1.0 (the embedder L2-normalizes)."""
+    from pdf_oxide_ray.queries import q_doc_embed_knn
+
+    out = q_doc_embed_knn(SF_DIR)
+    for qid in out["query_id"].unique():
+        sub = out[out["query_id"] == qid].sort_values("score",
+                                                      ascending=False)
+        assert sub.iloc[0]["vec_id"] == qid
+        assert abs(sub.iloc[0]["score"] - 1.0) < 1e-6
