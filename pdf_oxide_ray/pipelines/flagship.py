@@ -68,15 +68,52 @@ def _plan_num_blocks(paths: list[str]) -> int:
 
 
 def read_transcripts(path: str, columns: list[str] | None = None):
-    """``path`` is a parquet file, a directory of them, or a glob."""
+    """``path`` is a parquet/JSONL file, a directory, or a glob.
+
+    Parquet is the production format (column pruning + row groups);
+    JSONL (.jsonl/.json) is accepted as a convenience source for raw
+    conversation dumps — projected down to ``columns`` right after the
+    read since JSON cannot prune at the scan."""
     if os.path.isdir(path):
-        paths = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        paths = sorted(glob.glob(os.path.join(path, "*.parquet"))) or \
+            sorted(glob.glob(os.path.join(path, "*.jsonl")))
     elif any(ch in path for ch in "*?["):
         paths = sorted(glob.glob(path))
     else:
         paths = [path]
+    if paths and paths[0].endswith((".jsonl", ".json")):
+        ds = rd.read_json(paths,
+                          override_num_blocks=_plan_num_blocks(paths))
+        if columns:
+            ds = ds.select_columns(columns)
+        return ds.map_batches(_cast_transcript_types,
+                              batch_format="pyarrow")
     return rd.read_parquet(paths, columns=columns,
                            override_num_blocks=_plan_num_blocks(paths))
+
+
+def _cast_transcript_types(batch: pa.Table) -> pa.Table:
+    """Align JSON-inferred dtypes with TRANSCRIPT_SCHEMA so the two source
+    formats are interchangeable downstream (JSON infers int64 for turn_idx
+    and cannot represent timestamp[us] natively — it arrives as an ISO
+    string or epoch-microsecond int)."""
+    from ..gen.transcripts import TRANSCRIPT_SCHEMA
+
+    for name in batch.schema.names:
+        idx = TRANSCRIPT_SCHEMA.get_field_index(name)
+        if idx < 0:
+            continue
+        want = TRANSCRIPT_SCHEMA.field(idx).type
+        col = batch.column(name)
+        if col.type == want:
+            continue
+        if pa.types.is_timestamp(want) and pa.types.is_integer(col.type):
+            cast = col.cast(pa.int64()).cast(want)
+        else:
+            cast = col.cast(want)
+        batch = batch.set_column(batch.schema.get_field_index(name),
+                                 name, cast)
+    return batch
 
 
 def extract_dataset(ds, *, want_markdown: bool = True, keep_spans: bool = True,

@@ -116,3 +116,36 @@ def test_poison_rows_do_not_fail_job(ray_session, tmp_path):
     assert len(out) == 3
     assert (out["status"] == "error").sum() <= 1  # garbage pdf may error
     assert (out[out["conv_id"] == "c2"]["status"] == "ok").all()
+
+
+def test_jsonl_source_parity(ray_session, corpus, tmp_path):
+    """JSONL transcripts must extract identically to the parquet source
+    (read_transcripts casts JSON-inferred dtypes back to
+    TRANSCRIPT_SCHEMA: int64 turn_idx -> int32, epoch-us ts ->
+    timestamp[us])."""
+    import pandas as pd
+
+    from pdf_oxide_ray.pipelines.flagship import (extract_dataset,
+                                                  read_transcripts)
+
+    tbl = pq.read_table(corpus)
+    df = tbl.to_pandas().head(200)
+    jdf = df.copy()
+    jdf["ts"] = jdf["ts"].astype("int64")  # epoch microseconds
+    src = tmp_path / "transcripts.jsonl"
+    jdf.to_json(src, orient="records", lines=True, force_ascii=False)
+
+    ds = read_transcripts(str(src))
+    schema = ds.schema()
+    assert schema.base_schema.field("turn_idx").type == "int32"
+    assert str(schema.base_schema.field("ts").type) == "timestamp[us]"
+
+    cols = ["conv_id", "turn_idx", "extracted_text", "markdown", "n_chars"]
+    got = (extract_dataset(ds, concurrency=2).to_pandas()[cols]
+           .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+
+    import ray.data as rd
+    ref_ds = rd.from_arrow(pq.read_table(corpus).slice(0, 200))
+    want = (extract_dataset(ref_ds, concurrency=2).to_pandas()[cols]
+            .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
