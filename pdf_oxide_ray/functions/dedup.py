@@ -109,14 +109,19 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word tokens."""
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in _TOKEN_RE.findall(text.lower()):
-        h = int.from_bytes(
-            hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
-        bits = np.unpackbits(
-            np.frombuffer(h.to_bytes(8, "big"), dtype=np.uint8))
-        acc += np.where(bits == 1, 1, -1)
+    """64-bit SimHash over word tokens.
+
+    The per-token hash is the first 8 bytes of md5 so a DuckDB oracle can
+    reconstruct the signature bit-for-bit from ``md5(tok)`` hex (blake2b
+    isn't available in SQL); the bit accumulation is one vectorized pass
+    over the stacked token digests rather than a per-token numpy op."""
+    toks = _TOKEN_RE.findall(text.lower())
+    if not toks:
+        return 0
+    buf = b"".join(hashlib.md5(t.encode()).digest()[:8] for t in toks)
+    bits = np.unpackbits(
+        np.frombuffer(buf, dtype=np.uint8).reshape(-1, 8), axis=1)
+    acc = (2 * bits.astype(np.int64) - 1).sum(axis=0)
     out = np.packbits((acc > 0).astype(np.uint8))
     return int.from_bytes(out.tobytes(), "big") >> 1  # fit int64
 

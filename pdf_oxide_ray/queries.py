@@ -945,7 +945,8 @@ def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
 
 
 def q_simhash_buckets(sf_dir: str) -> pd.DataFrame:
-    """SimHash signatures (no SQL twin): doc_id -> 64-bit simhash."""
+    """SimHash signatures: doc_id -> 64-bit simhash (md5 token hash, so
+    the DuckDB oracle reconstructs the signature bit-for-bit)."""
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(fdedup.add_simhash, batch_format="pandas").to_pandas()
     return out[["doc_id", "simhash"]]
@@ -953,7 +954,8 @@ def q_simhash_buckets(sf_dir: str) -> pd.DataFrame:
 
 def q_ngram_dup_pairs(sf_dir: str) -> pd.DataFrame:
     """Character-3-gram Jaccard >= 0.9 pairs among same-simhash-prefix
-    buckets (cheap near-dup verify; no SQL twin)."""
+    buckets (cheap near-dup verify; exact DuckDB twin via the md5-based
+    simhash reconstruction + substr 3-gram sets)."""
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
     sh = ds.map_batches(fdedup.add_simhash, batch_format="pandas")
 
@@ -971,8 +973,11 @@ def q_ngram_dup_pairs(sf_dir: str) -> pd.DataFrame:
             for j in range(i + 1, len(ids)):
                 sim = fdedup.ngram_jaccard(txt[i], txt[j])
                 if sim >= 0.9:
+                    # raw |A∩B|/|A∪B| double: the oracle computes the same
+                    # integer division, so no rounding lottery (cf. the
+                    # integer-cents pattern in the money rollups)
                     out.append((min(ids[i], ids[j]), max(ids[i], ids[j]),
-                                round(sim, 6)))
+                                sim))
         return pd.DataFrame(out, columns=["id_a", "id_b", "sim"]) if out else \
             pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                           "id_b": pd.Series(dtype="int64"),
@@ -1836,6 +1841,84 @@ ORACLE_SQL = {
     "dedup_exact": """
         SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
         FROM documents GROUP BY text""",
+    # Bit-exact SimHash reconstruction: md5(tok) hex -> 64 bit values ->
+    # +1/-1 accumulation -> sign bits packed big-endian >> 1 (the same
+    # arithmetic as functions/dedup.py::simhash64, verified bit-for-bit
+    # on sf0.01).
+    "simhash_buckets": """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[0-9A-Za-z_]+'))
+                 AS tok
+          FROM documents),
+        h AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+        bits AS (
+          SELECT doc_id, i.i AS i,
+            ((strpos('0123456789abcdef', substr(hx, 1 + i.i // 4, 1)) - 1)
+              // (1 << (3 - i.i % 4))) % 2 AS bit
+          FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i),
+        acc AS (SELECT doc_id, i, SUM(2*bit - 1) AS a
+                FROM bits GROUP BY doc_id, i),
+        sig AS (
+          SELECT doc_id,
+            SUM(CASE WHEN a > 0 AND i < 63
+                THEN (1::BIGINT << CAST(62 - i AS INT)) ELSE 0 END)
+            AS simhash
+          FROM acc GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(CAST(s.simhash AS BIGINT), 0) AS simhash
+        FROM documents d LEFT JOIN sig s USING(doc_id)""",
+    # Same simhash CTEs for the bucket key, then exact char-3-gram Jaccard
+    # over DISTINCT substr sets; raw double division (no rounding) matches
+    # the Python kernel bit-for-bit.
+    "ngram_dup_pairs": """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[0-9A-Za-z_]+'))
+                 AS tok
+          FROM documents),
+        h AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+        bits AS (
+          SELECT doc_id, i.i AS i,
+            ((strpos('0123456789abcdef', substr(hx, 1 + i.i // 4, 1)) - 1)
+              // (1 << (3 - i.i % 4))) % 2 AS bit
+          FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i),
+        acc AS (SELECT doc_id, i, SUM(2*bit - 1) AS a
+                FROM bits GROUP BY doc_id, i),
+        sig AS (
+          SELECT doc_id,
+            SUM(CASE WHEN a > 0 AND i < 63
+                THEN (1::BIGINT << CAST(62 - i AS INT)) ELSE 0 END)
+            AS simhash
+          FROM acc GROUP BY doc_id),
+        buck AS (
+          SELECT d.doc_id,
+                 COALESCE(CAST(s.simhash AS BIGINT), 0) >> 48 AS bucket
+          FROM documents d LEFT JOIN sig s USING(doc_id)),
+        grams AS (
+          SELECT DISTINCT doc_id, substr(text, CAST(gi AS INT), 3) AS g
+          FROM (SELECT doc_id, text,
+                       unnest(range(1, greatest(length(text) - 2, 1) + 1))
+                       AS gi
+                FROM documents)),
+        gcnt AS (SELECT doc_id, count(*) AS c FROM grams GROUP BY doc_id),
+        cand AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM buck a
+          JOIN buck b ON a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        inter AS (
+          SELECT c.id_a, c.id_b, count(*) AS ni
+          FROM cand c JOIN grams ga ON ga.doc_id = c.id_a
+                      JOIN grams gb ON gb.doc_id = c.id_b AND gb.g = ga.g
+          GROUP BY 1, 2),
+        sims AS (
+          SELECT c.id_a, c.id_b,
+            CAST(COALESCE(ni, 0) AS DOUBLE)
+              / greatest(ca.c + cb.c - COALESCE(ni, 0), 1) AS sim
+          FROM cand c
+          LEFT JOIN inter USING (id_a, id_b)
+          JOIN gcnt ca ON ca.doc_id = c.id_a
+          JOIN gcnt cb ON cb.doc_id = c.id_b)
+        SELECT id_a, id_b, sim FROM sims WHERE sim >= 0.9""",
     "embedding_knn": f"""
         WITH q AS (SELECT vec_id AS query_id, embedding AS qe
                    FROM embeddings WHERE vec_id < {_KNN_QUERIES}),
