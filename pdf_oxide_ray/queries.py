@@ -1490,6 +1490,54 @@ QUERIES = {
     "range_purchase_views": q_range_purchase_views,
 }
 
+def _winnow_oracle_sql(k: int = 16, window: int = 8) -> str:
+    """DuckDB twin of q_winnow_dup_pairs: reconstructs the uint64
+    polynomial rolling hash of functions/textops.py::winnow_fingerprints
+    exactly (P^j mod 2^64 coefficient constants, HUGEINT sums, explicit
+    mod 2^64), takes per-doc window minima with MIN() OVER, and applies
+    the same 2..16 docs-per-fingerprint guard and pair threshold."""
+    m = 1 << 64
+    p = 1000003
+    c = [pow(p, j, m) for j in range(k)]
+    kterms = " + ".join(
+        f"ord(substr(text, CAST(gi + {j} AS INT), 1))::HUGEINT"
+        f" * {c[k - 1 - j]}::HUGEINT" for j in range(k))
+    powers = "[" + ", ".join(f"{v}::HUGEINT" for v in c) + "]"
+    return f"""
+        WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents
+                   WHERE length(text) > 0),
+        kh AS (
+          SELECT doc_id, gi, L - {k - 1} AS n,
+            CAST(({kterms}) % {m}::HUGEINT AS UBIGINT) AS h
+          FROM (SELECT doc_id, text, L, unnest(range(1, L - {k - 2})) AS gi
+                FROM d WHERE L >= {k})),
+        wm AS (
+          SELECT doc_id, gi, n,
+            MIN(h) OVER (PARTITION BY doc_id ORDER BY gi
+                         ROWS BETWEEN CURRENT ROW
+                         AND {window - 1} FOLLOWING) AS fp
+          FROM kh),
+        fps AS (
+          SELECT DISTINCT doc_id, fp FROM wm
+          WHERE gi <= greatest(n - {window - 1}, 1)
+          UNION
+          SELECT doc_id,
+            CAST(SUM(ord(substr(text, CAST(i AS INT), 1))::HUGEINT
+                     * {powers}[CAST(L - i + 1 AS INT)])
+                 % {m}::HUGEINT AS UBIGINT) AS fp
+          FROM (SELECT doc_id, text, L, unnest(range(1, L + 1)) AS i
+                FROM d WHERE L < {k})
+          GROUP BY doc_id),
+        fpc AS (SELECT fp, count(*) AS c FROM fps GROUP BY fp),
+        pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
+          FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+          JOIN fpc ON fpc.fp = a.fp AND fpc.c BETWEEN 2 AND 16
+          GROUP BY 1, 2)
+        SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b
+        FROM pairs WHERE n >= {_WINNOW_PAIR_THRESHOLD}"""
+
+
 ORACLE_SQL = {
     "turn_counts":
         "SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id",
@@ -1841,6 +1889,12 @@ ORACLE_SQL = {
     "dedup_exact": """
         SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
         FROM documents GROUP BY text""",
+    # Bit-exact winnowing reconstruction: the polynomial rolling hash
+    # h = sum(byte * P^j) mod 2^64 is computed with HUGEINT intermediates
+    # and P^j mod 2^64 constants; window minima via MIN() OVER ROWS;
+    # identical pair-count + hot-fingerprint guard as the Ray query.
+    # Corpus is pure ASCII (verified), so ord(substr) == utf-8 byte.
+    "winnow_dup_pairs": _winnow_oracle_sql(),
     # Bit-exact SimHash reconstruction: md5(tok) hex -> 64 bit values ->
     # +1/-1 accumulation -> sign bits packed big-endian >> 1 (the same
     # arithmetic as functions/dedup.py::simhash64, verified bit-for-bit

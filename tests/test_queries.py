@@ -66,7 +66,7 @@ def _sql_checked_names():
     "promo_revenue", "token_counts_bpe", "quality_score", "lang_id",
     "minhash_dedup", "props_rollup", "split_assign", "stratified_sample",
     "token_histogram", "decontaminate", "repetition_filter",
-    "simhash_buckets", "ngram_dup_pairs",
+    "simhash_buckets", "ngram_dup_pairs", "winnow_dup_pairs",
 ])
 def test_query_vs_oracle(ray_session, oracle_con, name):
     import __ray_entry__ as e
