@@ -1029,6 +1029,23 @@ def q_embedding_ivf_knn(sf_dir: str) -> pd.DataFrame:
     return out.astype({"query_id": "int64", "vec_id": "int64"})
 
 
+def q_embedding_ivf_exhaustive(sf_dir: str) -> pd.DataFrame:
+    """IVF with n_probe == n_lists: probing every inverted list must
+    reproduce brute-force cosine top-k exactly, so this pins the whole
+    IVF machinery (quantizer training, list assignment, probe, partial
+    top-k merge) against the same DuckDB oracle as embedding_knn.
+    The approximate configuration (n_probe < n_lists) stays registered
+    as embedding_ivf_knn and is recall-tested in pytest."""
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    sample = np.stack(ds.limit(2000).to_pandas()["embedding"].to_numpy())
+    centroids = fsim.train_ivf_centroids(sample, n_lists=16)
+    out = fsim.ivf_topk(ds, _query_matrix(sf_dir), centroids,
+                        k=_KNN_K, n_probe=16)
+    out["score"] = np.round(out["score"].astype(np.float64), 4)
+    out = out.drop(columns=["rank"])
+    return out.astype({"query_id": "int64", "vec_id": "int64"})
+
+
 def q_embedding_near_dups(sf_dir: str) -> pd.DataFrame:
     """LSH-bucketed cosine near-dup pairs (scale path; no SQL twin)."""
     ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
@@ -1476,6 +1493,7 @@ QUERIES = {
     "ngram_dup_pairs": q_ngram_dup_pairs,
     "embedding_knn": q_embedding_knn,
     "embedding_ivf_knn": q_embedding_ivf_knn,
+    "embedding_ivf_exhaustive": q_embedding_ivf_exhaustive,
     "embedding_near_dups": q_embedding_near_dups,
     "doc_embed_knn": q_doc_embed_knn,
     "embedding_sim_pairs": q_embedding_sim_pairs,
@@ -1987,3 +2005,7 @@ ORACLE_SQL = {
             FROM embeddings e CROSS JOIN q)
         SELECT query_id, vec_id, score FROM scored WHERE rn <= {_KNN_K}""",
 }
+
+# Probing every IVF list is brute force by construction, so the exhaustive
+# IVF configuration shares the cosine-top-k oracle verbatim.
+ORACLE_SQL["embedding_ivf_exhaustive"] = ORACLE_SQL["embedding_knn"]

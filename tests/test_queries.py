@@ -67,6 +67,7 @@ def _sql_checked_names():
     "minhash_dedup", "props_rollup", "split_assign", "stratified_sample",
     "token_histogram", "decontaminate", "repetition_filter",
     "simhash_buckets", "ngram_dup_pairs", "winnow_dup_pairs",
+    "embedding_ivf_exhaustive",
 ])
 def test_query_vs_oracle(ray_session, oracle_con, name):
     import __ray_entry__ as e
