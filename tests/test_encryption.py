@@ -224,3 +224,41 @@ def test_generator_aes_pdfs_extract():
         assert res["status"] == "ok", res["error"][:200]
         assert res["extracted_text"].strip()
     assert n >= 2
+
+
+def test_fast_cbc_backend_matches_pure(monkeypatch):
+    """When the optional cryptography backend is present, all four CBC
+    entry points must agree byte-for-byte with the pure FIPS-197
+    fallback on random vectors (keys of 16/24/32 bytes, messages of
+    0..5 blocks +/- padding)."""
+    import random
+
+    from pdf_oxide_ray.core import aes
+
+    if not aes.HAVE_FAST_AES:
+        pytest.skip("cryptography backend not present")
+    rng = random.Random(20260817)
+
+    def rb(n):
+        return bytes(rng.getrandbits(8) for _ in range(n))
+
+    for klen in (16, 24, 32):
+        for blocks in (1, 2, 5):
+            key, iv = rb(klen), rb(16)
+            aligned, ragged = rb(16 * blocks), rb(16 * blocks - 7)
+            fast = {
+                "enc": aes.aes_cbc_encrypt(key, iv, ragged),
+                "enc_np": aes.aes_cbc_encrypt_nopad(key, iv, aligned),
+                "dec_np": aes.aes_cbc_decrypt_nopad(key, iv, aligned),
+            }
+            fast["dec"] = aes.aes_cbc_decrypt(key, fast["enc"])
+            with monkeypatch.context() as m:
+                m.setattr(aes, "_cbc_fast", None)
+                pure = {
+                    "enc": aes.aes_cbc_encrypt(key, iv, ragged),
+                    "enc_np": aes.aes_cbc_encrypt_nopad(key, iv, aligned),
+                    "dec_np": aes.aes_cbc_decrypt_nopad(key, iv, aligned),
+                }
+                pure["dec"] = aes.aes_cbc_decrypt(key, fast["enc"])
+            assert fast == pure
+            assert fast["dec"] == ragged
