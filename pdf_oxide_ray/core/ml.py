@@ -34,8 +34,15 @@ from .layout import Block
 
 H1, H2, H3, BODY, SMALL = "h1", "h2", "h3", "body", "small"
 
-LAYOUT_READER_MODEL_PATH = "models/layout_reader_int8.onnx"
-HEADING_CLASSIFIER_MODEL_PATH = "models/heading_classifier_int8.onnx"
+# Anchored to the package root (not the CWD) so the existence check is
+# deterministic across the driver and Ray workers, whose working
+# directories differ. The reference uses a CWD-relative "models/" dir;
+# a fixed anchor is the distributed-safe equivalent.
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LAYOUT_READER_MODEL_PATH = os.path.join(
+    _PKG_ROOT, "models", "layout_reader_int8.onnx")
+HEADING_CLASSIFIER_MODEL_PATH = os.path.join(
+    _PKG_ROOT, "models", "heading_classifier_int8.onnx")
 
 
 class ModelLoadError(RuntimeError):

@@ -26,7 +26,11 @@ import re
 import numpy as np
 import pandas as pd
 
-_TOKEN_RE = re.compile(r"\w+", re.UNICODE)
+# ASCII word tokens by design: the DuckDB oracles tokenize with the RE2
+# class [0-9A-Za-z_]+ (RE2 \w is ASCII-only), so the Python side must
+# agree on EVERY corpus, not just ASCII ones. Widen both sides together
+# if a multilingual corpus ever needs Unicode word segmentation.
+_TOKEN_RE = re.compile(r"\w+", re.ASCII)
 
 # 64-bit universal-hash parameters for minhash permutations, seeded once per
 # worker at import (deterministic constants).

@@ -76,12 +76,18 @@ def read_transcripts(path: str, columns: list[str] | None = None):
     read since JSON cannot prune at the scan."""
     if os.path.isdir(path):
         paths = sorted(glob.glob(os.path.join(path, "*.parquet"))) or \
-            sorted(glob.glob(os.path.join(path, "*.jsonl")))
+            sorted(glob.glob(os.path.join(path, "*.jsonl"))) or \
+            sorted(glob.glob(os.path.join(path, "*.json")))
     elif any(ch in path for ch in "*?["):
         paths = sorted(glob.glob(path))
     else:
         paths = [path]
-    if paths and paths[0].endswith((".jsonl", ".json")):
+    json_paths = [p for p in paths if p.endswith((".jsonl", ".json"))]
+    if json_paths and len(json_paths) != len(paths):
+        raise ValueError(
+            f"mixed parquet/JSONL inputs in one read: {paths[:4]}...; "
+            "point at one format per source")
+    if json_paths:
         ds = rd.read_json(paths,
                           override_num_blocks=_plan_num_blocks(paths))
         if columns:

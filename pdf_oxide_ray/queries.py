@@ -961,6 +961,7 @@ def q_ngram_dup_pairs(sf_dir: str) -> pd.DataFrame:
 
     def bucket(b: pd.DataFrame) -> pd.DataFrame:
         b = b.copy()
+        b["text"] = b["text"].fillna("")  # keep jaccard total on nulls
         b["bucket"] = np.right_shift(b["simhash"].to_numpy(np.uint64),
                                      np.uint64(48)).astype(np.int64)
         return b[["doc_id", "text", "bucket"]]
@@ -1014,19 +1015,25 @@ def q_embedding_knn(sf_dir: str) -> pd.DataFrame:
     return out.astype({"query_id": "int64", "vec_id": "int64"})
 
 
+def _ivf_query(sf_dir: str, n_probe: int) -> pd.DataFrame:
+    """Shared IVF body (quantizer sample, train, probe, rounding) so the
+    approximate and exhaustive registrations can never drift apart."""
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    sample = np.stack(ds.limit(2000).to_pandas()["embedding"].to_numpy())
+    centroids = fsim.train_ivf_centroids(sample, n_lists=16)
+    out = fsim.ivf_topk(ds, _query_matrix(sf_dir), centroids,
+                        k=_KNN_K, n_probe=n_probe)
+    out["score"] = np.round(out["score"].astype(np.float64), 4)
+    out = out.drop(columns=["rank"])
+    return out.astype({"query_id": "int64", "vec_id": "int64"})
+
+
 def q_embedding_ivf_knn(sf_dir: str) -> pd.DataFrame:
     """IVF ANN top-k (the similarity-search scale path): spherical
     k-means coarse quantizer trained on a driver-side sample, inverted
     lists assigned per batch, only the n_probe nearest lists scored per
     query — touches n_probe/n_lists of the corpus instead of all of it."""
-    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
-    sample = np.stack(ds.limit(2000).to_pandas()["embedding"].to_numpy())
-    centroids = fsim.train_ivf_centroids(sample, n_lists=16)
-    out = fsim.ivf_topk(ds, _query_matrix(sf_dir), centroids,
-                        k=_KNN_K, n_probe=6)
-    out["score"] = np.round(out["score"].astype(np.float64), 4)
-    out = out.drop(columns=["rank"])
-    return out.astype({"query_id": "int64", "vec_id": "int64"})
+    return _ivf_query(sf_dir, n_probe=6)
 
 
 def q_embedding_ivf_exhaustive(sf_dir: str) -> pd.DataFrame:
@@ -1036,14 +1043,7 @@ def q_embedding_ivf_exhaustive(sf_dir: str) -> pd.DataFrame:
     top-k merge) against the same DuckDB oracle as embedding_knn.
     The approximate configuration (n_probe < n_lists) stays registered
     as embedding_ivf_knn and is recall-tested in pytest."""
-    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
-    sample = np.stack(ds.limit(2000).to_pandas()["embedding"].to_numpy())
-    centroids = fsim.train_ivf_centroids(sample, n_lists=16)
-    out = fsim.ivf_topk(ds, _query_matrix(sf_dir), centroids,
-                        k=_KNN_K, n_probe=16)
-    out["score"] = np.round(out["score"].astype(np.float64), 4)
-    out = out.drop(columns=["rank"])
-    return out.astype({"query_id": "int64", "vec_id": "int64"})
+    return _ivf_query(sf_dir, n_probe=16)
 
 
 def q_embedding_near_dups(sf_dir: str) -> pd.DataFrame:
@@ -1508,6 +1508,32 @@ QUERIES = {
     "range_purchase_views": q_range_purchase_views,
 }
 
+# SimHash reconstruction CTEs (toks -> md5 hex -> 64 bits -> +/-1
+# accumulation -> packed sign bits), shared by the simhash_buckets and
+# ngram_dup_pairs oracles. Tokenization is the ASCII word class on BOTH
+# sides (functions/dedup.py::_TOKEN_RE is compiled with re.ASCII
+# precisely so this SQL is equivalent on any corpus, not just ASCII).
+_SIMHASH_SQL_CTES = """toks AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[0-9A-Za-z_]+'))
+                 AS tok
+          FROM documents),
+        h AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+        bits AS (
+          SELECT doc_id, i.i AS i,
+            ((strpos('0123456789abcdef', substr(hx, 1 + i.i // 4, 1)) - 1)
+              // (1 << (3 - i.i % 4))) % 2 AS bit
+          FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i),
+        acc AS (SELECT doc_id, i, SUM(2*bit - 1) AS a
+                FROM bits GROUP BY doc_id, i),
+        sig AS (
+          SELECT doc_id,
+            SUM(CASE WHEN a > 0 AND i < 63
+                THEN (1::BIGINT << CAST(62 - i AS INT)) ELSE 0 END)
+            AS simhash
+          FROM acc GROUP BY doc_id)"""
+
+
 def _winnow_oracle_sql(k: int = 16, window: int = 8) -> str:
     """DuckDB twin of q_winnow_dup_pairs: reconstructs the uint64
     polynomial rolling hash of functions/textops.py::winnow_fingerprints
@@ -1916,61 +1942,27 @@ ORACLE_SQL = {
     # Bit-exact SimHash reconstruction: md5(tok) hex -> 64 bit values ->
     # +1/-1 accumulation -> sign bits packed big-endian >> 1 (the same
     # arithmetic as functions/dedup.py::simhash64, verified bit-for-bit
-    # on sf0.01).
-    "simhash_buckets": """
-        WITH toks AS (
-          SELECT doc_id,
-                 unnest(regexp_extract_all(lower(text), '[0-9A-Za-z_]+'))
-                 AS tok
-          FROM documents),
-        h AS (SELECT doc_id, md5(tok) AS hx FROM toks),
-        bits AS (
-          SELECT doc_id, i.i AS i,
-            ((strpos('0123456789abcdef', substr(hx, 1 + i.i // 4, 1)) - 1)
-              // (1 << (3 - i.i % 4))) % 2 AS bit
-          FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i),
-        acc AS (SELECT doc_id, i, SUM(2*bit - 1) AS a
-                FROM bits GROUP BY doc_id, i),
-        sig AS (
-          SELECT doc_id,
-            SUM(CASE WHEN a > 0 AND i < 63
-                THEN (1::BIGINT << CAST(62 - i AS INT)) ELSE 0 END)
-            AS simhash
-          FROM acc GROUP BY doc_id)
+    # on sf0.01). CTE chain shared with ngram_dup_pairs below.
+    "simhash_buckets": f"""
+        WITH {_SIMHASH_SQL_CTES}
         SELECT d.doc_id, COALESCE(CAST(s.simhash AS BIGINT), 0) AS simhash
         FROM documents d LEFT JOIN sig s USING(doc_id)""",
     # Same simhash CTEs for the bucket key, then exact char-3-gram Jaccard
     # over DISTINCT substr sets; raw double division (no rounding) matches
     # the Python kernel bit-for-bit.
-    "ngram_dup_pairs": """
-        WITH toks AS (
-          SELECT doc_id,
-                 unnest(regexp_extract_all(lower(text), '[0-9A-Za-z_]+'))
-                 AS tok
-          FROM documents),
-        h AS (SELECT doc_id, md5(tok) AS hx FROM toks),
-        bits AS (
-          SELECT doc_id, i.i AS i,
-            ((strpos('0123456789abcdef', substr(hx, 1 + i.i // 4, 1)) - 1)
-              // (1 << (3 - i.i % 4))) % 2 AS bit
-          FROM h CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i),
-        acc AS (SELECT doc_id, i, SUM(2*bit - 1) AS a
-                FROM bits GROUP BY doc_id, i),
-        sig AS (
-          SELECT doc_id,
-            SUM(CASE WHEN a > 0 AND i < 63
-                THEN (1::BIGINT << CAST(62 - i AS INT)) ELSE 0 END)
-            AS simhash
-          FROM acc GROUP BY doc_id),
+    "ngram_dup_pairs": f"""
+        WITH {_SIMHASH_SQL_CTES},
         buck AS (
           SELECT d.doc_id,
                  COALESCE(CAST(s.simhash AS BIGINT), 0) >> 48 AS bucket
           FROM documents d LEFT JOIN sig s USING(doc_id)),
         grams AS (
-          SELECT DISTINCT doc_id, substr(text, CAST(gi AS INT), 3) AS g
-          FROM (SELECT doc_id, text,
-                       unnest(range(1, greatest(length(text) - 2, 1) + 1))
-                       AS gi
+          -- coalesce keeps NULL-text docs as the {''} gram set, matching
+          -- the Python kernel's fillna('')
+          SELECT DISTINCT doc_id, substr(t, CAST(gi AS INT), 3) AS g
+          FROM (SELECT doc_id, coalesce(text, '') AS t,
+                       unnest(range(1, greatest(length(coalesce(text, ''))
+                                                - 2, 1) + 1)) AS gi
                 FROM documents)),
         gcnt AS (SELECT doc_id, count(*) AS c FROM grams GROUP BY doc_id),
         cand AS (

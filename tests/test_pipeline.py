@@ -149,3 +149,28 @@ def test_jsonl_source_parity(ray_session, corpus, tmp_path):
     want = (extract_dataset(ref_ds, concurrency=2).to_pandas()[cols]
             .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_read_transcripts_routing_edges(ray_session, tmp_path):
+    """Directory-of-.json sources route to the JSON reader, and a glob
+    matching mixed formats raises instead of misreading."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from pdf_oxide_ray.pipelines.flagship import read_transcripts
+
+    df = pd.DataFrame({"conv_id": ["c"], "turn_idx": [0],
+                       "role": ["user"], "text": ["hello"], "tool": [""],
+                       "ts": [1_700_000_000_000_000]})
+    d = tmp_path / "jsondir"
+    d.mkdir()
+    df.to_json(d / "part0.json", orient="records", lines=True)
+    got = read_transcripts(str(d)).to_pandas()
+    assert len(got) == 1 and got["turn_idx"].dtype == "int32"
+
+    mixed = tmp_path / "mixed"
+    mixed.mkdir()
+    df.to_json(mixed / "a.jsonl", orient="records", lines=True)
+    pq.write_table(pa.table({"text": ["x"]}), mixed / "b.parquet")
+    with pytest.raises(ValueError, match="mixed parquet/JSONL"):
+        read_transcripts(str(mixed / "*"))

@@ -57,18 +57,10 @@ def _sql_checked_names():
     return sorted(e.oracle_sql().keys())
 
 
-@pytest.mark.parametrize("name", [
-    "turn_counts", "category_stats", "revenue_by_flag", "events_hourly",
-    "distinct_event_types", "top_events", "top_customers",
-    "ordered_assembly", "join_customer_orders", "join_lineitem_orders",
-    "supplier_nation_region", "artifact_strip", "token_counts", "doc_stats",
-    "fingerprint_md5", "quality_features", "dedup_exact", "embedding_knn",
-    "promo_revenue", "token_counts_bpe", "quality_score", "lang_id",
-    "minhash_dedup", "props_rollup", "split_assign", "stratified_sample",
-    "token_histogram", "decontaminate", "repetition_filter",
-    "simhash_buckets", "ngram_dup_pairs", "winnow_dup_pairs",
-    "embedding_ivf_exhaustive",
-])
+# Parametrized over EVERY oracle_sql() entry so a new oracle can never
+# land without a pytest twin (the old hand-maintained list had drifted
+# 11 entries behind the registry).
+@pytest.mark.parametrize("name", _sql_checked_names())
 def test_query_vs_oracle(ray_session, oracle_con, name):
     import __ray_entry__ as e
 
