@@ -1220,6 +1220,45 @@ def q_layout_stats(sf_dir: str) -> pd.DataFrame:
                        "order_ok": "int64", "n_tables": "int64"})
 
 
+def q_heading_stats(sf_dir: str) -> pd.DataFrame:
+    """L11 in the Dataset surface: HeadingClassifier + LayoutReader
+    confidence over each turn's layout blocks. Partial counts per
+    (kind, level) inside map_batches; only the tiny (kind, level, n,
+    low_conf) partials cross the exchange (rows-only check — the inputs
+    are engine-extracted spans, not SQL-reachable)."""
+    from .core.layout import Block
+    from .core.ml import HeadingClassifier, LayoutReader
+
+    ds = _extracted_spans_ds(sf_dir)
+    clf = HeadingClassifier.load()
+    reader = LayoutReader.load()
+
+    def per_batch(b: pa.Table) -> pd.DataFrame:
+        kinds = b.column("kind").to_pylist()
+        spans_col = b.column("spans").to_pylist()
+        rows = []
+        for kind, recs in zip(kinds, spans_col):
+            blocks = [Block(x=r["x"], y=r["y"], width=r["w"], height=r["h"],
+                            text=r["text"], font_size=r["size"],
+                            bold=r["bold"]) for r in (recs or [])]
+            if not blocks:
+                continue
+            low_conf = reader.estimate_confidence(blocks) < 0.75
+            for level in clf.classify(blocks):
+                rows.append((kind, level, int(low_conf)))
+        df = pd.DataFrame(rows, columns=["kind", "level", "low_conf"])
+        return df.groupby(["kind", "level"], as_index=False).agg(
+            n=("level", "size"), low_conf=("low_conf", "sum"))
+
+    out = ds.select_columns(["kind", "spans"]) \
+        .map_batches(per_batch, batch_format="pyarrow") \
+        .groupby(["kind", "level"]).aggregate(
+            Sum("n", alias_name="n"),
+            Sum("low_conf", alias_name="low_conf")).to_pandas()
+    return out.astype({"n": "int64", "low_conf": "int64"}) \
+        .sort_values(["kind", "level"]).reset_index(drop=True)
+
+
 def q_structured_elements(sf_dir: str) -> pd.DataFrame:
     """R7 structured extraction as a Ray stage: per-kind counts of
     headers/paragraphs/lists over each turn's spans."""
@@ -1500,6 +1539,7 @@ QUERIES = {
     "media_features": q_media_features,
     "frame_sampling": q_frame_sampling,
     "layout_stats": q_layout_stats,
+    "heading_stats": q_heading_stats,
     "structured_elements": q_structured_elements,
     "html_output": q_html_output,
     "doc_metadata": q_doc_metadata,

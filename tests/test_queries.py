@@ -191,3 +191,18 @@ def test_doc_embed_knn_self_hit(ray_session):
                                                       ascending=False)
         assert sub.iloc[0]["vec_id"] == qid
         assert abs(sub.iloc[0]["score"] - 1.0) < 1e-6
+
+
+def test_heading_stats_content(ray_session):
+    """heading_stats: every classified block lands in exactly one level
+    bucket, so per-kind n sums to the total block count reported by
+    layout_stats for the same corpus."""
+    import __ray_entry__ as e
+
+    qs = e.queries()
+    heads = qs["heading_stats"](SF_DIR)
+    layout = qs["layout_stats"](SF_DIR)
+    assert set(heads["level"]) <= {"h1", "h2", "h3", "body", "small"}
+    got = heads.groupby("kind")["n"].sum().to_dict()
+    want = layout.set_index("kind")["n_blocks"].to_dict()
+    assert got == want
