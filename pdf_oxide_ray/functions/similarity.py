@@ -170,6 +170,82 @@ def ivf_topk(ds, query_matrix: np.ndarray, centroids: np.ndarray,
     return reduce_topk(candidates, k)
 
 
+def lsh_near_dup_pairs(ds, tau: float = 0.99, n_planes: int = 12,
+                       n_tables: int = 48, seed: int = 97,
+                       hot_bucket_cap: int = 128,
+                       n_shards: int = 64) -> pd.DataFrame:
+    """Multi-table hyperplane LSH near-dup pairs (OR-amplification).
+
+    A single 12-bit table finds a cos>=0.99 pair with only ~0.57
+    probability ((1 - acos(.99)/pi)^12), so the production design hashes
+    every vector into ``n_tables`` independent tables: the miss
+    probability drops to (1-0.57)^48 ~ 1.5e-18, making equality with the
+    exact all-pairs oracle near-certain on ANY corpus rather than
+    contingent on collision luck.
+
+    Scale shape: only skinny (vec_id, bucket) rows are exploded
+    (n_tables x corpus) and shuffled — never the vectors; candidate pair
+    generation shards buckets to ``n_shards`` groups (one map_groups task
+    per shard, pandas groupby inside, mirroring the winnowing pattern)
+    with a hot-bucket guard; then ONLY candidate ids' vectors are
+    gathered for the exact cosine verify, so the verify set is bounded by
+    true near-dups + collisions, not the corpus.
+    """
+    import ray
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        vecs = normalize_rows(
+            np.stack(b["embedding"].to_numpy()).astype(np.float64))
+        ids = b["vec_id"].to_numpy()
+        sigs = np.concatenate([
+            (np.int64(t) << np.int64(n_planes))
+            | hyperplane_signatures(vecs, n_planes, seed + t)
+            for t in range(n_tables)])
+        bucket = sigs.astype(np.int64)
+        return pd.DataFrame({"vec_id": np.tile(ids, n_tables),
+                             "bucket": bucket,
+                             "shard": bucket % np.int64(n_shards)})
+
+    def pairs_in_shard(g: pd.DataFrame) -> pd.DataFrame:
+        out_a: list = []
+        out_b: list = []
+        for _, sub in g.groupby("bucket", sort=False):
+            ids = np.sort(sub["vec_id"].unique())
+            if 2 <= len(ids) <= hot_bucket_cap:
+                ia, ib = np.triu_indices(len(ids), k=1)
+                out_a.extend(ids[ia].tolist())
+                out_b.extend(ids[ib].tolist())
+        return pd.DataFrame({"id_a": pd.Series(out_a, dtype="int64"),
+                             "id_b": pd.Series(out_b, dtype="int64")})
+
+    empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                          "id_b": pd.Series(dtype="int64")})
+    cand = ds.map_batches(explode, batch_format="pandas") \
+        .groupby("shard").map_groups(pairs_in_shard,
+                                     batch_format="pandas") \
+        .to_pandas()
+    if cand.empty:
+        return empty
+    cand = cand.drop_duplicates(ignore_index=True)
+
+    need_ref = ray.put(frozenset(cand["id_a"]) | frozenset(cand["id_b"]))
+
+    def gather(b: pd.DataFrame) -> pd.DataFrame:
+        need = ray.get(need_ref)
+        return b[b["vec_id"].isin(need)][["vec_id", "embedding"]]
+
+    vecs_df = ds.map_batches(gather, batch_format="pandas").to_pandas()
+    lookup = dict(zip(vecs_df["vec_id"],
+                      normalize_rows(np.stack(
+                          vecs_df["embedding"].to_numpy()
+                      ).astype(np.float64))))
+    va = np.stack([lookup[i] for i in cand["id_a"]])
+    vb = np.stack([lookup[i] for i in cand["id_b"]])
+    sims = np.einsum("ij,ij->i", va, vb)
+    out = cand[sims >= tau].reset_index(drop=True)
+    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
 def bucket_near_dups(group: pd.DataFrame, tau: float = 0.95) -> pd.DataFrame:
     """Within one LSH bucket: all-pairs cosine; emit id pairs >= tau."""
     if len(group) < 2:

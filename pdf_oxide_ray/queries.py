@@ -1047,16 +1047,13 @@ def q_embedding_ivf_exhaustive(sf_dir: str) -> pd.DataFrame:
 
 
 def q_embedding_near_dups(sf_dir: str) -> pd.DataFrame:
-    """LSH-bucketed cosine near-dup pairs (scale path; no SQL twin)."""
+    """Multi-table LSH cosine near-dup pairs (scale path). 48 tables of
+    12 hyperplanes give ~1.5e-18 miss probability at tau=0.99, so the
+    exact all-pairs DuckDB oracle matches by construction on any corpus
+    — not just when the pair set happens to be empty (pinned on planted
+    duplicates in pytest)."""
     ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
-    bucketed = ds.map_batches(fsim.add_lsh_bucket, batch_format="pandas")
-    pairs = bucketed.groupby("bucket").map_groups(
-        lambda g: fsim.bucket_near_dups(g, tau=0.99),
-        batch_format="pandas").to_pandas()
-    if pairs.empty:
-        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                             "id_b": pd.Series(dtype="int64")})
-    return pairs[["id_a", "id_b"]].drop_duplicates().astype("int64")
+    return fsim.lsh_near_dup_pairs(ds, tau=0.99)
 
 
 def q_embedding_sim_pairs(sf_dir: str) -> pd.DataFrame:

@@ -206,3 +206,35 @@ def test_heading_stats_content(ray_session):
     got = heads.groupby("kind")["n"].sum().to_dict()
     want = layout.set_index("kind")["n_blocks"].to_dict()
     assert got == want
+
+
+def test_lsh_near_dups_find_planted_pairs(ray_session):
+    """Multi-table LSH must equal exact all-pairs at tau=0.99 when
+    near-dups actually exist (the sf corpora have none, which would make
+    the oracle check vacuous on its own)."""
+    import numpy as np
+    import ray.data as rd
+
+    from pdf_oxide_ray.functions.similarity import (lsh_near_dup_pairs,
+                                                    normalize_rows)
+
+    rs = np.random.RandomState(11)
+    base = rs.randn(200, 32)
+    # plant 10 near-dup pairs: vec 200+i is a tiny perturbation of vec i
+    planted = base[:10] + rs.randn(10, 32) * 0.003
+    vecs = np.vstack([base, planted])
+    import pandas as pd
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": list(range(len(vecs))),
+        "embedding": [v for v in vecs]})).repartition(8)
+
+    got = lsh_near_dup_pairs(ds, tau=0.99)
+
+    nv = normalize_rows(vecs)
+    sims = nv @ nv.T
+    ia, ib = np.triu_indices(len(vecs), k=1)
+    mask = sims[ia, ib] >= 0.99
+    want = pd.DataFrame({"id_a": ia[mask], "id_b": ib[mask]}) \
+        .astype("int64").sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert len(want) >= 10  # the planted pairs are really above tau
+    pd.testing.assert_frame_equal(got, want)
