@@ -5,9 +5,10 @@ Baseline: brute-force cosine top-k — the query matrix is broadcast once via
 against it (no shuffle; partial top-k per batch, merged small on the driver
 side via a final aggregate).
 
-Scale path: LSH-bucketed variant — random-hyperplane signatures put vectors
-into buckets; only same-bucket candidates are scored (bucket groupby is the
-only shuffle and carries (bucket, id, vec) projections, not documents).
+Scale path: multi-table hyperplane LSH (``lsh_near_dup_pairs``) — every
+vector hashes into 48 independent 12-bit tables (OR-amplification), only
+skinny (vec_id, bucket) rows shuffle, and only candidate ids' vectors are
+gathered for the exact cosine verify.
 """
 
 from __future__ import annotations
@@ -90,22 +91,22 @@ def brute_force_topk(ds, query_matrix: np.ndarray, k: int = 10,
 # LSH-bucketed variant (scale path)
 # ---------------------------------------------------------------------------
 
-def hyperplane_signatures(vecs: np.ndarray, n_planes: int = 12,
-                          seed: int = 97) -> np.ndarray:
-    rs = np.random.RandomState(seed)
-    planes = rs.normal(size=(vecs.shape[1], n_planes)).astype(np.float64)
-    bits = (vecs @ planes) > 0
-    weights = (1 << np.arange(n_planes)).astype(np.int64)
-    return bits @ weights
+# Stacked plane matrices, built once per worker process per parameter set
+# (the batch_topk_fn closure-state pattern): one (dim, T*P) matmul per
+# batch instead of T small ones, and no per-batch RandomState rebuilds.
+_PLANES_CACHE: dict = {}
 
 
-def add_lsh_bucket(batch: pd.DataFrame, n_planes: int = 12,
-                   seed: int = 97) -> pd.DataFrame:
-    vecs = normalize_rows(
-        np.stack(batch["embedding"].to_numpy()).astype(np.float64))
-    batch = batch.copy()
-    batch["bucket"] = hyperplane_signatures(vecs, n_planes, seed)
-    return batch
+def _stacked_planes(dim: int, n_planes: int, n_tables: int,
+                    seed: int) -> np.ndarray:
+    key = (dim, n_planes, n_tables, seed)
+    p = _PLANES_CACHE.get(key)
+    if p is None:
+        p = np.concatenate([
+            np.random.RandomState(seed + t).normal(size=(dim, n_planes))
+            for t in range(n_tables)], axis=1).astype(np.float64)
+        _PLANES_CACHE[key] = p
+    return p
 
 
 # ---------------------------------------------------------------------------
@@ -186,83 +187,117 @@ def lsh_near_dup_pairs(ds, tau: float = 0.99, n_planes: int = 12,
     Scale shape: only skinny (vec_id, bucket) rows are exploded
     (n_tables x corpus) and shuffled — never the vectors; candidate pair
     generation shards buckets to ``n_shards`` groups (one map_groups task
-    per shard, pandas groupby inside, mirroring the winnowing pattern)
-    with a hot-bucket guard; then ONLY candidate ids' vectors are
-    gathered for the exact cosine verify, so the verify set is bounded by
-    true near-dups + collisions, not the corpus.
+    per shard, pandas groupby inside, mirroring the winnowing pattern);
+    then ONLY candidate ids' vectors are gathered for the exact cosine
+    verify, so the verify set is bounded by true near-dups + collisions,
+    not the corpus.
+
+    Buckets larger than ``hot_bucket_cap`` (dense duplicate families that
+    would otherwise explode the candidate stream n_tables times over) are
+    NOT dropped — that would break oracle equality exactly when dup
+    clusters exist. Instead their memberships flow out as skinny marker
+    rows, overlapping families are merged with union-find, and each
+    merged family is all-pairs verified once. The verified output for an
+    m-sized true dup family is O(m^2) rows by the problem's own contract
+    (the exact oracle emits the same set).
     """
     import ray
+
+    from .dedup import connected_components
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
         vecs = normalize_rows(
             np.stack(b["embedding"].to_numpy()).astype(np.float64))
         ids = b["vec_id"].to_numpy()
-        sigs = np.concatenate([
-            (np.int64(t) << np.int64(n_planes))
-            | hyperplane_signatures(vecs, n_planes, seed + t)
-            for t in range(n_tables)])
-        bucket = sigs.astype(np.int64)
-        return pd.DataFrame({"vec_id": np.tile(ids, n_tables),
+        planes = _stacked_planes(vecs.shape[1], n_planes, n_tables, seed)
+        bits = (vecs @ planes) > 0
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        sig = bits.reshape(len(ids), n_tables, n_planes) @ weights
+        bucket = ((np.arange(n_tables, dtype=np.int64)
+                   << np.int64(n_planes))[None, :] | sig).reshape(-1)
+        return pd.DataFrame({"vec_id": np.repeat(ids, n_tables),
                              "bucket": bucket,
                              "shard": bucket % np.int64(n_shards)})
 
     def pairs_in_shard(g: pd.DataFrame) -> pd.DataFrame:
         out_a: list = []
         out_b: list = []
-        for _, sub in g.groupby("bucket", sort=False):
+        for bucket, sub in g.groupby("bucket", sort=False):
             ids = np.sort(sub["vec_id"].unique())
-            if 2 <= len(ids) <= hot_bucket_cap:
+            if len(ids) < 2:
+                continue
+            if len(ids) <= hot_bucket_cap:
                 ia, ib = np.triu_indices(len(ids), k=1)
                 out_a.extend(ids[ia].tolist())
                 out_b.extend(ids[ib].tolist())
+            else:  # dense family: skinny membership markers, not pairs
+                out_a.extend(ids.tolist())
+                out_b.extend([-int(bucket) - 1] * len(ids))
         return pd.DataFrame({"id_a": pd.Series(out_a, dtype="int64"),
                              "id_b": pd.Series(out_b, dtype="int64")})
 
     empty = pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                           "id_b": pd.Series(dtype="int64")})
-    cand = ds.map_batches(explode, batch_format="pandas") \
+    raw = ds.map_batches(explode, batch_format="pandas") \
         .groupby("shard").map_groups(pairs_in_shard,
                                      batch_format="pandas") \
         .to_pandas()
-    if cand.empty:
+    if raw.empty:
         return empty
-    cand = cand.drop_duplicates(ignore_index=True)
+    dense = raw[raw["id_b"] < 0]
+    cand = raw[raw["id_b"] >= 0].drop_duplicates(ignore_index=True)
 
-    need_ref = ray.put(frozenset(cand["id_a"]) | frozenset(cand["id_b"]))
+    groups: list[np.ndarray] = []
+    if not dense.empty:
+        edges = []
+        for _, sub in dense.groupby("id_b", sort=False):
+            ids = sub["id_a"].unique()
+            root = int(ids.min())
+            edges.extend((root, int(i)) for i in ids)
+        comp = connected_components(edges)
+        by_root: dict[int, list[int]] = {}
+        for i, r in comp.items():
+            by_root.setdefault(r, []).append(i)
+        groups = [np.sort(np.array(v, dtype=np.int64))
+                  for v in by_root.values()]
+
+    need = set()
+    if not cand.empty:
+        need |= set(cand["id_a"]) | set(cand["id_b"])
+    for g in groups:
+        need |= set(g.tolist())
+    if not need:
+        return empty
+    need_ref = ray.put(frozenset(need))
 
     def gather(b: pd.DataFrame) -> pd.DataFrame:
-        need = ray.get(need_ref)
-        return b[b["vec_id"].isin(need)][["vec_id", "embedding"]]
+        keep = b[b["vec_id"].isin(ray.get(need_ref))]
+        return keep[["vec_id", "embedding"]]
 
     vecs_df = ds.map_batches(gather, batch_format="pandas").to_pandas()
     lookup = dict(zip(vecs_df["vec_id"],
                       normalize_rows(np.stack(
                           vecs_df["embedding"].to_numpy()
                       ).astype(np.float64))))
-    va = np.stack([lookup[i] for i in cand["id_a"]])
-    vb = np.stack([lookup[i] for i in cand["id_b"]])
-    sims = np.einsum("ij,ij->i", va, vb)
-    out = cand[sims >= tau].reset_index(drop=True)
-    return out.sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
-
-def bucket_near_dups(group: pd.DataFrame, tau: float = 0.95) -> pd.DataFrame:
-    """Within one LSH bucket: all-pairs cosine; emit id pairs >= tau."""
-    if len(group) < 2:
-        return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
-                             "id_b": pd.Series(dtype="int64"),
-                             "score": pd.Series(dtype="float64")})
-    vecs = normalize_rows(
-        np.stack(group["embedding"].to_numpy()).astype(np.float64))
-    sims = vecs @ vecs.T
-    ids = group["vec_id"].to_numpy()
-    ia, ib = np.triu_indices(len(group), k=1)
-    mask = sims[ia, ib] >= tau
-    return pd.DataFrame({
-        "id_a": np.minimum(ids[ia[mask]], ids[ib[mask]]),
-        "id_b": np.maximum(ids[ia[mask]], ids[ib[mask]]),
-        "score": sims[ia[mask], ib[mask]].astype(np.float64),
-    })
+    frames = []
+    if not cand.empty:
+        va = np.stack([lookup[i] for i in cand["id_a"]])
+        vb = np.stack([lookup[i] for i in cand["id_b"]])
+        sims = np.einsum("ij,ij->i", va, vb)
+        frames.append(cand[sims >= tau])
+    for g in groups:
+        mat = np.stack([lookup[i] for i in g])
+        sims = mat @ mat.T
+        ia, ib = np.triu_indices(len(g), k=1)
+        mask = sims[ia, ib] >= tau
+        frames.append(pd.DataFrame({"id_a": g[ia[mask]],
+                                    "id_b": g[ib[mask]]}))
+    out = pd.concat(frames, ignore_index=True) if frames else empty
+    if out.empty:
+        return empty
+    return out.drop_duplicates(ignore_index=True) \
+        .sort_values(["id_a", "id_b"]).reset_index(drop=True)
 
 
 class HashingEmbedder:

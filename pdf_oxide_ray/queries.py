@@ -1174,12 +1174,23 @@ def _extracted_spans_ds(sf_dir: str):
     return extract_dataset(ds, want_markdown=False, keep_spans=True)
 
 
+def _blocks_from_recs(recs):
+    """Span records (the SPAN_TYPE struct rows) -> layout Blocks; shared
+    by the layout/heading rollups so a span-schema change can't silently
+    diverge them."""
+    from .core.layout import Block
+
+    return [Block(x=r["x"], y=r["y"], width=r["w"], height=r["h"],
+                  text=r["text"], font_size=r["size"], bold=r["bold"])
+            for r in (recs or [])]
+
+
 def q_layout_stats(sf_dir: str) -> pd.DataFrame:
     """Per-kind layout rollup: XY-Cut column regions, graph reading-order
     length, detected tables — L3/L5/L7 run inside a map_batches over each
     turn's spans (within-payload ops, no shuffle; one aggregate row per
     kind crosses the exchange)."""
-    from .core.layout import (Block, detect_tables, determine_reading_order,
+    from .core.layout import (detect_tables, determine_reading_order,
                               graph_based_reading_order, xy_cut)
 
     ds = _extracted_spans_ds(sf_dir)
@@ -1189,9 +1200,7 @@ def q_layout_stats(sf_dir: str) -> pd.DataFrame:
         spans_col = b.column("spans").to_pylist()
         rows = []
         for kind, recs in zip(kinds, spans_col):
-            blocks = [Block(x=r["x"], y=r["y"], width=r["w"], height=r["h"],
-                            text=r["text"], font_size=r["size"],
-                            bold=r["bold"]) for r in (recs or [])]
+            blocks = _blocks_from_recs(recs)
             if not blocks:
                 continue
             tree = xy_cut((0.0, 0.0, 612.0, 792.0), blocks)
@@ -1223,7 +1232,6 @@ def q_heading_stats(sf_dir: str) -> pd.DataFrame:
     (kind, level) inside map_batches; only the tiny (kind, level, n,
     low_conf) partials cross the exchange (rows-only check — the inputs
     are engine-extracted spans, not SQL-reachable)."""
-    from .core.layout import Block
     from .core.ml import HeadingClassifier, LayoutReader
 
     ds = _extracted_spans_ds(sf_dir)
@@ -1235,9 +1243,7 @@ def q_heading_stats(sf_dir: str) -> pd.DataFrame:
         spans_col = b.column("spans").to_pylist()
         rows = []
         for kind, recs in zip(kinds, spans_col):
-            blocks = [Block(x=r["x"], y=r["y"], width=r["w"], height=r["h"],
-                            text=r["text"], font_size=r["size"],
-                            bold=r["bold"]) for r in (recs or [])]
+            blocks = _blocks_from_recs(recs)
             if not blocks:
                 continue
             low_conf = reader.estimate_confidence(blocks) < 0.75
@@ -1247,11 +1253,9 @@ def q_heading_stats(sf_dir: str) -> pd.DataFrame:
         return df.groupby(["kind", "level"], as_index=False).agg(
             n=("level", "size"), low_conf=("low_conf", "sum"))
 
-    out = ds.select_columns(["kind", "spans"]) \
-        .map_batches(per_batch, batch_format="pyarrow") \
-        .groupby(["kind", "level"]).aggregate(
-            Sum("n", alias_name="n"),
-            Sum("low_conf", alias_name="low_conf")).to_pandas()
+    partials = ds.select_columns(["kind", "spans"]) \
+        .map_batches(per_batch, batch_format="pyarrow")
+    out = _reduce_partials(partials, ["kind", "level"], ["n", "low_conf"])
     return out.astype({"n": "int64", "low_conf": "int64"}) \
         .sort_values(["kind", "level"]).reset_index(drop=True)
 

@@ -238,3 +238,27 @@ def test_lsh_near_dups_find_planted_pairs(ray_session):
         .astype("int64").sort_values(["id_a", "id_b"]).reset_index(drop=True)
     assert len(want) >= 10  # the planted pairs are really above tau
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_lsh_near_dups_dense_family_exceeding_bucket_cap(ray_session):
+    """A duplicate family larger than hot_bucket_cap must still produce
+    the full all-pairs set (the dense-family union-verify path), not a
+    silently truncated one."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from pdf_oxide_ray.functions.similarity import lsh_near_dup_pairs
+
+    rs = np.random.RandomState(7)
+    seed_vec = rs.randn(32)
+    family = seed_vec[None, :] + rs.randn(150, 32) * 0.001  # > cap of 128
+    noise = rs.randn(50, 32)
+    vecs = np.vstack([family, noise])
+    ds = rd.from_pandas(pd.DataFrame({
+        "vec_id": list(range(len(vecs))),
+        "embedding": [v for v in vecs]})).repartition(8)
+
+    got = lsh_near_dup_pairs(ds, tau=0.99)
+    assert len(got) == 150 * 149 // 2
+    assert got["id_a"].max() < 150 and got["id_b"].max() < 150
