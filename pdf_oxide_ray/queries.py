@@ -801,8 +801,10 @@ def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
         batch_format="pandas")
     from ray.data.aggregate import Min
 
-    out = hashed.groupby("content_hash").aggregate(
-        Min("doc_id", alias_name="doc_id")).to_pandas()
+    with _scoped_parallelism(32):  # skinny (hash, id) exchange; 200
+        # partitions drown a kilorow groupby in per-partition overhead
+        out = hashed.groupby("content_hash").aggregate(
+            Min("doc_id", alias_name="doc_id")).to_pandas()
     return out[["doc_id"]].astype({"doc_id": "int64"})
 
 
