@@ -209,6 +209,9 @@ def lsh_near_dup_pairs(ds, tau: float = 0.99, n_planes: int = 12,
         vecs = normalize_rows(
             np.stack(b["embedding"].to_numpy()).astype(np.float64))
         ids = b["vec_id"].to_numpy()
+        if len(ids) and int(ids.min()) < 0:
+            # the dense-marker encoding reuses the id_b sign bit
+            raise ValueError("lsh_near_dup_pairs requires vec_id >= 0")
         planes = _stacked_planes(vecs.shape[1], n_planes, n_tables, seed)
         bits = (vecs @ planes) > 0
         weights = (1 << np.arange(n_planes)).astype(np.int64)
@@ -249,12 +252,15 @@ def lsh_near_dup_pairs(ds, tau: float = 0.99, n_planes: int = 12,
 
     groups: list[np.ndarray] = []
     if not dense.empty:
-        edges = []
-        for _, sub in dense.groupby("id_b", sort=False):
-            ids = sub["id_a"].unique()
-            root = int(ids.min())
-            edges.extend((root, int(i)) for i in ids)
-        comp = connected_components(edges)
+        # vectorized (bucket-min, member) edges: dedupe memberships first
+        # so an id contributes one edge per distinct root, not one per
+        # table (a family hot in all 48 tables would otherwise build 48x
+        # the Python tuples before union-find)
+        mem = dense.drop_duplicates(ignore_index=True)
+        mem = mem.assign(root=mem.groupby("id_b")["id_a"].transform("min"))
+        ed = mem[["root", "id_a"]].drop_duplicates(ignore_index=True)
+        comp = connected_components(
+            list(zip(ed["root"].tolist(), ed["id_a"].tolist())))
         by_root: dict[int, list[int]] = {}
         for i, r in comp.items():
             by_root.setdefault(r, []).append(i)
@@ -288,11 +294,19 @@ def lsh_near_dup_pairs(ds, tau: float = 0.99, n_planes: int = 12,
         frames.append(cand[sims >= tau])
     for g in groups:
         mat = np.stack([lookup[i] for i in g])
-        sims = mat @ mat.T
-        ia, ib = np.triu_indices(len(g), k=1)
-        mask = sims[ia, ib] >= tau
-        frames.append(pd.DataFrame({"id_a": g[ia[mask]],
-                                    "id_b": g[ib[mask]]}))
+        # chunked band verify: never materialize the m x m matrix — a
+        # merely-similar (sub-tau) mega-cluster must cost O(m^2) flops at
+        # most, not O(m^2) driver memory (output stays O(true pairs),
+        # which is the oracle's own output size)
+        m = len(g)
+        chunk = max(1, (1 << 25) // max(m, 1))  # ~256 MB float64 band
+        for s in range(0, m, chunk):
+            ecol = min(s + chunk, m)
+            sims = mat[s:ecol] @ mat.T            # (chunk, m)
+            ia, ib = np.nonzero(sims >= tau)
+            keep = (ia + s) < ib                  # upper triangle only
+            frames.append(pd.DataFrame({"id_a": g[ia[keep] + s],
+                                        "id_b": g[ib[keep]]}))
     out = pd.concat(frames, ignore_index=True) if frames else empty
     if out.empty:
         return empty
