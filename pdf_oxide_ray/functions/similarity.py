@@ -331,15 +331,21 @@ class HashingEmbedder:
         self.dim = dim
         self.text_col = text_col
         self.out_col = out_col
-        self.token_re = re.compile(r"\w+")
+        # ASCII class to match the RE2-based SQL oracle (see dedup.py)
+        self.token_re = re.compile(r"\w+", re.ASCII)
 
     def _embed(self, text: str) -> np.ndarray:
+        """md5 token hash + float64 accumulation so a DuckDB oracle can
+        reconstruct the vector BIT-identically: the per-dim sums are
+        integer-valued (exact in any order), the norm is a sqrt of an
+        exact integer sum, and the divisions are identical on both
+        sides."""
         import hashlib
 
-        v = np.zeros(self.dim, dtype=np.float32)
+        v = np.zeros(self.dim, dtype=np.float64)
         for tok in self.token_re.findall((text or "").lower()):
-            h = int.from_bytes(
-                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big")
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8],
+                               "big")
             v[h % self.dim] += 1.0 if (h >> 63) else -1.0
         n = float(np.linalg.norm(v))
         return v / n if n > 0 else v

@@ -1103,8 +1103,12 @@ def q_doc_embed_knn(sf_dir: str) -> pd.DataFrame:
     actor-pool embedding stage (HashingEmbedder: model state once per
     actor, the batched-inference shape) feeds brute-force cosine top-k.
     Self-validating invariant (also pinned in pytest): each query doc's
-    own vector is its top hit at score 1. No SQL twin (the embedding is
-    a model stand-in, not SQL-expressible)."""
+    own vector is its top hit at score 1. The hashing embedder (md5
+    token hash, float64 accumulation) is reconstructed BIT-identically
+    by the DuckDB oracle: per-dim sums are integer-valued (exact in any
+    summation order), norms are sqrts of exact integer sums, and only
+    the final dot products differ at ~1e-16 — far below the 1e-4
+    rounding grid."""
     import ray
 
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
@@ -2044,3 +2048,41 @@ ORACLE_SQL = {
 # Probing every IVF list is brute force by construction, so the exhaustive
 # IVF configuration shares the cosine-top-k oracle verbatim.
 ORACLE_SQL["embedding_ivf_exhaustive"] = ORACLE_SQL["embedding_knn"]
+
+# End-to-end text -> embed -> ANN twin: reconstructs the hashing
+# embedder bit-identically (md5 low-6-bit dim, top-bit sign, exact
+# integer-valued sums, float64 norm/divide) then scores cosine top-5.
+ORACLE_SQL["doc_embed_knn"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[0-9A-Za-z_]+'))
+             AS tok
+      FROM documents),
+    h AS (SELECT doc_id, md5(tok) AS hx FROM toks),
+    tv AS (
+      SELECT doc_id,
+        ((strpos('0123456789abcdef', substr(hx, 15, 1)) - 1) % 4) * 16
+          + (strpos('0123456789abcdef', substr(hx, 16, 1)) - 1) AS dim,
+        CASE WHEN strpos('0123456789abcdef', substr(hx, 1, 1)) - 1 >= 8
+             THEN 1.0 ELSE -1.0 END AS val
+      FROM h),
+    vec AS (SELECT doc_id, dim, SUM(val) AS v FROM tv
+            GROUP BY doc_id, dim),
+    nrm AS (SELECT doc_id, sqrt(SUM(v*v)) AS n FROM vec GROUP BY doc_id),
+    qv AS (SELECT v.doc_id AS qid, dim, v.v / n.n AS x
+           FROM vec v JOIN nrm n USING(doc_id) WHERE v.doc_id < 5),
+    dv AS (SELECT v.doc_id AS did, dim, v.v / n.n AS y
+           FROM vec v JOIN nrm n USING(doc_id)),
+    dots AS (SELECT qid, did, SUM(x*y) AS s
+             FROM qv JOIN dv USING(dim) GROUP BY qid, did),
+    allp AS (SELECT q.qid, d.did
+             FROM (SELECT DISTINCT qid FROM qv) q
+             CROSS JOIN (SELECT DISTINCT did FROM dv) d),
+    scored AS (
+      SELECT a.qid AS query_id, a.did AS vec_id,
+             ROUND(COALESCE(s, 0.0), 4) AS score,
+             row_number() OVER (PARTITION BY a.qid
+                                ORDER BY COALESCE(s, 0.0) DESC, a.did)
+             AS rn
+      FROM allp a LEFT JOIN dots ON dots.qid = a.qid AND dots.did = a.did)
+    SELECT query_id, vec_id, score FROM scored WHERE rn <= 5"""
