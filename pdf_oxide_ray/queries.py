@@ -24,7 +24,7 @@ from ray.data.aggregate import Count, Max, Sum
 from .functions import dedup as fdedup
 from .functions import similarity as fsim
 from .functions import textops as ftext
-from .stages.joins import broadcast_join, bucketed_hash_join
+from .stages.joins import _get_broadcast, broadcast_join, bucketed_hash_join
 
 
 def _pq(sf_dir: str, table: str, columns: list[str] | None = None):
@@ -786,6 +786,155 @@ def q_token_histogram(sf_dir: str) -> pd.DataFrame:
     return out.astype({"bucket": "int64", "n_docs": "int64"})
 
 
+def q_ngram_topk(sf_dir: str) -> pd.DataFrame:
+    """Corpus-level top-20 word bigrams — the LM-stats op (vocabulary /
+    n-gram frequency tables) run before building filters. Combiner
+    discipline: each batch counts its own bigrams (vectorized
+    explode + in-doc shift, no Python per-token loop), so the shuffle
+    carries one row per DISTINCT gram per batch, not one per token; the
+    final reduce is over those partials (distributed above the
+    `_REDUCE_GATE_ROWS` gate — bigram cardinality grows with corpus
+    size, so at 100 TB the reduce stays a Ray groupby and only the
+    already-tiny top-k hits the driver)."""
+    ds = _pq(sf_dir, "documents", ["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["text"].fillna("").str.split().explode().dropna()
+        nxt = s.groupby(level=0).shift(-1)
+        grams = (s + " " + nxt).dropna()
+        vc = grams.value_counts()
+        return pd.DataFrame({"gram": vc.index.to_numpy(dtype=object),
+                             "n": vc.to_numpy()})
+
+    out = _reduce_partials(ds.map_batches(partial, batch_format="pandas"),
+                           ["gram"], ["n"])
+    out = out.sort_values(["n", "gram"], ascending=[False, True],
+                          kind="mergesort").head(20).reset_index(drop=True)
+    return out.astype({"n": "int64"})
+
+
+def q_tfidf_keywords(sf_dir: str) -> pd.DataFrame:
+    """Per-doc top-3 TF-IDF keywords — the keyword-extraction op,
+    shaped as the canonical two-pass broadcast
+    pattern: pass 1 computes document frequencies with per-batch
+    distinct-(doc, term) partials (one row per distinct term per batch
+    crosses the shuffle); the df table (vocabulary-sized, sublinear in
+    corpus bytes) is `ray.put` ONCE and read per worker via the cached
+    `_get_broadcast`; pass 2 scores and top-k's entirely inside
+    `map_batches` (a doc's terms never leave its batch — no second
+    shuffle). Determinism: idf is quantized to an int (round(ln(N/df)
+    * 1e6)) on BOTH sides so the ranking key tf*idf6 is integer — no
+    float-order ambiguity in the top-3 cut."""
+    import ray
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def df_partial(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.split()
+        lens = toks.str.len().to_numpy()
+        if lens.sum() == 0:
+            return pd.DataFrame({"term": pd.Series([], dtype=object),
+                                 "df": pd.Series([], dtype="int64")})
+        flat = np.concatenate([np.asarray(t, dtype=object)
+                               for t in toks.to_numpy() if len(t)])
+        pairs = pd.DataFrame({
+            "doc_id": np.repeat(b["doc_id"].to_numpy(), lens),
+            "term": flat}).drop_duplicates()
+        out = pairs.groupby("term", as_index=False).size()
+        return out.rename(columns={"size": "df"})
+
+    n_docs = ds.count()
+    df_tbl = _reduce_partials(ds.map_batches(df_partial,
+                                             batch_format="pandas"),
+                              ["term"], ["df"])
+    df_ref = ray.put(dict(zip(df_tbl["term"], df_tbl["df"])))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        df_map = _get_broadcast(df_ref)
+        toks = b["text"].fillna("").str.split()
+        lens = toks.str.len().to_numpy()
+        if len(b) == 0 or lens.sum() == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "term": pd.Series([], dtype=object),
+                                 "score": pd.Series([], dtype="float64")})
+        flat = np.concatenate([np.asarray(t, dtype=object)
+                               for t in toks.to_numpy() if len(t)])
+        tf = pd.DataFrame({
+            "doc_id": np.repeat(b["doc_id"].to_numpy(), lens),
+            "term": flat}).groupby(["doc_id", "term"], as_index=False).size()
+        dfv = tf["term"].map(df_map).to_numpy(np.float64)
+        idf6 = np.rint(np.log(float(n_docs) / dfv) * 1e6).astype(np.int64)
+        tf["key"] = tf["size"].to_numpy(np.int64) * idf6
+        tf = tf.sort_values(["doc_id", "key", "term"],
+                            ascending=[True, False, True], kind="mergesort")
+        top = tf.groupby("doc_id", as_index=False).head(3)
+        return pd.DataFrame({
+            "doc_id": top["doc_id"].to_numpy(),
+            "term": top["term"].to_numpy(dtype=object),
+            "score": np.round(top["key"].to_numpy(np.float64) / 1e6, 6)})
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    return out.astype({"doc_id": "int64", "score": "float64"}) \
+        .sort_values(["doc_id", "term"]).reset_index(drop=True)
+
+
+_DECILE_PS = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+
+
+def q_length_deciles(sf_dir: str) -> pd.DataFrame:
+    """EXACT corpus deciles of doc length via a distributed value
+    histogram: per-batch value counts shuffle one row per distinct
+    n_chars per batch (the length domain is bounded — kilobytes of keys
+    at any corpus size), the reduced (value, count) table is tiny on the
+    driver, and the quantile is read off the cumulative counts. This is
+    the scale-safe exact-quantile plan (no global sort, no sampling
+    error — contrast approximate t-digest). Index rule matches DuckDB
+    `quantile_disc`: sorted[floor((n-1)*p)]."""
+    ds = _pq(sf_dir, "documents", ["n_chars"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["n_chars"].value_counts()
+        return pd.DataFrame({"v": vc.index.to_numpy(),
+                             "cnt": vc.to_numpy()})
+
+    hist = _reduce_partials(ds.map_batches(partial, batch_format="pandas"),
+                            ["v"], ["cnt"]).sort_values("v")
+    cum = hist["cnt"].cumsum().to_numpy()
+    n = int(cum[-1]) if len(cum) else 0
+    vals = hist["v"].to_numpy()
+    rows = []
+    for p in _DECILE_PS:
+        idx = int(np.floor((n - 1) * np.float64(p)))
+        rows.append((p, int(vals[np.searchsorted(cum, idx + 1)])))
+    return pd.DataFrame(rows, columns=["p", "n_chars"]) \
+        .astype({"p": "float64", "n_chars": "int64"})
+
+
+def q_running_revenue(sf_dir: str) -> pd.DataFrame:
+    """Per-customer running order total — the analytic window function
+    (SUM OVER PARTITION ... ORDER BY) Ray Data lacks natively, expressed
+    as groupby(key).map_groups with an in-group mergesort + cumsum:
+    one equi-key shuffle, per-group work is vectorized and local.
+    Money sums ride int64 cents (see `_cents`) so the cumulative chain
+    is exact in any execution order. Skew note: group size = orders per
+    customer (bounded); hot keys would salt by time range."""
+    ds = _pq(sf_dir, "orders",
+             ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
+        run = _cents(g["o_totalprice"]).cumsum().to_numpy(np.float64) / 100.0
+        return pd.DataFrame({"o_orderkey": g["o_orderkey"].to_numpy(),
+                             "o_custkey": g["o_custkey"].to_numpy(),
+                             "running_total": run})
+
+    with _scoped_parallelism(32):
+        out = ds.groupby("o_custkey").map_groups(
+            per_cust, batch_format="pandas").to_pandas()
+    return out.astype({"o_orderkey": "int64", "o_custkey": "int64",
+                       "running_total": "float64"})
+
+
 # ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------
@@ -1531,6 +1680,10 @@ QUERIES = {
     "split_assign": q_split_assign,
     "stratified_sample": q_stratified_sample,
     "token_histogram": q_token_histogram,
+    "ngram_topk": q_ngram_topk,
+    "tfidf_keywords": q_tfidf_keywords,
+    "length_deciles": q_length_deciles,
+    "running_revenue": q_running_revenue,
     "decontaminate": q_decontaminate,
     "repetition_filter": q_repetition_filter,
     "dedup_exact": q_dedup_exact,
@@ -2086,3 +2239,65 @@ ORACLE_SQL["doc_embed_knn"] = """
              AS rn
       FROM allp a LEFT JOIN dots ON dots.qid = a.qid AND dots.did = a.did)
     SELECT query_id, vec_id, score FROM scored WHERE rn <= 5"""
+
+# Corpus bigram top-k: whitespace tokenization matching pandas
+# str.split() (regexp split + empty filter), bigrams via 1-indexed list
+# positions, deterministic (n DESC, gram ASC) tie-break.
+ORACLE_SQL["ngram_topk"] = r"""
+    WITH arr AS (
+      SELECT list_filter(regexp_split_to_array(coalesce(text, ''),
+                                               '\s+'),
+                         x -> x <> '') AS a
+      FROM documents),
+    g AS (
+      SELECT unnest(list_transform(range(1, len(a)),
+                                   i -> a[i] || ' ' || a[i + 1])) AS gram
+      FROM arr)
+    SELECT gram, CAST(COUNT(*) AS BIGINT) AS n FROM g
+    GROUP BY gram ORDER BY n DESC, gram LIMIT 20"""
+
+# TF-IDF top-3 keywords per doc: idf quantized to an integer
+# (round(ln(N/df)*1e6) -> BIGINT) on both sides so the ranking key
+# tf*idf6 is exact; score = key/1e6 rounded to the shared 1e-6 grid.
+ORACLE_SQL["tfidf_keywords"] = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                      '\s+'),
+                                x -> x <> '')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+           GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks
+           GROUP BY term),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT doc_id, term,
+             tf * CAST(round(ln(CAST(n.n AS DOUBLE) / df.df) * 1000000)
+                       AS BIGINT) AS key
+      FROM tf JOIN df USING (term) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, term, key,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY key DESC, term) AS rn
+      FROM scored)
+    SELECT doc_id, term,
+           ROUND(CAST(key AS DOUBLE) / 1000000.0, 6) AS score
+    FROM ranked WHERE rn <= 3"""
+
+# Exact deciles of n_chars (quantile_disc = sorted[floor((n-1)*p)]).
+ORACLE_SQL["length_deciles"] = """
+    SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS p,
+           unnest(quantile_disc(n_chars, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                          0.6, 0.7, 0.8, 0.9])) AS n_chars
+    FROM documents"""
+
+# Running per-customer revenue: int-cents cumulative sum (exact in any
+# order) over (o_orderdate, o_orderkey) within customer.
+ORACLE_SQL["running_revenue"] = """
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey)
+                AS DOUBLE) / 100.0 AS running_total
+    FROM orders"""
