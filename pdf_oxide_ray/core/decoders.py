@@ -14,6 +14,8 @@ from __future__ import annotations
 import base64
 import zlib
 
+import numpy as np
+
 MAX_DECODED_SIZE = 100 * 1024 * 1024  # bytes; reference decoders/mod.rs:46
 MAX_EXPANSION_RATIO = 100  # reference decoders/mod.rs:47
 
@@ -37,28 +39,49 @@ def flate_decode(data: bytes) -> bytes:
 
 
 def ascii_hex_decode(data: bytes) -> bytes:
-    digits = []
-    for b in data:
-        c = chr(b)
-        if c == ">":
-            break
-        if c.strip():
-            digits.append(c)
+    end = data.find(b">")
+    if end >= 0:
+        data = data[:end]
+    digits = data.translate(None, b" \t\n\r\x0b\x0c")
     if len(digits) % 2 == 1:
-        digits.append("0")
+        digits += b"0"
     try:
-        return bytes.fromhex("".join(digits))
-    except ValueError as exc:
+        return bytes.fromhex(digits.decode("ascii"))
+    except (ValueError, UnicodeDecodeError) as exc:
         raise DecodeError(f"ASCIIHexDecode: {exc}") from exc
 
 
+_A85_POW = np.array([85 ** 4, 85 ** 3, 85 ** 2, 85, 1], dtype=np.uint64)
+
+
 def ascii85_decode(data: bytes) -> bytes:
+    """Vectorized base-85: groups of 5 digits ('!'..'u') become 4
+    big-endian bytes via a single uint64 dot-with-powers; a short final
+    group is 'u'-padded and truncated, matching RFC-1924-style a85.
+    Inputs the vector path can't take byte-for-byte (the 'z' zero-group
+    shortcut, out-of-alphabet bytes, >0xFFFFFFFF group overflow, a lone
+    trailing digit) fall back to the stdlib decoder so error behavior
+    is identical."""
     s = data.strip()
     if s.startswith(b"<~"):
         s = s[2:]
     if s.endswith(b"~>"):
         s = s[:-2]
-    s = bytes(b for b in s if b not in b" \t\r\n\x0c\x00")
+    s = s.translate(None, b" \t\r\n\x0c\x00")
+    if s and b"z" not in s:
+        arr = np.frombuffer(s, dtype=np.uint8)
+        if len(arr) % 5 != 1 and not ((arr < 33) | (arr > 117)).any():
+            pad = (-len(arr)) % 5
+            a = np.full(len(arr) + pad, 117, dtype=np.uint8)
+            a[:len(arr)] = arr
+            vals = ((a.astype(np.uint64) - 33).reshape(-1, 5)
+                    * _A85_POW).sum(axis=1)
+            if not (vals > 0xFFFFFFFF).any():
+                out = vals.astype(">u4").tobytes()
+                if pad:
+                    out = out[:-pad]
+                _guard(len(data), len(out))
+                return out
     try:
         out = base64.a85decode(s)
     except ValueError as exc:

@@ -228,6 +228,8 @@ class FontInfo:
     default_width: float = 500.0
     # lazily built 256-entry decode table (see decode_text_to_unicode)
     _decode_table: list | None = None
+    # lazily built 256-entry glyph-width table (see interpret._string_width)
+    _width_table: list | None = None
 
     # -- construction -------------------------------------------------------
 

@@ -274,28 +274,31 @@ class TextExtractor:
 
     def _process_tj_array(self, array: list) -> None:
         """reference process_tj_array (text.rs:2194-2282)."""
-        buffer = _TjBuffer(self.state_stack.current(), self.current_mcid)
+        # state and font are loop invariants: Tf/q/Q can't occur inside a
+        # TJ array, so the probe decode font == buffer font throughout
+        state = self.state_stack.current()
+        font = self.fonts.get(state.font_name or "")
+        threshold = self.space_insertion_threshold
+        buffer = _TjBuffer(state, self.current_mcid)
         for element in array:
             if isinstance(element, bytes):
                 # mid-word whitespace-only show-string repair; the probe
-                # decode is reused by append (same font: Tf can't occur
-                # inside a TJ array, so buffer font == current font)
-                font = self.fonts.get(self.state_stack.current().font_name or "")
+                # decode is reused by append
                 unicode_text = decode_text_to_unicode(element, font) if font else None
                 if unicode_text and not unicode_text.strip():
                     if buffer.unicode:
                         utxt = buffer.unicode_text
                         if utxt and utxt[-1].islower():
-                            self._advance_position_for_string(element)
+                            self._advance_string(state, font, element)
                             continue
                 buffer.append(element, self.fonts, decoded=unicode_text)
-                self._advance_position_for_string(element)
+                self._advance_string(state, font, element)
             elif isinstance(element, (int, float)):
                 offset = float(element)
-                if offset < self.space_insertion_threshold:
+                if offset < threshold:
                     self._flush_tj_buffer(buffer)
                     self._insert_space_as_span()
-                    buffer = _TjBuffer(self.state_stack.current(), self.current_mcid)
+                    buffer = _TjBuffer(state, self.current_mcid)
                 self._advance_position_for_offset(offset)
         if not buffer.is_empty():
             self._flush_tj_buffer(buffer)
@@ -313,10 +316,11 @@ class TextExtractor:
             gw = 500.0 if font is None else font.default_width
             glyph_sum = gw * n
         else:
-            get = font.get_glyph_width
-            glyph_sum = 0.0
-            for b in text:
-                glyph_sum += get(b)
+            wt = font._width_table
+            if wt is None:
+                wt = [font.get_glyph_width(i) for i in range(256)]
+                font._width_table = wt
+            glyph_sum = sum(map(wt.__getitem__, text))
         total = (glyph_sum * font_size / 1000.0 + char_space * n
                  + word_space * n_spaces)
         return total * hscale / 100.0
@@ -325,6 +329,10 @@ class TextExtractor:
         """reference text.rs:2285-2321."""
         state = self.state_stack.current()
         font = self.fonts.get(state.font_name) if state.font_name else None
+        self._advance_string(state, font, text)
+
+    def _advance_string(self, state, font, text: bytes) -> None:
+        """Advance with pre-fetched state/font (hot TJ path)."""
         total = self._string_width(text, font, state.font_size,
                                    state.char_space, state.word_space,
                                    state.horizontal_scaling)

@@ -46,6 +46,14 @@ DELIMITERS = b"()<>[]{}/%"
 _WS_RE = re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+")
 _REGULAR_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
 _NUM_RE = re.compile(rb"[+-]?[0-9.]*")
+# one-shot "ws+ gen ws+ R" lookahead for indirect references: replaces a
+# skip_ws + parse_number + skip_ws chain that re-parsed the NEXT array
+# element for every integer (doubling number parsing in /Widths-style
+# int arrays). Comments are legal whitespace here; 'R' must end a token.
+_REF_TAIL_RE = re.compile(
+    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+([0-9]+)"
+    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+R"
+    rb"(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|\Z)")
 _LIT_SPECIAL_RE = re.compile(rb"[()\\]")
 _REGULAR_TABLE = [b not in WHITESPACE and b not in DELIMITERS
                   for b in range(256)]
@@ -280,9 +288,9 @@ def parse_object(data: bytes, pos: int) -> tuple[object, int]:
                     break
                 if pos >= n:
                     raise ParseError("unterminated dict")
-                key, pos = parse_object(data, pos)
-                if not isinstance(key, Name):
+                if data[pos] != 0x2F:  # keys are always names
                     raise ParseError("dict key is not a name")
+                key, pos = parse_name(data, pos)
                 val, pos = parse_object(data, pos)
                 d[str(key)] = val
             # check for stream keyword
@@ -327,18 +335,9 @@ def parse_object(data: bytes, pos: int) -> tuple[object, int]:
         num, npos = parse_number(data, pos)
         # possible "N G R" reference
         if isinstance(num, int) and num >= 0:
-            p2 = skip_ws(data, npos)
-            if p2 < n and data[p2] in b"0123456789":
-                try:
-                    gen, p3 = parse_number(data, p2)
-                except ParseError:
-                    return num, npos
-                if isinstance(gen, int):
-                    p4 = skip_ws(data, p3)
-                    if p4 < n and data[p4] == 0x52:  # 'R'
-                        nxt = p4 + 1
-                        if nxt >= n or not _is_regular(data[nxt]):
-                            return Ref(num, gen), nxt
+            m = _REF_TAIL_RE.match(data, npos)
+            if m is not None:
+                return Ref(num, int(m.group(1))), m.end()
         return num, npos
 
     # keyword: true / false / null
