@@ -889,7 +889,9 @@ def q_length_deciles(sf_dir: str) -> pd.DataFrame:
     driver, and the quantile is read off the cumulative counts. This is
     the scale-safe exact-quantile plan (no global sort, no sampling
     error — contrast approximate t-digest). Index rule matches DuckDB
-    `quantile_disc`: sorted[floor((n-1)*p)]."""
+    `quantile_disc` (= SQL percentile_disc): sorted[ceil(n*p) - 1],
+    verified against random corpora in tests/test_new_ops_property.py
+    (the floor((n-1)*p) rule coincides only when n*p is integral)."""
     ds = _pq(sf_dir, "documents", ["n_chars"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -904,7 +906,7 @@ def q_length_deciles(sf_dir: str) -> pd.DataFrame:
     vals = hist["v"].to_numpy()
     rows = []
     for p in _DECILE_PS:
-        idx = int(np.floor((n - 1) * np.float64(p)))
+        idx = min(max(int(np.ceil(n * np.float64(p))) - 1, 0), n - 1)
         rows.append((p, int(vals[np.searchsorted(cum, idx + 1)])))
     return pd.DataFrame(rows, columns=["p", "n_chars"]) \
         .astype({"p": "float64", "n_chars": "int64"})

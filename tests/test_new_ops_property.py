@@ -1,0 +1,90 @@
+"""Randomized end-to-end equivalence for the four final-round-2
+operators (ngram_topk / tfidf_keywords / length_deciles /
+running_revenue): for seeded random corpora — including empty texts,
+irregular whitespace, tied lengths and tied order dates — the Ray
+pipeline must equal the DuckDB oracle on the same parquet files.
+"""
+
+import math
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from pdf_oxide_ray.queries import ORACLE_SQL, QUERIES
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "the",
+          "a", "of", "scan", "merge", "sort", "hash", "key", "row"]
+
+
+def _write_corpus(tmp_path, seed: int) -> str:
+    rs = np.random.RandomState(seed)
+    n_docs = int(rs.randint(5, 60))
+    texts = []
+    for _ in range(n_docs):
+        k = int(rs.randint(0, 12))
+        words = [_WORDS[i] for i in rs.randint(0, len(_WORDS), k)]
+        sep = rs.choice([" ", "  ", " \t ", "\n"])
+        t = sep.join(words)
+        if rs.rand() < 0.2:
+            t = " " + t + "  "
+        texts.append(t)
+    docs = pd.DataFrame({
+        "doc_id": np.arange(n_docs, dtype=np.int64),
+        "text": texts,
+        "lang": "en",
+        "source": "synth",
+        "n_chars": np.int64([len(t) for t in texts])})
+    # deliberately skewed/tied n_chars for the decile index rule
+    n_orders = int(rs.randint(5, 80))
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(n_orders, dtype=np.int64),
+        "o_custkey": rs.randint(0, 6, n_orders).astype(np.int64),
+        "o_orderstatus": "O",
+        "o_totalprice": np.round(rs.rand(n_orders) * 1000, 2),
+        "o_orderdate": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rs.randint(0, 5, n_orders), unit="D"),
+        "o_orderpriority": "1-URGENT"})
+    d = tmp_path / f"sf-{seed}"
+    os.makedirs(d, exist_ok=True)
+    docs.to_parquet(d / "documents.parquet", index=False)
+    orders.to_parquet(d / "orders.parquet", index=False)
+    return str(d)
+
+
+def _oracle(sf_dir: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("documents", "orders"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    return con.execute(sql).fetchdf()
+
+
+def _assert_equal(a: pd.DataFrame, b: pd.DataFrame, name: str):
+    a = a[sorted(a.columns)].sort_values(list(sorted(a.columns))) \
+        .reset_index(drop=True)
+    b = b[sorted(b.columns)].sort_values(list(sorted(b.columns))) \
+        .reset_index(drop=True)
+    assert len(a) == len(b), f"{name}: {len(a)} vs {len(b)} rows"
+    for c in a.columns:
+        if a[c].dtype.kind == "f" or b[c].dtype.kind == "f":
+            assert all(math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9)
+                       for x, y in zip(a[c].astype(float), b[c].astype(float))), \
+                f"{name}: col {c}"
+        else:
+            assert (a[c].astype(str) == b[c].astype(str)).all(), \
+                f"{name}: col {c}"
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("name", ["ngram_topk", "tfidf_keywords",
+                                  "length_deciles", "running_revenue"])
+def test_new_op_matches_oracle_on_random_corpus(ray_session, tmp_path,
+                                                seed, name):
+    sf_dir = _write_corpus(tmp_path, seed)
+    ray_df = QUERIES[name](sf_dir)
+    if not isinstance(ray_df, pd.DataFrame):
+        ray_df = ray_df.to_pandas()
+    _assert_equal(ray_df, _oracle(sf_dir, ORACLE_SQL[name]), name)
