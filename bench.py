@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "minhash_dedup", "embedding_knn", "token_counts", "quality_score",
     "events_sliding", "user_sessions", "asof_purchase_click",
     "range_purchase_views", "normalize_text", "redact_pii",
+    "ngram_topk", "tfidf_keywords", "length_deciles", "running_revenue",
 ]
 
 

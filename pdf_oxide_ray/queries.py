@@ -915,24 +915,37 @@ def q_length_deciles(sf_dir: str) -> pd.DataFrame:
 def q_running_revenue(sf_dir: str) -> pd.DataFrame:
     """Per-customer running order total — the analytic window function
     (SUM OVER PARTITION ... ORDER BY) Ray Data lacks natively, expressed
-    as groupby(key).map_groups with an in-group mergesort + cumsum:
-    one equi-key shuffle, per-group work is vectorized and local.
-    Money sums ride int64 cents (see `_cents`) so the cumulative chain
-    is exact in any execution order. Skew note: group size = orders per
-    customer (bounded); hot keys would salt by time range."""
+    as a BUCKETED window: shuffle on bucket = custkey % 64 (every row
+    of a customer lands in one bucket), then one vectorized pandas
+    sort + groupby(custkey).cumsum per bucket — 64 group calls instead
+    of one per customer (measured 3.1s -> sub-second at sf0.1; a
+    per-customer map_groups pays ~0.3ms of per-group overhead x 10k
+    customers). Money sums ride int64 cents (see `_cents`) so the
+    cumulative chain is exact in any execution order. Skew note: group
+    size = orders per customer (bounded); a pathological hot key would
+    salt by time range and stitch prefix sums."""
     ds = _pq(sf_dir, "orders",
              ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
 
-    def per_cust(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["o_orderdate", "o_orderkey"], kind="mergesort")
-        run = _cents(g["o_totalprice"]).cumsum().to_numpy(np.float64) / 100.0
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b["__bucket"] = (b["o_custkey"] % 64).astype(np.int64)
+        return b
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          kind="mergesort")
+        cents = _cents(g["o_totalprice"])
+        run = cents.groupby(g["o_custkey"].to_numpy()).cumsum() \
+            .to_numpy(np.float64) / 100.0
         return pd.DataFrame({"o_orderkey": g["o_orderkey"].to_numpy(),
                              "o_custkey": g["o_custkey"].to_numpy(),
                              "running_total": run})
 
     with _scoped_parallelism(32):
-        out = ds.groupby("o_custkey").map_groups(
-            per_cust, batch_format="pandas").to_pandas()
+        out = ds.map_batches(add_bucket, batch_format="pandas") \
+            .groupby("__bucket").map_groups(per_bucket,
+                                            batch_format="pandas") \
+            .to_pandas()
     return out.astype({"o_orderkey": "int64", "o_custkey": "int64",
                        "running_total": "float64"})
 
