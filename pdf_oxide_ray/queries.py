@@ -950,6 +950,61 @@ def q_running_revenue(sf_dir: str) -> pd.DataFrame:
                        "running_total": "float64"})
 
 
+def q_latest_order_per_customer(sf_dir: str) -> pd.DataFrame:
+    """Group-wise arg-max (latest order per customer) as a pure
+    combiner: each batch keeps one best row per customer
+    (vectorized sort + drop_duplicates), partials re-reduce with the
+    same rule — no wide shuffle at all; the exchanged rows are bounded
+    by (#customers x #batches) partials, and associativity of the
+    arg-max makes the two-level reduce exact. Tie-break: latest
+    o_orderdate, then highest o_orderkey."""
+    ds = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate",
+                                "o_totalprice"])
+
+    def best(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          ascending=[True, False, False], kind="mergesort")
+        return b.drop_duplicates("o_custkey", keep="first")
+
+    partials = ds.map_batches(best, batch_format="pandas")
+    m = partials.materialize()
+    if m.count() <= _REDUCE_GATE_ROWS:
+        out = best(m.to_pandas())
+    else:
+        with _scoped_parallelism(32):
+            out = m.groupby("o_custkey").map_groups(
+                best, batch_format="pandas").to_pandas()
+    out = out.rename(columns={"o_totalprice": "last_price"})
+    out["last_price"] = np.round(out["last_price"].astype(np.float64), 6)
+    return out[["o_custkey", "o_orderkey", "o_orderdate", "last_price"]] \
+        .astype({"o_custkey": "int64", "o_orderkey": "int64"}) \
+        .reset_index(drop=True)
+
+
+def q_distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped EXACT count-distinct: per-batch drop_duplicates
+    (type, user) is the combiner (shuffle carries distinct pairs per
+    batch, not raw events), a second distinct over the combined
+    partials, then a tiny count per type. The approximate path at
+    extreme cardinality would swap the exact set for HLL sketches
+    merged in the same two-level shape."""
+    ds = _pq(sf_dir, "events", ["event_type", "user_id"])
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates()
+
+    m = ds.map_batches(pairs, batch_format="pandas").materialize()
+    if m.count() <= _REDUCE_GATE_ROWS:
+        dd = m.to_pandas().drop_duplicates()
+    else:
+        with _scoped_parallelism(32):
+            dd = m.groupby(["event_type", "user_id"]).map_groups(
+                lambda g: g.head(1), batch_format="pandas").to_pandas()
+    out = dd.groupby("event_type", as_index=False) \
+        .agg(n_users=("user_id", "size"))
+    return out.astype({"n_users": "int64"})
+
+
 # ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------
@@ -1699,6 +1754,8 @@ QUERIES = {
     "tfidf_keywords": q_tfidf_keywords,
     "length_deciles": q_length_deciles,
     "running_revenue": q_running_revenue,
+    "latest_order_per_customer": q_latest_order_per_customer,
+    "distinct_users_per_type": q_distinct_users_per_type,
     "decontaminate": q_decontaminate,
     "repetition_filter": q_repetition_filter,
     "dedup_exact": q_dedup_exact,
@@ -2316,3 +2373,20 @@ ORACLE_SQL["running_revenue"] = """
                           ORDER BY o_orderdate, o_orderkey)
                 AS DOUBLE) / 100.0 AS running_total
     FROM orders"""
+
+# Group-wise arg-max: latest order per customer, ties to the highest
+# orderkey; last_price rounded on the shared 1e-6 grid (a single stored
+# value, not a sum — no float-order risk).
+ORACLE_SQL["latest_order_per_customer"] = """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           ROUND(o_totalprice, 6) AS last_price
+    FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate DESC,
+                                                o_orderkey DESC) AS rn
+          FROM orders)
+    WHERE rn = 1"""
+
+# Grouped exact count-distinct.
+ORACLE_SQL["distinct_users_per_type"] = """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type"""
