@@ -950,6 +950,73 @@ def q_running_revenue(sf_dir: str) -> pd.DataFrame:
                        "running_total": "float64"})
 
 
+_PACK_BLOCK_TOKENS = 512  # LM context budget per packed block
+_PACK_RANGE = 128  # doc_ids per prefix-sum range (the parallelism knob)
+
+
+def q_pack_blocks(sf_dir: str) -> pd.DataFrame:
+    """Sequence packing for LM training: concatenate docs in doc_id
+    order into fixed 512-token blocks — each doc gets (block_id,
+    offset_in_block) from the GLOBAL running token count before it.
+    The global prefix sum is distributed: (1) per-batch token counts
+    shuffle as a skinny (doc_id, n_tokens) table; (2) per-range sums
+    (range = doc_id // 128) reduce to one row per range — the only
+    thing the driver holds — and prefix-sum there; (3) range bases
+    broadcast back, and each range's docs colocate once
+    (groupby(range).map_groups) for the in-range sort + cumsum. Two
+    skinny shuffles, no global sort, driver state = O(#ranges). The
+    reference flagship's offsets exchange (stages/assembly.py) is this
+    same shape keyed by conversation."""
+    import ray
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def counts(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(np.int64),
+            "n_tokens": ftext.token_count_ws(b["text"]).to_numpy(np.int64)})
+
+    skinny = ds.map_batches(counts, batch_format="pandas")
+
+    def range_partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"rng": b["doc_id"] // _PACK_RANGE,
+                          "sum_tokens": b["n_tokens"]})
+        return g.groupby("rng", as_index=False).agg(
+            sum_tokens=("sum_tokens", "sum"))
+
+    skinny = skinny.materialize()  # two consumers (range sums + packing)
+    ranges = _reduce_partials(skinny.map_batches(range_partial,
+                                                 batch_format="pandas"),
+                              ["rng"], ["sum_tokens"]).sort_values("rng")
+    bases = dict(zip(ranges["rng"].to_numpy(np.int64),
+                     np.concatenate([[0], ranges["sum_tokens"]
+                                     .cumsum().to_numpy(np.int64)[:-1]])))
+    base_ref = ray.put(bases)
+
+    def add_rng(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["rng"] = (b["doc_id"] // _PACK_RANGE).astype(np.int64)
+        return b
+
+    def pack_range(g: pd.DataFrame) -> pd.DataFrame:
+        base = _get_broadcast(base_ref)[int(g["rng"].iloc[0])]
+        g = g.sort_values("doc_id", kind="mergesort")
+        tok = g["n_tokens"].to_numpy(np.int64)
+        before = base + np.concatenate([[0], np.cumsum(tok)[:-1]])
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "n_tokens": tok,
+            "block_id": before // _PACK_BLOCK_TOKENS,
+            "offset_in_block": before % _PACK_BLOCK_TOKENS})
+
+    with _scoped_parallelism(32):
+        out = skinny.map_batches(add_rng, batch_format="pandas") \
+            .groupby("rng").map_groups(pack_range, batch_format="pandas") \
+            .to_pandas()
+    return out.astype({"doc_id": "int64", "n_tokens": "int64",
+                       "block_id": "int64", "offset_in_block": "int64"})
+
+
 def q_latest_order_per_customer(sf_dir: str) -> pd.DataFrame:
     """Group-wise arg-max (latest order per customer) as a pure
     combiner: each batch keeps one best row per customer
@@ -1756,6 +1823,7 @@ QUERIES = {
     "running_revenue": q_running_revenue,
     "latest_order_per_customer": q_latest_order_per_customer,
     "distinct_users_per_type": q_distinct_users_per_type,
+    "pack_blocks": q_pack_blocks,
     "decontaminate": q_decontaminate,
     "repetition_filter": q_repetition_filter,
     "dedup_exact": q_dedup_exact,
@@ -2390,3 +2458,25 @@ ORACLE_SQL["latest_order_per_customer"] = """
 ORACLE_SQL["distinct_users_per_type"] = """
     SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
     FROM events GROUP BY event_type"""
+
+# Sequence packing: global running token count before each doc (by
+# doc_id order), block = 512 tokens; tokenization matches pandas
+# str.split (regexp split + empty filter).
+ORACLE_SQL["pack_blocks"] = r"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len(list_filter(regexp_split_to_array(
+                      coalesce(text, ''), '\s+'), x -> x <> ''))
+                  AS BIGINT) AS n_tokens
+      FROM documents),
+    w AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+                 ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS before
+      FROM tok)
+    SELECT doc_id, n_tokens,
+           before // 512 AS block_id,
+           before % 512 AS offset_in_block
+    FROM w"""

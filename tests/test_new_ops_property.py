@@ -80,7 +80,8 @@ def _assert_equal(a: pd.DataFrame, b: pd.DataFrame, name: str):
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
 @pytest.mark.parametrize("name", ["ngram_topk", "tfidf_keywords",
-                                  "length_deciles", "running_revenue"])
+                                  "length_deciles", "running_revenue",
+                                  "pack_blocks"])
 def test_new_op_matches_oracle_on_random_corpus(ray_session, tmp_path,
                                                 seed, name):
     sf_dir = _write_corpus(tmp_path, seed)
