@@ -21,7 +21,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from dataclasses import replace
 
 from .content import parse_content_stream
 from .fonts import FontInfo, decode_text_to_unicode
@@ -93,7 +92,8 @@ class CharExtractor:
         if " " in unicode_string:
             tx += self.word_space
         tx *= self.hscale / 100.0
-        self.tm = replace(self.tm, e=self.tm.e + tx)
+        t = self.tm
+        self.tm = Matrix(t.a, t.b, t.c, t.d, t.e + tx, t.f)
 
     # -- operator loop ---------------------------------------------------
 
@@ -157,10 +157,11 @@ class CharExtractor:
                 if isinstance(el, bytes):
                     self._show(el)
                 elif isinstance(el, (int, float)):
-                    self.tm = replace(
-                        self.tm,
-                        e=self.tm.e - (float(el) / 1000.0 * self.font_size
-                                       * self.hscale / 100.0))
+                    t = self.tm
+                    self.tm = Matrix(
+                        t.a, t.b, t.c, t.d,
+                        t.e - (float(el) / 1000.0 * self.font_size
+                               * self.hscale / 100.0), t.f)
         elif op == "BDC" and len(args) >= 2 and isinstance(args[1], dict):
             m = args[1].get("MCID")
             self.mcid = m if isinstance(m, int) else None

@@ -28,7 +28,7 @@ from .graphics import GraphicsStateStack, Matrix, cmyk_to_rgb
 DEFAULT_SPACE_INSERTION_THRESHOLD = -120.0  # reference text.rs:44-53
 
 
-@dataclass
+@dataclass(slots=True)
 class TextSpan:
     """The central record type (reference TextSpan, text_block.rs:21-43)."""
 

@@ -99,9 +99,10 @@ def _is_regular(b: int) -> bool:
 
 def skip_ws(data: bytes, pos: int) -> int:
     """Skip whitespace and ``%`` comments (to end of line). Fast path for
-    the overwhelmingly common single-space separator avoids the regex."""
+    the overwhelmingly common SINGLE-whitespace separator (space or a
+    lone newline) avoids the regex."""
     n = len(data)
-    if pos < n and data[pos] == 0x20:
+    if pos < n and data[pos] in WHITESPACE:
         nxt = pos + 1
         if nxt >= n or (data[nxt] not in WHITESPACE and data[nxt] != 0x25):
             return nxt
@@ -201,16 +202,26 @@ def parse_hex_string(data: bytes, pos: int) -> tuple[bytes, int]:
         raise ParseError(f"bad hex string: {exc}") from exc
 
 
+_NAME_CACHE: dict[bytes, "Name"] = {}
+
+
 def parse_name(data: bytes, pos: int) -> tuple[Name, int]:
     """Parse ``/Name`` with ``#xx`` escapes (reference lexer name rules,
-    ``/root/reference/src/lexer.rs``)."""
+    ``/root/reference/src/lexer.rs``). Escape-free names are interned in
+    a bounded module cache — PDF name vocabulary (/Type /Page /Font ...)
+    is tiny and highly repetitive."""
     assert data[pos] == 0x2F  # '/'
     pos += 1
     m = _REGULAR_RE.match(data, pos)
     end = m.end()
     tok = data[pos:end]
     if b"#" not in tok:  # fast path: no escapes
-        return Name(tok.decode("latin-1")), end
+        nm = _NAME_CACHE.get(tok)
+        if nm is None:
+            nm = Name(tok.decode("latin-1"))
+            if len(_NAME_CACHE) < 4096:
+                _NAME_CACHE[tok] = nm
+        return nm, end
     out = bytearray()
     n = len(data)
     while pos < end:
