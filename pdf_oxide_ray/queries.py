@@ -794,8 +794,9 @@ def q_ngram_topk(sf_dir: str) -> pd.DataFrame:
     carries one row per DISTINCT gram per batch, not one per token; the
     final reduce is over those partials (distributed above the
     `_REDUCE_GATE_ROWS` gate — bigram cardinality grows with corpus
-    size, so at 100 TB the reduce stays a Ray groupby and only the
-    already-tiny top-k hits the driver)."""
+    size, so at 100 TB the reduce stays a Ray groupby followed by
+    per-block local top-20s; only those constant-size partials reach
+    the driver, never the vocabulary)."""
     ds = _pq(sf_dir, "documents", ["text"])
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
@@ -806,10 +807,18 @@ def q_ngram_topk(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"gram": vc.index.to_numpy(dtype=object),
                              "n": vc.to_numpy()})
 
-    out = _reduce_partials(ds.map_batches(partial, batch_format="pandas"),
-                           ["gram"], ["n"])
-    out = out.sort_values(["n", "gram"], ascending=[False, True],
-                          kind="mergesort").head(20).reset_index(drop=True)
+    def topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(["n", "gram"], ascending=[False, True],
+                             kind="mergesort").head(20)
+
+    m = ds.map_batches(partial, batch_format="pandas").materialize()
+    if m.count() <= _REDUCE_GATE_ROWS:
+        out = m.to_pandas().groupby("gram", as_index=False)["n"].sum()
+    else:  # distributed reduce + per-block top-k; driver sees <=20/block
+        with _scoped_parallelism(32):
+            out = m.groupby("gram").aggregate(Sum("n", alias_name="n")) \
+                .map_batches(topk, batch_format="pandas").to_pandas()
+    out = topk(out).reset_index(drop=True)
     return out.astype({"n": "int64"})
 
 
@@ -1063,12 +1072,18 @@ def q_distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
     m = ds.map_batches(pairs, batch_format="pandas").materialize()
     if m.count() <= _REDUCE_GATE_ROWS:
         dd = m.to_pandas().drop_duplicates()
-    else:
+        out = dd.groupby("event_type", as_index=False) \
+            .agg(n_users=("user_id", "size"))
+    else:  # distinct pairs never reach the driver: count per type
+        # distributed-side after the keyed dedup, reduce tiny partials
         with _scoped_parallelism(32):
-            dd = m.groupby(["event_type", "user_id"]).map_groups(
-                lambda g: g.head(1), batch_format="pandas").to_pandas()
-    out = dd.groupby("event_type", as_index=False) \
-        .agg(n_users=("user_id", "size"))
+            counts = m.groupby(["event_type", "user_id"]).map_groups(
+                lambda g: g.head(1), batch_format="pandas") \
+                .map_batches(
+                    lambda b: b.groupby("event_type", as_index=False)
+                    .agg(n_users=("user_id", "size")),
+                    batch_format="pandas")
+            out = _reduce_partials(counts, ["event_type"], ["n_users"])
     return out.astype({"n_users": "int64"})
 
 

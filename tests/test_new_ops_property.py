@@ -89,3 +89,20 @@ def test_new_op_matches_oracle_on_random_corpus(ray_session, tmp_path,
     if not isinstance(ray_df, pd.DataFrame):
         ray_df = ray_df.to_pandas()
     _assert_equal(ray_df, _oracle(sf_dir, ORACLE_SQL[name]), name)
+
+
+@pytest.mark.parametrize("name", ["ngram_topk", "distinct_users_per_type"])
+def test_above_gate_distributed_path(ray_session, monkeypatch, name):
+    """Force the above-_REDUCE_GATE_ROWS branch (distributed reduce,
+    driver never sees the full key space) and check it returns the same
+    result as the small-data path."""
+    import pdf_oxide_ray.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    small = Q.QUERIES[name](sf)
+    monkeypatch.setattr(Q, "_REDUCE_GATE_ROWS", 1)
+    big = Q.QUERIES[name](sf)
+    a = small.sort_values(list(small.columns)).reset_index(drop=True)
+    b = big[small.columns].sort_values(list(small.columns)) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
