@@ -38,11 +38,16 @@ def flate_decode(data: bytes) -> bytes:
     return out
 
 
+# exactly the bytes the previous chr(b).strip() loop skipped (str
+# whitespace includes \x1c-\x1f, NEL and NBSP beyond the ASCII set)
+_HEX_WS = b"\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \x85\xa0"
+
+
 def ascii_hex_decode(data: bytes) -> bytes:
     end = data.find(b">")
     if end >= 0:
         data = data[:end]
-    digits = data.translate(None, b" \t\n\r\x0b\x0c")
+    digits = data.translate(None, _HEX_WS)
     if len(digits) % 2 == 1:
         digits += b"0"
     try:

@@ -46,13 +46,18 @@ DELIMITERS = b"()<>[]{}/%"
 _WS_RE = re.compile(rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+")
 _REGULAR_RE = re.compile(rb"[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
 _NUM_RE = re.compile(rb"[+-]?[0-9.]*")
-# one-shot "ws+ gen ws+ R" lookahead for indirect references: replaces a
+# one-shot "ws+ gen ws* R" lookahead for indirect references: replaces a
 # skip_ws + parse_number + skip_ws chain that re-parsed the NEXT array
 # element for every integer (doubling number parsing in /Widths-style
 # int arrays). Comments are legal whitespace here; 'R' must end a token.
+# The alternation branches are single-char ws OR a comment (no inner +):
+# a nested (?:ws+|...)+ backtracks exponentially on a long whitespace
+# run that is NOT followed by 'gen R' (measured 12.8 s at 28 spaces).
+# The gen->R separator is * not +, matching the old skip_ws-may-be-empty
+# behavior so malformed-but-accepted refs like "1 0R" still parse.
 _REF_TAIL_RE = re.compile(
-    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+([0-9]+)"
-    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+R"
+    rb"(?:[\x00\t\n\x0c\r ]|%[^\r\n]*)+([0-9]+)"
+    rb"(?:[\x00\t\n\x0c\r ]|%[^\r\n]*)*R"
     rb"(?=[\x00\t\n\x0c\r ()<>\[\]{}/%]|\Z)")
 _LIT_SPECIAL_RE = re.compile(rb"[()\\]")
 _REGULAR_TABLE = [b not in WHITESPACE and b not in DELIMITERS

@@ -66,7 +66,10 @@ def _reduce_partials(partials, by: list[str],
     on kilorow inputs (measured ~4s on 15k rows). Above the gate (huge
     key cardinality x blocks) the reduce stays a distributed shuffle."""
     m = partials.materialize()
-    if m.count() <= _REDUCE_GATE_ROWS:
+    n = m.count()
+    if n == 0:  # zero blocks -> a column-less frame; groupby would raise
+        return pd.DataFrame({c: [] for c in by + sum_cols})
+    if n <= _REDUCE_GATE_ROWS:
         return m.to_pandas().groupby(by, as_index=False)[sum_cols].sum()
     with _scoped_parallelism(32):
         return m.groupby(by).aggregate(
@@ -836,7 +839,9 @@ def q_tfidf_keywords(sf_dir: str) -> pd.DataFrame:
     float-order ambiguity in the top-3 cut."""
     import ray
 
-    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    # one physical read for all three consumers (count, df pass, score
+    # pass) — without this the parquet is re-read per consumer
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"]).materialize()
 
     def df_partial(b: pd.DataFrame) -> pd.DataFrame:
         toks = b["text"].fillna("").str.split()
@@ -912,6 +917,9 @@ def q_length_deciles(sf_dir: str) -> pd.DataFrame:
                             ["v"], ["cnt"]).sort_values("v")
     cum = hist["cnt"].cumsum().to_numpy()
     n = int(cum[-1]) if len(cum) else 0
+    if n == 0:  # empty corpus: NULL per decile, matching the SQL twin
+        return pd.DataFrame({"p": np.float64(_DECILE_PS),
+                             "n_chars": np.full(len(_DECILE_PS), np.nan)})
     vals = hist["v"].to_numpy()
     rows = []
     for p in _DECILE_PS:
@@ -1046,10 +1054,19 @@ def q_latest_order_per_customer(sf_dir: str) -> pd.DataFrame:
     m = partials.materialize()
     if m.count() <= _REDUCE_GATE_ROWS:
         out = best(m.to_pandas())
-    else:
+    else:  # bucketed re-reduce (custkey % 64): one vectorized best()
+        # per bucket, not one Python map_groups call per customer —
+        # the same pattern as q_running_revenue
+        def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["__bucket"] = (b["o_custkey"] % 64).astype(np.int64)
+            return b
+
         with _scoped_parallelism(32):
-            out = m.groupby("o_custkey").map_groups(
-                best, batch_format="pandas").to_pandas()
+            out = m.map_batches(add_bucket, batch_format="pandas") \
+                .groupby("__bucket").map_groups(
+                    lambda g: best(g.drop(columns="__bucket")),
+                    batch_format="pandas").to_pandas()
     out = out.rename(columns={"o_totalprice": "last_price"})
     out["last_price"] = np.round(out["last_price"].astype(np.float64), 6)
     return out[["o_custkey", "o_orderkey", "o_orderdate", "last_price"]] \
@@ -1074,11 +1091,16 @@ def q_distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
         dd = m.to_pandas().drop_duplicates()
         out = dd.groupby("event_type", as_index=False) \
             .agg(n_users=("user_id", "size"))
-    else:  # distinct pairs never reach the driver: count per type
-        # distributed-side after the keyed dedup, reduce tiny partials
+    else:  # distinct pairs never reach the driver: vectorized keyed
+        # dedup via groupby().aggregate (NOT map_groups — one Python
+        # call per near-singleton pair group would be minutes of pure
+        # overhead at this branch's scale), then count per type
+        # distributed-side and reduce tiny partials
+        from ray.data.aggregate import Count
+
         with _scoped_parallelism(32):
-            counts = m.groupby(["event_type", "user_id"]).map_groups(
-                lambda g: g.head(1), batch_format="pandas") \
+            counts = m.groupby(["event_type", "user_id"]) \
+                .aggregate(Count()) \
                 .map_batches(
                     lambda b: b.groupby("event_type", as_index=False)
                     .agg(n_users=("user_id", "size")),
@@ -2440,7 +2462,7 @@ ORACLE_SQL["tfidf_keywords"] = r"""
            ROUND(CAST(key AS DOUBLE) / 1000000.0, 6) AS score
     FROM ranked WHERE rn <= 3"""
 
-# Exact deciles of n_chars (quantile_disc = sorted[floor((n-1)*p)]).
+# Exact deciles of n_chars (quantile_disc = sorted[ceil(n*p) - 1]).
 ORACLE_SQL["length_deciles"] = """
     SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS p,
            unnest(quantile_disc(n_chars, [0.1, 0.2, 0.3, 0.4, 0.5,

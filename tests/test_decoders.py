@@ -124,3 +124,9 @@ def test_bomb_guard():
 def test_unknown_filter():
     with pytest.raises(DecodeError):
         decode_stream(b"x", "NoSuchFilter")
+
+
+def test_ascii_hex_skips_str_whitespace_bytes():
+    # parity with the old chr(b).strip() loop: \x1c-\x1f, NEL (\x85)
+    # and NBSP (\xa0) are skipped, not treated as bad digits
+    assert ascii_hex_decode(b"4\x1c1\x854\xa02\x1f>") == b"AB"

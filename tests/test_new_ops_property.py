@@ -91,7 +91,8 @@ def test_new_op_matches_oracle_on_random_corpus(ray_session, tmp_path,
     _assert_equal(ray_df, _oracle(sf_dir, ORACLE_SQL[name]), name)
 
 
-@pytest.mark.parametrize("name", ["ngram_topk", "distinct_users_per_type"])
+@pytest.mark.parametrize("name", ["ngram_topk", "distinct_users_per_type",
+                                  "latest_order_per_customer"])
 def test_above_gate_distributed_path(ray_session, monkeypatch, name):
     """Force the above-_REDUCE_GATE_ROWS branch (distributed reduce,
     driver never sees the full key space) and check it returns the same
@@ -106,3 +107,23 @@ def test_above_gate_distributed_path(ray_session, monkeypatch, name):
     b = big[small.columns].sort_values(list(small.columns)) \
         .reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_length_deciles_empty_corpus(ray_session, tmp_path):
+    """Empty documents table: NULL per decile, matching the SQL twin
+    (previously an IndexError on the empty value histogram)."""
+    import os
+
+    import pdf_oxide_ray.queries as Q
+
+    d = tmp_path / "empty"
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                  "text": pd.Series([], dtype=object),
+                  "lang": pd.Series([], dtype=object),
+                  "source": pd.Series([], dtype=object),
+                  "n_chars": pd.Series([], dtype="int64")}) \
+        .to_parquet(d / "documents.parquet", index=False)
+    out = Q.QUERIES["length_deciles"](str(d))
+    assert len(out) == 9
+    assert out["n_chars"].isna().all()

@@ -90,3 +90,27 @@ def test_comments_skipped():
 def test_parse_error_on_garbage():
     with pytest.raises(ParseError):
         parse(b")")
+
+
+def test_ref_without_space_before_R():
+    # malformed-but-accepted "1 0R" (broken writers omit the space);
+    # the one-regex ref lookahead must keep the old skip_ws-may-be-empty
+    # behavior
+    assert parse(b"[1 0R]") == [Ref(1, 0)]
+    assert parse(b"[1 0 R]") == [Ref(1, 0)]
+
+
+def test_ref_lookahead_linear_on_whitespace_runs():
+    # regression: a nested (?:ws+|comment)+ alternation backtracked
+    # exponentially on an int followed by a long whitespace run that is
+    # NOT a reference tail (12.8 s at 28 spaces); must be linear
+    import time
+
+    data = b"[5" + b" " * 2000 + b"/Name]"
+    t0 = time.perf_counter()
+    assert parse(data) == [5, Name("Name")]
+    assert time.perf_counter() - t0 < 0.5
+
+
+def test_ref_with_comment_separators():
+    assert parse(b"[1 % c\n 0 % c\n R]") == [Ref(1, 0)]
