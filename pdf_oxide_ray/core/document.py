@@ -67,8 +67,19 @@ class PdfDocument:
     # -- S1/S2/S3: open ------------------------------------------------------
 
     def _open(self) -> None:
-        if not self.data.lstrip()[:5].startswith(b"%PDF-"):
+        head = self.data.lstrip()
+        if not head[:5].startswith(b"%PDF-"):
             raise PdfError("missing %PDF header")
+        # header version "%PDF-M.m" (reference parse_header,
+        # document.rs:2775-2818: single digits, '.' separator); unlike
+        # the reference we don't fail extraction on a malformed or
+        # out-of-range version — version stays None and parsing proceeds
+        self.version: tuple[int, int] | None = None
+        if len(head) >= 8 and head[6:7] == b"." and \
+                head[5:6].isdigit() and head[7:8].isdigit():
+            major, minor = head[5] - 0x30, head[7] - 0x30
+            if major <= 2 and not (major == 0 and minor == 0):
+                self.version = (major, minor)
         ok = False
         try:
             ok = self._parse_xref_chain()
