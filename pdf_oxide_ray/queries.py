@@ -2517,3 +2517,7 @@ ORACLE_SQL["pack_blocks"] = r"""
            before // 512 AS block_id,
            before % 512 AS offset_in_block
     FROM w"""
+
+
+# analytic/sketch operator families self-register into QUERIES/ORACLE_SQL
+from . import queries_analytic  # noqa: E402,F401
