@@ -214,6 +214,113 @@ def q_region_revenue(sf_dir: str) -> pd.DataFrame:
     return out.drop(columns=["rev_c"]).astype({"revenue": "float64"})
 
 
+def q_priority_semi_counts(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q4-shaped BIG-BIG semi-join: orders per priority having at
+    least one high-quantity line. Unlike the broadcast semi
+    (``customers_with_orders``), neither side's key set is collected:
+    qualifying l_orderkeys are deduped per batch (skinny partial), both
+    sides ride one bucketed exchange, membership is tested per bucket,
+    and only per-priority partial counts leave the groups."""
+    from .stages.joins import _bucket_of
+
+    _SEMI_BUCKETS = 32
+    qual = _pq(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+    def probe_partial(b: pd.DataFrame) -> pd.DataFrame:
+        k = np.unique(b.loc[b["l_quantity"] > 45, "l_orderkey"]
+                      .to_numpy(np.int64))
+        return pd.DataFrame({"k": k, "pri": None, "side": 0})
+
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+    def fact_tag(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": b["o_orderkey"].to_numpy(np.int64),
+                             "pri": b["o_orderpriority"].to_numpy(),
+                             "side": 1})
+
+    tagged = qual.map_batches(probe_partial, batch_format="pandas") \
+        .union(orders.map_batches(fact_tag, batch_format="pandas"))
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b["__bucket"] = _bucket_of(b["k"], _SEMI_BUCKETS)
+        return b
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy(np.int64)
+        have = np.unique(g.loc[side == 0, "k"].to_numpy(np.int64))
+        fact = g[side == 1]
+        hit = fact[np.isin(fact["k"].to_numpy(np.int64), have)]
+        return pd.DataFrame({"o_orderpriority": hit["pri"].to_numpy(),
+                             "n_orders": 1}) \
+            .groupby("o_orderpriority", as_index=False).sum()
+
+    with _scoped_parallelism(_SEMI_BUCKETS):
+        parts = tagged.map_batches(add_bucket, batch_format="pandas") \
+            .groupby("__bucket").map_groups(per_bucket,
+                                            batch_format="pandas")
+        out = _reduce_partials(parts, ["o_orderpriority"], ["n_orders"])
+    return out.astype({"n_orders": "int64"})
+
+
+def q_nation_trade_volume(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q7-shaped cross-nation volume: revenue per (supplier nation,
+    customer nation, order year) for cross-border pairs. Nation maps for
+    supplier/customer broadcast once; lineitem x orders is the one
+    bucketed exchange; revenue rides exact integer cents."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from .stages.joins import bucketed_hash_join
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nat_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    lookup = {
+        "supp_nat": {k: nat_name[v] for k, v in
+                     zip(supp["s_suppkey"], supp["s_nationkey"])},
+        "cust_nat": {k: nat_name[v] for k, v in
+                     zip(cust["c_custkey"], cust["c_nationkey"])},
+    }
+    ref = ray.put(lookup)
+
+    lineitem = _pq(sf_dir, "lineitem",
+                   ["l_orderkey", "l_suppkey", "l_extendedprice",
+                    "l_discount"])
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                    "o_orderdate"])
+    joined = bucketed_hash_join(lineitem, orders, left_on="l_orderkey",
+                                right_on="o_orderkey", num_buckets=32)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        lk = _get_broadcast(ref)
+        s_nat = b["l_suppkey"].map(lk["supp_nat"])
+        c_nat = b["o_custkey"].map(lk["cust_nat"])
+        keep = (s_nat != c_nat).to_numpy()
+        b = b[keep]
+        rev_c = (_cents(b["l_extendedprice"]).to_numpy()
+                 * (100 - _cents(b["l_discount"]).to_numpy()))
+        year = pd.to_datetime(b["o_orderdate"]).dt.year \
+            .to_numpy(np.int64)
+        return pd.DataFrame({"supp_nation": s_nat[keep].to_numpy(),
+                             "cust_nation": c_nat[keep].to_numpy(),
+                             "o_year": year, "rev_c": rev_c}) \
+            .groupby(["supp_nation", "cust_nation", "o_year"],
+                     as_index=False).agg(rev_c=("rev_c", "sum"))
+
+    out = _reduce_partials(joined.map_batches(partial,
+                                              batch_format="pandas"),
+                           ["supp_nation", "cust_nation", "o_year"],
+                           ["rev_c"])
+    out["volume"] = out["rev_c"].astype(np.float64) / 10000.0
+    return out.drop(columns=["rev_c"]).astype(
+        {"o_year": "int64", "volume": "float64"})
+
+
 # ---------------------------------------------------------------------------
 # grouped top-k / grouped quantiles
 # ---------------------------------------------------------------------------
@@ -597,6 +704,30 @@ ANALYTIC_ORACLES = {
         UNION ALL
         SELECT 3, 'purchase', count(*) FROM m
         WHERE t_click >= t_view AND t_buy >= t_click""",
+    "priority_semi_counts": """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+        GROUP BY o_orderpriority""",
+    "nation_trade_volume": """
+        WITH sn AS (
+          SELECT s_suppkey, n_name AS supp_nation
+          FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+        cn AS (
+          SELECT c_custkey, n_name AS cust_nation
+          FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        SELECT supp_nation, cust_nation,
+               CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                    AS DOUBLE) / 10000.0 AS volume
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN sn ON l_suppkey = s_suppkey
+        JOIN cn ON o_custkey = c_custkey
+        WHERE supp_nation <> cust_nation
+        GROUP BY supp_nation, cust_nation, o_year""",
     "region_revenue": """
         SELECT n_name,
                CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
@@ -626,6 +757,8 @@ ANALYTIC_QUERIES = {
     "rolling_value_sum": q_rolling_value_sum,
     "funnel_conversion": q_funnel_conversion,
     "region_revenue": q_region_revenue,
+    "priority_semi_counts": q_priority_semi_counts,
+    "nation_trade_volume": q_nation_trade_volume,
     "group_topk_docs": q_group_topk_docs,
     "source_length_quantiles": q_source_length_quantiles,
     "hll_distinct_users": q_hll_distinct_users,
