@@ -392,6 +392,113 @@ def q_source_length_quantiles(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# training-data organization: deterministic global shuffle, domain mixture
+# sampling, per-group deterministic reservoir sampling. All keys/thresholds
+# are md5-derived so the DuckDB twins are bit-exact.
+# ---------------------------------------------------------------------------
+
+_SHUFFLE_RANGES = 256  # md5-prefix range partitions of the key space
+
+
+def q_deterministic_shuffle(sf_dir: str) -> pd.DataFrame:
+    """Deterministic GLOBAL shuffle for training-data ordering: every doc
+    gets a stable position = its rank under md5(doc_id). No global sort
+    materialization — md5 keys are uniform, so the key space range-
+    partitions evenly by the first hex byte: per-range counts reduce to
+    256 driver rows, prefix-sum there, broadcast bases back, and each
+    range sorts only its own slice (the pack_blocks prefix-sum shape
+    keyed by hash instead of id)."""
+    import ray
+
+    ds = _pq(sf_dir, "documents", ["doc_id"])
+
+    def key_partial(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(np.int64)
+        keys = [hashlib.md5(str(i).encode()).hexdigest() for i in ids]
+        return pd.DataFrame({
+            "doc_id": ids, "key": keys,
+            "rng": np.fromiter((int(k[:2], 16) for k in keys),
+                               dtype=np.int64, count=len(keys))})
+
+    skinny = ds.map_batches(key_partial, batch_format="pandas") \
+        .materialize()  # two consumers: range counts + in-range rank
+
+    def range_counts(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"rng": b["rng"], "n": 1}) \
+            .groupby("rng", as_index=False).sum()
+
+    ranges = _reduce_partials(skinny.map_batches(range_counts,
+                                                 batch_format="pandas"),
+                              ["rng"], ["n"]).sort_values("rng")
+    bases = dict(zip(ranges["rng"].to_numpy(np.int64),
+                     np.concatenate([[0], ranges["n"].cumsum()
+                                     .to_numpy(np.int64)[:-1]])))
+    base_ref = ray.put(bases)
+
+    def rank_range(g: pd.DataFrame) -> pd.DataFrame:
+        base = _get_broadcast(base_ref)[int(g["rng"].iloc[0])]
+        g = g.sort_values(["key", "doc_id"], kind="mergesort")
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "shuffle_pos": base + np.arange(len(g), dtype=np.int64)})
+
+    with _scoped_parallelism(64):
+        out = skinny.groupby("rng").map_groups(rank_range,
+                                               batch_format="pandas") \
+            .to_pandas()
+    return out.astype({"doc_id": "int64", "shuffle_pos": "int64"})
+
+
+def q_mixture_sample(sf_dir: str) -> pd.DataFrame:
+    """Domain mixture sampling — THE re-weighting op of LLM data prep:
+    each source keeps a deterministic Bernoulli fraction of its docs
+    (rate = (src_index % 4 + 1)/4 here; production passes a real weight
+    map). The coin is the top-2 bits of md5('mix:'+doc_id) — u < k*2^62
+    iff (u >> 62) < k — so it is exact in uint64 and in SQL, and fully
+    per-batch: no shuffle at all, the cheapest possible scale shape."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "source"])
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(np.int64)
+        u_top = _md5_u64([f"mix:{i}" for i in ids]) >> np.uint64(62)
+        k = (b["source"].str.slice(3).astype(np.int64) % 4 + 1).to_numpy()
+        m = u_top.astype(np.int64) < k
+        return pd.DataFrame({"doc_id": ids[m],
+                             "source": b["source"].to_numpy()[m]})
+
+    out = ds.map_batches(keep, batch_format="pandas").to_pandas()
+    return out.astype({"doc_id": "int64"})
+
+
+_RESERVOIR_K = 20
+
+
+def q_group_reservoir(sf_dir: str) -> pd.DataFrame:
+    """Per-group deterministic reservoir sample: k=20 docs per language,
+    chosen as the k smallest md5 keys (equivalent to a uniform sample
+    without replacement, but associative: per-batch smallest-k partials
+    re-reduce under the same rule, so the driver folds k x #groups x
+    #batches skinny rows and no full shuffle happens)."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "lang"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ids = b["doc_id"].to_numpy(np.int64)
+        g = pd.DataFrame({
+            "lang": b["lang"].to_numpy(), "doc_id": ids,
+            "key": [hashlib.md5(str(i).encode()).hexdigest()
+                    for i in ids]})
+        g = g.sort_values(["lang", "key", "doc_id"], kind="mergesort")
+        return g.groupby("lang", as_index=False).head(_RESERVOIR_K)
+
+    parts = ds.map_batches(partial, batch_format="pandas") \
+        .materialize().to_pandas()
+    parts = parts.sort_values(["lang", "key", "doc_id"], kind="mergesort")
+    out = parts.groupby("lang", as_index=False).head(_RESERVOIR_K)
+    return out[["lang", "doc_id"]].reset_index(drop=True) \
+        .astype({"doc_id": "int64"})
+
+
+# ---------------------------------------------------------------------------
 # sketches (HLL / Bloom / Count-Min) — registers, bits and cells are all
 # md5-derived, so the DuckDB oracle reconstructs them bit-for-bit
 # ---------------------------------------------------------------------------
@@ -746,6 +853,25 @@ ANALYTIC_ORACLES = {
                quantile_disc(n_chars, 0.9) AS p90_chars,
                quantile_disc(n_chars, 0.99) AS p99_chars
         FROM documents GROUP BY source""",
+    "deterministic_shuffle": """
+        SELECT doc_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+                 AS shuffle_pos
+        FROM documents""",
+    "mixture_sample": """
+        SELECT doc_id, source
+        FROM documents
+        WHERE (('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)),
+                               1, 16))::UBIGINT >> 62)
+              < (TRY_CAST(substr(source, 4) AS BIGINT) % 4 + 1)::UBIGINT""",
+    "group_reservoir": f"""
+        WITH ranked AS (
+          SELECT lang, doc_id,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents)
+        SELECT lang, doc_id FROM ranked WHERE rn <= {_RESERVOIR_K}""",
     "hll_distinct_users": _hll_oracle_sql(),
     "bloom_filter_orders": _bloom_oracle_sql(),
     "cms_topk_props": _cms_oracle_sql(),
@@ -761,6 +887,9 @@ ANALYTIC_QUERIES = {
     "nation_trade_volume": q_nation_trade_volume,
     "group_topk_docs": q_group_topk_docs,
     "source_length_quantiles": q_source_length_quantiles,
+    "deterministic_shuffle": q_deterministic_shuffle,
+    "mixture_sample": q_mixture_sample,
+    "group_reservoir": q_group_reservoir,
     "hll_distinct_users": q_hll_distinct_users,
     "bloom_filter_orders": q_bloom_filter_orders,
     "cms_topk_props": q_cms_topk_props,
