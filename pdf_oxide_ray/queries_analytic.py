@@ -321,6 +321,207 @@ def q_nation_trade_volume(sf_dir: str) -> pd.DataFrame:
         {"o_year": "int64", "volume": "float64"})
 
 
+_Q3_CUTOFF = "1998-01-01"
+_Q3_SEGMENT = "BUILDING"
+
+
+def q_shipping_priority(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q3-shaped top-k join: the 10 highest-revenue unshipped
+    orders for one market segment (o_orderdate < cutoff <= l_shipdate
+    window, revenue = sum of discounted line prices per order).
+
+    Scale shape: the BUILDING customer key set broadcasts once (small
+    side; graduates to a bucketed semi at 100 TB); lineitem and orders
+    ride ONE skinny tagged-union exchange on orderkey; because the
+    GROUP BY key IS the join key, each order's revenue is exact inside
+    its bucket, so every bucket emits only its local top-10 and the
+    driver reduces 32 x 10 rows. No global sort, no driver
+    materialization of per-order revenue."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    from .stages.joins import _bucket_of
+
+    _BUCKETS = 32
+    cutoff = np.datetime64(_Q3_CUTOFF)
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg_keys = frozenset(
+        cust.loc[cust["c_mktsegment"] == _Q3_SEGMENT, "c_custkey"]
+        .astype(np.int64))
+    ref = ray.put(seg_keys)
+
+    lineitem = _pq(sf_dir, "lineitem",
+                   ["l_orderkey", "l_extendedprice", "l_discount",
+                    "l_shipdate"])
+    orders = _pq(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def line_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_shipdate"].to_numpy("datetime64[us]")
+              > np.datetime64(cutoff, "us")]
+        rev_c = (_cents(b["l_extendedprice"]).to_numpy()
+                 * (100 - _cents(b["l_discount"]).to_numpy()))
+        g = pd.DataFrame({"k": b["l_orderkey"].to_numpy(np.int64),
+                          "rev_c": rev_c}) \
+            .groupby("k", as_index=False).sum()
+        g["o_date"] = None
+        g["side"] = 0
+        return g
+
+    def order_tag(b: pd.DataFrame) -> pd.DataFrame:
+        keys = _get_broadcast(ref)
+        dt = b["o_orderdate"].to_numpy("datetime64[us]")
+        keep = (dt < np.datetime64(cutoff, "us")) \
+            & b["o_custkey"].map(lambda c: c in keys).to_numpy(bool)
+        b = b[keep]
+        return pd.DataFrame({
+            "k": b["o_orderkey"].to_numpy(np.int64),
+            "rev_c": np.int64(0),
+            "o_date": pd.to_datetime(b["o_orderdate"]).dt
+            .strftime("%Y-%m-%d").to_numpy(),
+            "side": 1})
+
+    tagged = lineitem.map_batches(line_partial, batch_format="pandas") \
+        .union(orders.map_batches(order_tag, batch_format="pandas"))
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b["__bucket"] = _bucket_of(b["k"], _BUCKETS)
+        return b
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy(np.int64)
+        rev = g[side == 0].groupby("k", as_index=False)["rev_c"].sum()
+        ords = g.loc[side == 1, ["k", "o_date"]]
+        hit = rev.merge(ords, on="k")
+        hit = hit.sort_values(["rev_c", "k"], ascending=[False, True],
+                              kind="mergesort").head(10)
+        return hit
+
+    with _scoped_parallelism(_BUCKETS):
+        parts = tagged.map_batches(add_bucket, batch_format="pandas") \
+            .groupby("__bucket").map_groups(per_bucket,
+                                            batch_format="pandas") \
+            .to_pandas()
+    out = parts.sort_values(["rev_c", "k"], ascending=[False, True],
+                            kind="mergesort").head(10)
+    out = pd.DataFrame({
+        "l_orderkey": out["k"].to_numpy(np.int64),
+        "o_date": out["o_date"].to_numpy(),
+        "revenue": out["rev_c"].to_numpy(np.float64) / 10000.0})
+    return out.reset_index(drop=True).astype(
+        {"l_orderkey": "int64", "revenue": "float64"})
+
+
+_Q10_FROM = "1997-01-01"
+_Q10_TO = "1997-04-01"
+
+
+def q_returned_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q10-shaped returned-item report: top-20 customers by
+    revenue of returned ('R') lines for one order quarter, annotated
+    with name/acctbal/nation.
+
+    Scale shape: two skinny exchanges — (1) qualifying line revenue
+    meets the order window on orderkey (tagged union, per-bucket
+    custkey partials out), (2) per-customer rollup on custkey with
+    per-bucket exact sums and local top-20, driver reduces 32 x 20
+    rows. Customer details attach at the END to just the 20 winners
+    via a pushed-down parquet row filter — the big dimension table is
+    never broadcast or shuffled."""
+    import os
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .stages.joins import _bucket_of
+
+    _BUCKETS = 32
+    lo = np.datetime64(_Q10_FROM, "us")
+    hi = np.datetime64(_Q10_TO, "us")
+
+    lineitem = _pq(sf_dir, "lineitem",
+                   ["l_orderkey", "l_extendedprice", "l_discount",
+                    "l_returnflag"])
+    orders = _pq(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def line_partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["l_returnflag"].to_numpy() == "R"]
+        rev_c = (_cents(b["l_extendedprice"]).to_numpy()
+                 * (100 - _cents(b["l_discount"]).to_numpy()))
+        g = pd.DataFrame({"k": b["l_orderkey"].to_numpy(np.int64),
+                          "rev_c": rev_c}) \
+            .groupby("k", as_index=False).sum()
+        g["cust"] = np.int64(-1)
+        g["side"] = 0
+        return g
+
+    def order_tag(b: pd.DataFrame) -> pd.DataFrame:
+        dt = b["o_orderdate"].to_numpy("datetime64[us]")
+        b = b[(dt >= lo) & (dt < hi)]
+        return pd.DataFrame({"k": b["o_orderkey"].to_numpy(np.int64),
+                             "rev_c": np.int64(0),
+                             "cust": b["o_custkey"].to_numpy(np.int64),
+                             "side": 1})
+
+    tagged = lineitem.map_batches(line_partial, batch_format="pandas") \
+        .union(orders.map_batches(order_tag, batch_format="pandas"))
+
+    def bucket_orderkey(b: pd.DataFrame) -> pd.DataFrame:
+        b["__bucket"] = _bucket_of(b["k"], _BUCKETS)
+        return b
+
+    def per_order_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy(np.int64)
+        rev = g[side == 0].groupby("k", as_index=False)["rev_c"].sum()
+        ords = g.loc[side == 1, ["k", "cust"]]
+        hit = rev.merge(ords, on="k")
+        # custkey partials out of the bucket (one row per cust per bucket)
+        return hit.groupby("cust", as_index=False)["rev_c"].sum()
+
+    def bucket_cust(b: pd.DataFrame) -> pd.DataFrame:
+        b["__bucket"] = _bucket_of(b["cust"], _BUCKETS)
+        return b
+
+    def per_cust_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        rev = g.groupby("cust", as_index=False)["rev_c"].sum()
+        return rev.sort_values(["rev_c", "cust"],
+                               ascending=[False, True],
+                               kind="mergesort").head(20)
+
+    with _scoped_parallelism(_BUCKETS):
+        parts = tagged.map_batches(bucket_orderkey, batch_format="pandas") \
+            .groupby("__bucket").map_groups(per_order_bucket,
+                                            batch_format="pandas") \
+            .map_batches(bucket_cust, batch_format="pandas") \
+            .groupby("__bucket").map_groups(per_cust_bucket,
+                                            batch_format="pandas") \
+            .to_pandas()
+    top = parts.sort_values(["rev_c", "cust"], ascending=[False, True],
+                            kind="mergesort").head(20)
+
+    keys = top["cust"].astype(np.int64).tolist()
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"],
+        filters=pc.field("c_custkey").isin(keys)).to_pandas()
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    nat_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    info = cust.set_index("c_custkey")
+    out = pd.DataFrame({
+        "c_custkey": top["cust"].to_numpy(np.int64),
+        "c_name": info.loc[keys, "c_name"].to_numpy(),
+        "revenue": top["rev_c"].to_numpy(np.float64) / 10000.0,
+        "c_acctbal": info.loc[keys, "c_acctbal"].to_numpy(np.float64),
+        "n_name": info.loc[keys, "c_nationkey"].map(nat_name).to_numpy()})
+    return out.reset_index(drop=True).astype(
+        {"c_custkey": "int64", "revenue": "float64",
+         "c_acctbal": "float64"})
+
+
 # ---------------------------------------------------------------------------
 # grouped top-k / grouped quantiles
 # ---------------------------------------------------------------------------
@@ -846,6 +1047,37 @@ ANALYTIC_ORACLES = {
           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
           AND r_name = 'ASIA'
         GROUP BY n_name""",
+    "shipping_priority": f"""
+        SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                    AS DOUBLE) / 10000.0 AS revenue
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = '{_Q3_SEGMENT}'
+          AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '{_Q3_CUTOFF}'
+          AND l_shipdate > TIMESTAMP '{_Q3_CUTOFF}'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                 DESC, l_orderkey
+        LIMIT 10""",
+    "returned_revenue": f"""
+        SELECT c_custkey, c_name,
+               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                        * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                    AS DOUBLE) / 10000.0 AS revenue,
+               c_acctbal, n_name
+        FROM customer, orders, lineitem, nation
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate >= TIMESTAMP '{_Q10_FROM}'
+          AND o_orderdate < TIMESTAMP '{_Q10_TO}'
+          AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                 DESC, c_custkey
+        LIMIT 20""",
     "group_topk_docs": None,  # filled below (reuses the quality_score CTE)
     "source_length_quantiles": """
         SELECT source,
@@ -885,6 +1117,8 @@ ANALYTIC_QUERIES = {
     "region_revenue": q_region_revenue,
     "priority_semi_counts": q_priority_semi_counts,
     "nation_trade_volume": q_nation_trade_volume,
+    "shipping_priority": q_shipping_priority,
+    "returned_revenue": q_returned_revenue,
     "group_topk_docs": q_group_topk_docs,
     "source_length_quantiles": q_source_length_quantiles,
     "deterministic_shuffle": q_deterministic_shuffle,
