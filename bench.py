@@ -33,6 +33,7 @@ BENCH_QUERIES = [
     "events_sliding", "user_sessions", "asof_purchase_click",
     "range_purchase_views", "normalize_text", "redact_pii",
     "ngram_topk", "tfidf_keywords", "length_deciles", "running_revenue",
+    "shipping_priority", "returned_revenue",
 ]
 
 
