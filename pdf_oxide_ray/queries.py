@@ -1817,6 +1817,120 @@ def q_doc_metadata(sf_dir: str) -> pd.DataFrame:
                           for k, v in out.items()}])
 
 
+_CHUNK_W = 3     # words per non-overlapping dedup chunk
+_CHUNK_HOT = 4   # corpus-wide occurrence threshold => boilerplate
+
+
+def _word_chunks(texts: pd.Series):
+    """(row_idx, chunk_id, chunk_text) for non-overlapping ``_CHUNK_W``-word
+    chunks, fully vectorized: one flat word array per batch (same shape as
+    the tfidf kernel), chunk ids from integer position math, chunk text via
+    a single grouped join — no per-row Python loop."""
+    words = texts.fillna("").str.split()
+    lens = words.str.len().to_numpy(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                pd.Series([], dtype=object))
+    flat = np.concatenate([np.asarray(w, dtype=object)
+                           for w in words.to_numpy() if len(w)])
+    row = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    starts = np.repeat(np.cumsum(lens) - lens, lens)
+    cid = (np.arange(total, dtype=np.int64) - starts) // _CHUNK_W
+    g = pd.DataFrame({"row": row, "cid": cid, "w": flat}) \
+        .groupby(["row", "cid"], sort=True)["w"].agg(" ".join)
+    idx = g.index
+    return (idx.get_level_values(0).to_numpy(np.int64),
+            idx.get_level_values(1).to_numpy(np.int64),
+            g.reset_index(drop=True))
+
+
+def q_chunk_dedup(sf_dir: str) -> pd.DataFrame:
+    """Exact-substring corpus dedup at word-chunk granularity (the
+    chunk-level variant of Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better"): each doc splits into non-overlapping
+    ``_CHUNK_W``-word chunks; any chunk occurring >= ``_CHUNK_HOT`` times
+    corpus-wide is boilerplate and removed from EVERY doc; survivors
+    re-join with single spaces. Two streamed passes: (1) per-batch partial
+    chunk counts -> one distributed reduce -> hot set (small by
+    construction — only chunks repeated >= K times survive the HAVING)
+    broadcast once via ray.put; (2) a pure map rebuilds clean_text. The
+    only shuffle is the (chunk, count) reduce; at 100 TB the chunk key
+    would ride a 16-byte hash instead of the text (kept as text here for
+    the bit-exact SQL twin)."""
+    import ray
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        _, _, chunks = _word_chunks(b["text"])
+        vc = chunks.value_counts()
+        return pd.DataFrame({"chunk": vc.index.to_numpy(dtype=object),
+                             "cnt": vc.to_numpy(np.int64)})
+
+    counts = _reduce_partials(ds.map_batches(partial, batch_format="pandas"),
+                              ["chunk"], ["cnt"])
+    hot = frozenset(counts.loc[counts["cnt"] >= _CHUNK_HOT, "chunk"])
+    hot_ref = ray.put(hot)
+
+    def strip(b: pd.DataFrame) -> pd.DataFrame:
+        hset = ray.get(hot_ref)
+        rows, _, chunks = _word_chunks(b["text"])
+        keep = ~chunks.isin(hset).to_numpy()
+        joined = pd.Series(chunks.to_numpy()[keep]) \
+            .groupby(rows[keep]).agg(" ".join) \
+            .reindex(np.arange(len(b)), fill_value="")
+        return pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
+                             "clean_text": joined.to_numpy(dtype=object)})
+
+    return ds.map_batches(strip, batch_format="pandas").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+_QUALITY_FILTER_P = 0.75  # keep docs at/above the corpus P75 quality
+
+
+def q_quality_filter(sf_dir: str) -> pd.DataFrame:
+    """Top-quartile quality selection: keep docs whose heuristic quality
+    score >= the corpus P75 — the select-the-best-slice op every
+    training-data pipeline runs after scoring. EXACT percentile via the
+    bounded value histogram (same plan as ``q_length_deciles``): per-batch
+    score value_counts reduce to one row per distinct score — far smaller
+    than the corpus (scores are low-cardinality rationals of doc stats) —
+    and the threshold is read off cumulative counts with the
+    percentile_disc index rule sorted[ceil(n*p)-1]. Scores are
+    bit-identical doubles on both sides (the quality_score chain is
+    mirrored term-for-term in SQL), so the >= cut is deterministic with no
+    rounding. Two streamed passes (score+histogram, then score+filter):
+    recomputing the cheap score beats materializing a per-doc table."""
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def hist(b: pd.DataFrame) -> pd.DataFrame:
+        vc = ftext.quality_score(b["text"]).value_counts()
+        return pd.DataFrame({"q": vc.index.to_numpy(np.float64),
+                             "cnt": vc.to_numpy(np.int64)})
+
+    h = _reduce_partials(ds.map_batches(hist, batch_format="pandas"),
+                         ["q"], ["cnt"]).sort_values("q")
+    cum = h["cnt"].cumsum().to_numpy()
+    n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "quality": pd.Series([], dtype="float64")})
+    idx = min(max(int(np.ceil(n * _QUALITY_FILTER_P)) - 1, 0), n - 1)
+    thr = float(h["q"].to_numpy()[np.searchsorted(cum, idx + 1)])
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        q = ftext.quality_score(b["text"]).to_numpy(np.float64)
+        m = q >= thr
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy()[m],
+                             "quality": q[m]})
+
+    return ds.map_batches(keep, batch_format="pandas").to_pandas() \
+        .astype({"doc_id": "int64", "quality": "float64"}) \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1863,6 +1977,8 @@ QUERIES = {
     "pack_blocks": q_pack_blocks,
     "decontaminate": q_decontaminate,
     "repetition_filter": q_repetition_filter,
+    "chunk_dedup": q_chunk_dedup,
+    "quality_filter": q_quality_filter,
     "dedup_exact": q_dedup_exact,
     "minhash_dedup": q_minhash_dedup,
     "simhash_buckets": q_simhash_buckets,
@@ -2521,3 +2637,67 @@ ORACLE_SQL["pack_blocks"] = r"""
 
 # analytic/sketch operator families self-register into QUERIES/ORACLE_SQL
 from . import queries_analytic  # noqa: E402,F401
+
+# Exact-substring (chunk-level) corpus dedup: the SQL twin rebuilds the same
+# non-overlapping word chunks with a parallel unnest + integer division.
+ORACLE_SQL["chunk_dedup"] = r"""
+    WITH w AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'),
+                                 x -> x <> '') AS ws
+      FROM documents),
+    ex AS (
+      SELECT doc_id, unnest(ws) AS word,
+             unnest(range(1, len(ws)+1)) AS i FROM w),
+    chunks AS (
+      SELECT doc_id, (i-1)//3 AS chunk_id,
+             string_agg(word, ' ' ORDER BY i) AS chunk_text
+      FROM ex GROUP BY doc_id, (i-1)//3),
+    hot AS (
+      SELECT chunk_text FROM chunks GROUP BY chunk_text
+      HAVING count(*) >= 4),
+    kept AS (
+      SELECT c.doc_id, c.chunk_id, c.chunk_text
+      FROM chunks c LEFT JOIN hot h USING (chunk_text)
+      WHERE h.chunk_text IS NULL),
+    agg AS (
+      SELECT doc_id, string_agg(chunk_text, ' ' ORDER BY chunk_id)
+             AS clean_text
+      FROM kept GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(a.clean_text, '') AS clean_text
+    FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+# Top-quartile quality selection: same score chain as quality_score (both
+# sides bit-identical doubles), threshold = percentile_disc(0.75).
+ORACLE_SQL["quality_filter"] = r"""
+    WITH w AS (
+      SELECT doc_id,
+             length(list_filter(regexp_split_to_array(text, '\s+'),
+                    x -> x <> '')) AS n_tokens,
+             length(text) - length(regexp_replace(text, '[.!?,;:]',
+                    '', 'g')) AS n_punct,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                    x -> x <> '') AS words
+      FROM documents),
+    f AS (
+      SELECT doc_id, n_tokens, n_punct,
+             CASE WHEN len(words) = 0 THEN 0.0 ELSE
+               CAST(len(list_filter(words, x -> list_contains(
+                 ['the','and','of','to','a','in','is','that','for','it'],
+                 x))) AS DOUBLE) / len(words) END AS stop_ratio,
+             CASE WHEN len(words) = 0 THEN 0.0 ELSE
+               CAST(list_sum(list_transform(words, x -> length(x)))
+                    AS DOUBLE) / len(words) END AS mean_word_len
+      FROM w),
+    s AS (
+      SELECT doc_id,
+             0.3 * least(greatest(n_tokens / 50.0, 0.0), 1.0)
+             + 0.2 * least(greatest(
+                 n_punct / greatest(n_tokens / 10.0, 1.0), 0.0), 1.0)
+             + 0.25 * least(greatest(
+                 1.0 - abs(stop_ratio - 0.35) / 0.35, 0.0), 1.0)
+             + 0.25 * least(greatest(
+                 1.0 - abs(mean_word_len - 4.5) / 4.5, 0.0), 1.0)
+             AS quality
+      FROM f)
+    SELECT doc_id, quality FROM s
+    WHERE quality >= (SELECT quantile_disc(quality, 0.75) FROM s)"""

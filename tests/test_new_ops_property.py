@@ -81,7 +81,8 @@ def _assert_equal(a: pd.DataFrame, b: pd.DataFrame, name: str):
 @pytest.mark.parametrize("seed", [0, 1, 2])
 @pytest.mark.parametrize("name", ["ngram_topk", "tfidf_keywords",
                                   "length_deciles", "running_revenue",
-                                  "pack_blocks"])
+                                  "pack_blocks", "chunk_dedup",
+                                  "quality_filter"])
 def test_new_op_matches_oracle_on_random_corpus(ray_session, tmp_path,
                                                 seed, name):
     sf_dir = _write_corpus(tmp_path, seed)
@@ -92,7 +93,8 @@ def test_new_op_matches_oracle_on_random_corpus(ray_session, tmp_path,
 
 
 @pytest.mark.parametrize("name", ["ngram_topk", "distinct_users_per_type",
-                                  "latest_order_per_customer"])
+                                  "latest_order_per_customer",
+                                  "chunk_dedup", "quality_filter"])
 def test_above_gate_distributed_path(ray_session, monkeypatch, name):
     """Force the above-_REDUCE_GATE_ROWS branch (distributed reduce,
     driver never sees the full key space) and check it returns the same
