@@ -982,6 +982,120 @@ def _cms_oracle_sql() -> str:
         ORDER BY est_n DESC, k_val LIMIT {_CMS_TOPK}"""
 
 
+def q_revenue_rollup(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY ROLLUP subtotal lattice (region, nation) over order
+    revenue. Plan: the dimension chain customer->nation->region broadcasts
+    once (small sides); ONE partial-cents reduce runs at the FINEST grain
+    only — (region, nation), bounded by dim cardinality at any corpus
+    size — and the coarser rollup levels (per-region, grand total) derive
+    from that reduced table on the driver (rows = #nations, never
+    corpus-sized). Money rides exact int64 cents so every level is
+    bit-identical to SQL ROLLUP regardless of combine order."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nat_region = dict(zip(nation["n_nationkey"],
+                          nation["n_regionkey"].map(
+                              dict(zip(region["r_regionkey"],
+                                       region["r_name"])))))
+    ref = ray.put({"cust_nat": dict(zip(cust["c_custkey"],
+                                        cust["c_nationkey"])),
+                   "nat_name": dict(zip(nation["n_nationkey"],
+                                        nation["n_name"])),
+                   "nat_region": nat_region})
+
+    orders = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        lk = _get_broadcast(ref)
+        nat = b["o_custkey"].map(lk["cust_nat"])
+        return pd.DataFrame({
+            "r_name": nat.map(lk["nat_region"]),
+            "n_name": nat.map(lk["nat_name"]),
+            "cents": _cents(b["o_totalprice"])}) \
+            .groupby(["r_name", "n_name"], as_index=False)["cents"].sum()
+
+    fine = _reduce_partials(orders.map_batches(partial,
+                                               batch_format="pandas"),
+                            ["r_name", "n_name"], ["cents"])
+    lvl_region = fine.groupby("r_name", as_index=False)["cents"].sum()
+    lvl_region["n_name"] = None
+    total = pd.DataFrame({"r_name": [None], "n_name": [None],
+                          "cents": [fine["cents"].sum()]})
+    out = pd.concat([fine, lvl_region, total], ignore_index=True)
+    out["revenue"] = out["cents"].to_numpy(np.float64) / 100.0
+    return out[["r_name", "n_name", "revenue"]] \
+        .sort_values(["r_name", "n_name"], na_position="last") \
+        .reset_index(drop=True)
+
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_event_type_pivot(sf_dir: str) -> pd.DataFrame:
+    """Pivot (long -> wide): one count column per event type per user —
+    conditional aggregation, the shape Ray Data has no native operator
+    for. Per-batch crosstab partials (one row per user per batch, columns
+    fixed by the known type domain) reduce in one skinny shuffle; no
+    row-explosion, no second pass. An unknown type domain would first run
+    the distinct_event_types plan to fix the columns."""
+    ds = _pq(sf_dir, "events", ["user_id", "event_type"])
+    cols = [f"n_{t}" for t in _PIVOT_TYPES]
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(b["user_id"], b["event_type"]) \
+            .reindex(columns=list(_PIVOT_TYPES), fill_value=0)
+        ct.columns = cols
+        return ct.reset_index()
+
+    out = _reduce_partials(ds.map_batches(partial, batch_format="pandas"),
+                           ["user_id"], cols)
+    return out.astype({"user_id": "int64", **{c: "int64" for c in cols}}) \
+        .sort_values("user_id").reset_index(drop=True)
+
+
+def q_length_cdf(sf_dir: str) -> pd.DataFrame:
+    """Global cume_dist window WITHOUT a global sort: the bounded value
+    histogram (one row per distinct n_chars) reduces once; cumulative
+    counts give cd(v) = rows_at_or_below / n; the tiny value->cd map
+    broadcasts via ray.put and a pure map annotates every doc.
+    cume_dist is tie-stable (unlike ntile/row_number), so the result is
+    deterministic and the doubles are bit-identical: both sides divide
+    the same int64 cumulative count by the same int64 n."""
+    import ray
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def hist(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["n_chars"].value_counts()
+        return pd.DataFrame({"v": vc.index.to_numpy(np.int64),
+                             "cnt": vc.to_numpy(np.int64)})
+
+    h = _reduce_partials(ds.map_batches(hist, batch_format="pandas"),
+                         ["v"], ["cnt"]).sort_values("v")
+    vals = h["v"].to_numpy(np.int64)
+    cd = h["cnt"].cumsum().to_numpy(np.int64)
+    n = int(cd[-1]) if len(cd) else 0
+    ref = ray.put((vals, cd.astype(np.float64) / n if n else cd))
+
+    def annotate(b: pd.DataFrame) -> pd.DataFrame:
+        v, c = _get_broadcast(ref)
+        pos = np.searchsorted(v, b["n_chars"].to_numpy(np.int64))
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(np.int64),
+                             "n_chars": b["n_chars"].to_numpy(np.int64),
+                             "cd": c[pos]})
+
+    return ds.map_batches(annotate, batch_format="pandas").to_pandas() \
+        .astype({"doc_id": "int64", "n_chars": "int64", "cd": "float64"}) \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 ANALYTIC_ORACLES = {
     "event_deltas": """
         SELECT event_id,
@@ -1107,6 +1221,27 @@ ANALYTIC_ORACLES = {
     "hll_distinct_users": _hll_oracle_sql(),
     "bloom_filter_orders": _bloom_oracle_sql(),
     "cms_topk_props": _cms_oracle_sql(),
+    "revenue_rollup": """
+        SELECT r_name, n_name,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)""",
+    "event_type_pivot": """
+        SELECT user_id,
+               count(*) FILTER (event_type = 'click') AS n_click,
+               count(*) FILTER (event_type = 'error') AS n_error,
+               count(*) FILTER (event_type = 'purchase') AS n_purchase,
+               count(*) FILTER (event_type = 'signup') AS n_signup,
+               count(*) FILTER (event_type = 'view') AS n_view
+        FROM events GROUP BY user_id""",
+    "length_cdf": """
+        SELECT doc_id, n_chars,
+               cume_dist() OVER (ORDER BY n_chars) AS cd
+        FROM documents""",
 }
 
 
@@ -1127,6 +1262,9 @@ ANALYTIC_QUERIES = {
     "hll_distinct_users": q_hll_distinct_users,
     "bloom_filter_orders": q_bloom_filter_orders,
     "cms_topk_props": q_cms_topk_props,
+    "revenue_rollup": q_revenue_rollup,
+    "event_type_pivot": q_event_type_pivot,
+    "length_cdf": q_length_cdf,
 }
 
 
