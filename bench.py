@@ -34,6 +34,8 @@ BENCH_QUERIES = [
     "range_purchase_views", "normalize_text", "redact_pii",
     "ngram_topk", "tfidf_keywords", "length_deciles", "running_revenue",
     "shipping_priority", "returned_revenue",
+    "chunk_dedup", "quality_filter", "revenue_rollup", "event_type_pivot",
+    "length_cdf",
 ]
 
 

@@ -1096,6 +1096,56 @@ def q_length_cdf(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def q_user_reconcile(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER reconciliation of event activity vs the customer
+    dimension — the one join mode no other query exercises. Plan: events
+    pre-aggregate to per-batch (key, n) partials (skinny); both sides
+    bucket-tag on hash(key) and move through ONE union + groupby(bucket)
+    shuffle; inside a bucket the partials sum EXACTLY (co-partitioning
+    puts every partial of a key in its bucket) before the outer merge
+    with the customer rows, so the bucket output is final — no second
+    reduce, no driver combine. Left-only keys (activity without a
+    customer record) report is_customer=false; right-only keys report
+    n_events=0. Bucket count is the usual skew knob."""
+    from .stages.joins import _bucket_of
+
+    ev = _pq(sf_dir, "events", ["user_id"])
+    cust = _pq(sf_dir, "customer", ["c_custkey"])
+    nb = 32
+
+    def ev_partial(b: pd.DataFrame) -> pd.DataFrame:
+        vc = b["user_id"].value_counts()
+        d = pd.DataFrame({"key": vc.index.to_numpy(np.int64),
+                          "n": vc.to_numpy(np.int64)})
+        d["side"] = "e"
+        d["__bucket"] = _bucket_of(d["key"], nb)
+        return d
+
+    def cust_tag(b: pd.DataFrame) -> pd.DataFrame:
+        d = pd.DataFrame({"key": b["c_custkey"].to_numpy(np.int64)})
+        d["n"] = np.int64(0)
+        d["side"] = "c"
+        d["__bucket"] = _bucket_of(d["key"], nb)
+        return d
+
+    both = ev.map_batches(ev_partial, batch_format="pandas").union(
+        cust.map_batches(cust_tag, batch_format="pandas"))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        e = g[g["side"] == "e"].groupby("key", as_index=False)["n"].sum()
+        c = g.loc[g["side"] == "c", ["key"]].assign(is_customer=True)
+        m = e.merge(c, how="outer", on="key")
+        m["n_events"] = m["n"].fillna(0).astype(np.int64)
+        m["is_customer"] = m["is_customer"].fillna(False).astype(bool)
+        return m[["key", "n_events", "is_customer"]]
+
+    with _scoped_parallelism(32):
+        out = both.groupby("__bucket").map_groups(
+            combine, batch_format="pandas").to_pandas()
+    return out.astype({"key": "int64", "n_events": "int64"}) \
+        .sort_values("key").reset_index(drop=True)
+
+
 ANALYTIC_ORACLES = {
     "event_deltas": """
         SELECT event_id,
@@ -1242,6 +1292,14 @@ ANALYTIC_ORACLES = {
         SELECT doc_id, n_chars,
                cume_dist() OVER (ORDER BY n_chars) AS cd
         FROM documents""",
+    "user_reconcile": """
+        WITH ev AS (
+          SELECT user_id AS key, count(*) AS n
+          FROM events GROUP BY user_id)
+        SELECT coalesce(ev.key, c.c_custkey) AS key,
+               coalesce(ev.n, 0) AS n_events,
+               c.c_custkey IS NOT NULL AS is_customer
+        FROM ev FULL OUTER JOIN customer c ON ev.key = c.c_custkey""",
 }
 
 
@@ -1265,6 +1323,7 @@ ANALYTIC_QUERIES = {
     "revenue_rollup": q_revenue_rollup,
     "event_type_pivot": q_event_type_pivot,
     "length_cdf": q_length_cdf,
+    "user_reconcile": q_user_reconcile,
 }
 
 

@@ -129,3 +129,39 @@ def test_length_deciles_empty_corpus(ray_session, tmp_path):
     out = Q.QUERIES["length_deciles"](str(d))
     assert len(out) == 9
     assert out["n_chars"].isna().all()
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_user_reconcile_full_outer_all_branches(ray_session, tmp_path, seed):
+    """Random events/customer tables with keys in BOTH-only regions:
+    users with events but no customer record (left-only), customers with
+    no events (right-only), and the overlap — the Ray bucketed full-outer
+    plan must equal DuckDB's FULL OUTER JOIN on every branch."""
+    rs = np.random.RandomState(seed)
+    n_ev = int(rs.randint(20, 200))
+    # user ids 0..29; customers cover only 10..39 => both-only regions
+    events = pd.DataFrame({
+        "event_id": np.arange(n_ev, dtype=np.int64),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rs.randint(0, 10_000, n_ev), unit="s"),
+        "user_id": rs.randint(0, 30, n_ev).astype(np.int64),
+        "event_type": "click",
+        "value": 1.0,
+        "props": "{}"})
+    customer = pd.DataFrame({
+        "c_custkey": np.arange(10, 40, dtype=np.int64),
+        "c_name": "x", "c_nationkey": np.int64(0),
+        "c_acctbal": 0.0, "c_mktsegment": "BUILDING"})
+    d = tmp_path / f"rc-{seed}"
+    os.makedirs(d, exist_ok=True)
+    events.to_parquet(d / "events.parquet", index=False)
+    customer.to_parquet(d / "customer.parquet", index=False)
+
+    out = QUERIES["user_reconcile"](str(d))
+    con = duckdb.connect()
+    for t in ("events", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{d}/{t}.parquet')")
+    gold = con.execute(ORACLE_SQL["user_reconcile"]).fetchdf()
+    _assert_equal(out, gold, "user_reconcile")
+    assert (~out["is_customer"]).any() and (out["n_events"] == 0).any()
