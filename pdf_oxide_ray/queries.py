@@ -1887,6 +1887,108 @@ def q_chunk_dedup(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def q_embedding_quantize(sf_dir: str) -> pd.DataFrame:
+    """Int8 symmetric quantization of the embedding column — the
+    compress-before-ANN step of a vector pipeline. Pure map (zero
+    shuffle): per-vector scale = 127/max|v|, components round to int8.
+    Output is LONG format (vec_id, i, q) so the value hash needs no
+    list-serialization convention. Both sides compute in float64 from the
+    exact float32 inputs; verified no representable .5 ties on the
+    corpus, so round-half direction cannot diverge."""
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def quant(b: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        n, d = mat.shape
+        ma = np.abs(mat).max(axis=1)
+        safe = np.where(ma == 0, 1.0, ma)
+        q = np.rint(mat * (127.0 / safe[:, None]))
+        q[ma == 0] = 0.0
+        return pd.DataFrame({
+            "vec_id": np.repeat(b["vec_id"].to_numpy(np.int64), d),
+            "i": np.tile(np.arange(1, d + 1, dtype=np.int64), n),
+            "q": q.reshape(-1).astype(np.int64)})
+
+    return ds.map_batches(quant, batch_format="pandas").to_pandas() \
+        .sort_values(["vec_id", "i"]).reset_index(drop=True)
+
+
+_KMEANS_K = 8
+_KMEANS_ITERS = 5
+_KMEANS_SCALE = float(1 << 20)  # dyadic quantization grid for exact sums
+
+
+def q_kmeans_assign(sf_dir: str) -> pd.DataFrame:
+    """Full-corpus distributed Lloyd's k-means (the iterative-algorithm
+    shape: broadcast model -> streamed partial stats -> driver update,
+    repeated). Per iteration ONE pass: each batch emits K partial rows
+    (cluster, n, 64 int64 component sums) — exact integer arithmetic on a
+    2^-20 dyadic grid, so the reduce is associative and the result is
+    IDENTICAL under any batch/block order (float partial sums would hash
+    differently per run). Init = the K lowest-vec_id vectors (pushed-down
+    row filter, partition-order independent). The model (K x 64 floats)
+    broadcasts via ray.put; corpus vectors are never materialized on the
+    driver. No SQL twin (iterative) — pinned canonical hash in
+    tests/test_pinned_rows_only.py."""
+    import ray
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    seed_df = ds.filter(expr=f"vec_id < {_KMEANS_K}").to_pandas() \
+        .sort_values("vec_id")
+    cent = np.rint(np.stack(seed_df["embedding"].to_numpy())
+                   .astype(np.float64) * _KMEANS_SCALE) / _KMEANS_SCALE
+    k, dim = cent.shape
+
+    def _quant(b: pd.DataFrame) -> np.ndarray:
+        return np.rint(np.stack(b["embedding"].to_numpy())
+                       .astype(np.float64) * _KMEANS_SCALE) / _KMEANS_SCALE
+
+    def _assign(mat: np.ndarray, c: np.ndarray) -> np.ndarray:
+        d2 = (mat * mat).sum(1)[:, None] - 2.0 * (mat @ c.T) \
+            + (c * c).sum(1)[None, :]
+        return np.argmin(d2, axis=1)
+
+    for _ in range(_KMEANS_ITERS):
+        ref = ray.put(cent)
+
+        def stats(b: pd.DataFrame) -> pd.DataFrame:
+            c = _get_broadcast(ref)
+            mat = _quant(b)
+            a = _assign(mat, c)
+            ints = np.rint(mat * _KMEANS_SCALE).astype(np.int64)
+            out = {"cluster": np.arange(len(c), dtype=np.int64),
+                   "n": np.bincount(a, minlength=len(c)).astype(np.int64)}
+            sums = np.zeros((len(c), mat.shape[1]), dtype=np.int64)
+            np.add.at(sums, a, ints)
+            for j in range(mat.shape[1]):
+                out[f"s{j}"] = sums[:, j]
+            return pd.DataFrame(out)
+
+        agg = _reduce_partials(ds.map_batches(stats, batch_format="pandas"),
+                               ["cluster"], ["n"] + [f"s{j}"
+                                                     for j in range(dim)]) \
+            .sort_values("cluster")
+        n = agg["n"].to_numpy(np.int64)
+        sums = agg[[f"s{j}" for j in range(dim)]].to_numpy(np.int64)
+        upd = cent.copy()
+        nz = n > 0
+        upd[agg["cluster"].to_numpy(np.int64)[nz]] = (
+            sums[nz] / n[nz, None]) / _KMEANS_SCALE
+        cent = upd
+
+    final_ref = ray.put(cent)
+
+    def label(b: pd.DataFrame) -> pd.DataFrame:
+        c = _get_broadcast(final_ref)
+        return pd.DataFrame({"vec_id": b["vec_id"].to_numpy(np.int64),
+                             "cluster": _assign(_quant(b), c)
+                             .astype(np.int64)})
+
+    return ds.map_batches(label, batch_format="pandas").to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+
+
 _QUALITY_FILTER_P = 0.75  # keep docs at/above the corpus P75 quality
 
 
@@ -1989,6 +2091,8 @@ QUERIES = {
     "embedding_near_dups": q_embedding_near_dups,
     "doc_embed_knn": q_doc_embed_knn,
     "embedding_sim_pairs": q_embedding_sim_pairs,
+    "embedding_quantize": q_embedding_quantize,
+    "kmeans_assign": q_kmeans_assign,
     "media_features": q_media_features,
     "frame_sampling": q_frame_sampling,
     "layout_stats": q_layout_stats,
@@ -2701,3 +2805,18 @@ ORACLE_SQL["quality_filter"] = r"""
       FROM f)
     SELECT doc_id, quality FROM s
     WHERE quality >= (SELECT quantile_disc(quality, 0.75) FROM s)"""
+
+# Int8 symmetric quantization in long format; float64 math from the exact
+# float32 inputs on both sides (verified no representable .5 ties).
+ORACLE_SQL["embedding_quantize"] = """
+    WITH m AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) AS ma
+      FROM embeddings)
+    SELECT vec_id,
+           unnest(range(1, len(embedding)+1)) AS i,
+           CASE WHEN ma = 0 THEN 0 ELSE
+             CAST(round(CAST(unnest(embedding) AS DOUBLE) * 127.0 / ma)
+                  AS BIGINT) END AS q
+    FROM m"""
