@@ -1874,7 +1874,7 @@ def q_chunk_dedup(sf_dir: str) -> pd.DataFrame:
     hot_ref = ray.put(hot)
 
     def strip(b: pd.DataFrame) -> pd.DataFrame:
-        hset = ray.get(hot_ref)
+        hset = _get_broadcast(hot_ref)
         rows, _, chunks = _word_chunks(b["text"])
         keep = ~chunks.isin(hset).to_numpy()
         joined = pd.Series(chunks.to_numpy()[keep]) \
@@ -1883,8 +1883,11 @@ def q_chunk_dedup(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
                              "clean_text": joined.to_numpy(dtype=object)})
 
-    return ds.map_batches(strip, batch_format="pandas").to_pandas() \
-        .sort_values("doc_id").reset_index(drop=True)
+    out = ds.map_batches(strip, batch_format="pandas").to_pandas()
+    if out.empty:  # zero blocks -> column-less frame, matching the SQL twin
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "clean_text": pd.Series([], dtype=object)})
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def q_embedding_quantize(sf_dir: str) -> pd.DataFrame:
@@ -1893,8 +1896,9 @@ def q_embedding_quantize(sf_dir: str) -> pd.DataFrame:
     shuffle): per-vector scale = 127/max|v|, components round to int8.
     Output is LONG format (vec_id, i, q) so the value hash needs no
     list-serialization convention. Both sides compute in float64 from the
-    exact float32 inputs; verified no representable .5 ties on the
-    corpus, so round-half direction cannot diverge."""
+    exact float32 inputs with the SAME operand order ((x*127)/ma) and the
+    SAME rounding (half-away-from-zero, matching DuckDB round()), so the
+    twin is exact even on representable .5 ties."""
     ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     def quant(b: pd.DataFrame) -> pd.DataFrame:
@@ -1902,7 +1906,8 @@ def q_embedding_quantize(sf_dir: str) -> pd.DataFrame:
         n, d = mat.shape
         ma = np.abs(mat).max(axis=1)
         safe = np.where(ma == 0, 1.0, ma)
-        q = np.rint(mat * (127.0 / safe[:, None]))
+        x = (mat * 127.0) / safe[:, None]
+        q = np.copysign(np.floor(np.abs(x) + 0.5), x)  # half-away, like SQL
         q[ma == 0] = 0.0
         return pd.DataFrame({
             "vec_id": np.repeat(b["vec_id"].to_numpy(np.int64), d),

@@ -1024,6 +1024,9 @@ def q_revenue_rollup(sf_dir: str) -> pd.DataFrame:
     fine = _reduce_partials(orders.map_batches(partial,
                                                batch_format="pandas"),
                             ["r_name", "n_name"], ["cents"])
+    if fine.empty:  # SQL ROLLUP on an empty table: one all-NULL row
+        return pd.DataFrame({"r_name": [None], "n_name": [None],
+                             "revenue": [np.nan]})
     lvl_region = fine.groupby("r_name", as_index=False)["cents"].sum()
     lvl_region["n_name"] = None
     total = pd.DataFrame({"r_name": [None], "n_name": [None],
@@ -1082,7 +1085,11 @@ def q_length_cdf(sf_dir: str) -> pd.DataFrame:
     vals = h["v"].to_numpy(np.int64)
     cd = h["cnt"].cumsum().to_numpy(np.int64)
     n = int(cd[-1]) if len(cd) else 0
-    ref = ray.put((vals, cd.astype(np.float64) / n if n else cd))
+    if n == 0:  # zero blocks -> column-less frame, matching the SQL twin
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "n_chars": pd.Series([], dtype="int64"),
+                             "cd": pd.Series([], dtype="float64")})
+    ref = ray.put((vals, cd.astype(np.float64) / n))
 
     def annotate(b: pd.DataFrame) -> pd.DataFrame:
         v, c = _get_broadcast(ref)

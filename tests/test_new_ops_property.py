@@ -1,8 +1,10 @@
-"""Randomized end-to-end equivalence for the four final-round-2
-operators (ngram_topk / tfidf_keywords / length_deciles /
-running_revenue): for seeded random corpora — including empty texts,
-irregular whitespace, tied lengths and tied order dates — the Ray
-pipeline must equal the DuckDB oracle on the same parquet files.
+"""Randomized end-to-end equivalence for late-round-2 operators
+(ngram_topk / tfidf_keywords / length_deciles / running_revenue /
+pack_blocks / chunk_dedup / quality_filter / length_cdf, plus the
+user_reconcile full-outer branches): for seeded random corpora —
+including empty texts, irregular whitespace, tied lengths and tied
+order dates — the Ray pipeline must equal the DuckDB oracle on the
+same parquet files.
 """
 
 import math
@@ -165,3 +167,35 @@ def test_user_reconcile_full_outer_all_branches(ray_session, tmp_path, seed):
     gold = con.execute(ORACLE_SQL["user_reconcile"]).fetchdf()
     _assert_equal(out, gold, "user_reconcile")
     assert (~out["is_customer"]).any() and (out["n_events"] == 0).any()
+
+
+def test_empty_input_parity_new_ops(ray_session, tmp_path):
+    """Empty fact tables: each new op must mirror its SQL twin's
+    empty-input result (0 rows, or ROLLUP's single all-NULL row)
+    instead of raising on the column-less zero-block frame."""
+    d = tmp_path / "empty2"
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                  "text": pd.Series([], dtype=object),
+                  "lang": pd.Series([], dtype=object),
+                  "source": pd.Series([], dtype=object),
+                  "n_chars": pd.Series([], dtype="int64")}) \
+        .to_parquet(d / "documents.parquet", index=False)
+    pd.DataFrame({"o_orderkey": pd.Series([], dtype="int64"),
+                  "o_custkey": pd.Series([], dtype="int64"),
+                  "o_totalprice": pd.Series([], dtype="float64")}) \
+        .to_parquet(d / "orders.parquet", index=False)
+    pd.DataFrame({"c_custkey": [1], "c_nationkey": [0]}) \
+        .to_parquet(d / "customer.parquet", index=False)
+    pd.DataFrame({"n_nationkey": [0], "n_name": ["A"],
+                  "n_regionkey": [0]}).to_parquet(d / "nation.parquet",
+                                                  index=False)
+    pd.DataFrame({"r_regionkey": [0], "r_name": ["R"]}) \
+        .to_parquet(d / "region.parquet", index=False)
+
+    assert len(QUERIES["chunk_dedup"](str(d))) == 0
+    assert len(QUERIES["quality_filter"](str(d))) == 0
+    assert len(QUERIES["length_cdf"](str(d))) == 0
+    roll = QUERIES["revenue_rollup"](str(d))
+    assert len(roll) == 1
+    assert roll["r_name"].isna().all() and roll["revenue"].isna().all()
