@@ -69,6 +69,11 @@ def main(argv: list[str] | None = None) -> int:
                            "extracted output dir (validate_dataset shape)")
     p_val.add_argument("--input", required=True)
 
+    p_ana = sub.add_parser("analyze", help="corpus PDF feature census "
+                           "(analyze_pdf_features shape)")
+    p_ana.add_argument("--input", required=True,
+                       help="transcripts parquet dir/file")
+
     args = parser.parse_args(argv)
     _ensure_ray()
     import ray
@@ -104,6 +109,11 @@ def main(argv: list[str] | None = None) -> int:
             ds = rd.read_parquet(args.input)
             print(json.dumps(
                 quality_tails(ds).to_dict("records")[0], default=str))
+        elif args.cmd == "analyze":
+            from .queries import feature_census_over
+
+            print(json.dumps(
+                feature_census_over(args.input).to_dict("records")[0]))
         elif args.cmd == "metrics":
             import ray.data as rd
 

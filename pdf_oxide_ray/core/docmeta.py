@@ -242,3 +242,85 @@ def _walk_field(doc, field_ref, parent_name: str,
     if isinstance(kids, list):
         for kid in kids:
             _walk_field(doc, kid, full, result, seen)
+
+
+# ---------------------------------------------------------------------------
+# corpus feature census (reference: src/bin/analyze_pdf_features.rs:19-49)
+# ---------------------------------------------------------------------------
+
+FEATURE_KEYS = (
+    "n_docs", "n_parse_ok", "n_parse_fail", "n_pages",
+    "fonts_found", "font_descriptors", "encoding_found",
+    "to_unicode_cmaps", "images_found", "form_xobjects",
+    "annotations_found", "form_fields_found",
+    "has_outline", "has_metadata", "encrypted",
+    "flate_streams", "lzw_streams", "dct_streams", "other_filter_streams",
+)
+
+
+def analyze_features(doc) -> dict:
+    """Per-document feature census mirroring the reference's
+    ``analyze_pdf_features`` bin (``src/bin/analyze_pdf_features.rs:19-49``):
+    font machinery (descriptors / encodings / ToUnicode CMaps), image and
+    form XObjects, annotations and form fields, outline/metadata/encryption
+    presence, page count, and stream-filter usage."""
+    from .objects import Stream
+
+    s = dict.fromkeys(FEATURE_KEYS, 0)
+    s["n_docs"] = 1
+    try:
+        pages = doc.pages()
+        s["n_parse_ok"] = 1
+    except Exception:  # noqa: BLE001 - census counts failures, never raises
+        s["n_parse_fail"] = 1
+        return s
+    s["n_pages"] = len(pages)
+    nums = sorted(set(doc.xref) | set(doc.xref_compressed))
+    for num in nums:
+        try:
+            obj = doc.load_object(num)
+        except Exception:  # noqa: BLE001
+            continue
+        d = None
+        if isinstance(obj, Stream):
+            d = obj.dict
+            f = d.get("Filter")
+            names = f if isinstance(f, list) else ([f] if f is not None
+                                                   else [])
+            for fn in names:
+                fs = str(fn)
+                if fs == "FlateDecode":
+                    s["flate_streams"] += 1
+                elif fs == "LZWDecode":
+                    s["lzw_streams"] += 1
+                elif fs == "DCTDecode":
+                    s["dct_streams"] += 1
+                else:
+                    s["other_filter_streams"] += 1
+        elif isinstance(obj, dict):
+            d = obj
+        if not isinstance(d, dict):
+            continue
+        t = str(d.get("Type", ""))
+        st = str(d.get("Subtype", ""))
+        if t == "Font":
+            s["fonts_found"] += 1
+            if "FontDescriptor" in d:
+                s["font_descriptors"] += 1
+            if "Encoding" in d:
+                s["encoding_found"] += 1
+            if "ToUnicode" in d:
+                s["to_unicode_cmaps"] += 1
+        elif st == "Image":
+            s["images_found"] += 1
+        elif st == "Form":
+            s["form_xobjects"] += 1
+    for page in pages:
+        s["annotations_found"] += len(get_annotations(doc, page))
+    s["form_fields_found"] = len(extract_form_fields(doc))
+    cat = doc.catalog()
+    s["has_outline"] = int("Outlines" in cat)
+    s["has_metadata"] = int("Metadata" in cat
+                            or bool(doc.trailer.get("Info")))
+    s["encrypted"] = int(bool(doc.trailer.get("Encrypt")))
+    return s

@@ -1766,6 +1766,50 @@ def q_pdf_images(sf_dir: str) -> pd.DataFrame:
     })
 
 
+def q_feature_census(sf_dir: str) -> pd.DataFrame:
+    """Corpus-wide PDF feature census (reference
+    ``src/bin/analyze_pdf_features.rs``, distributed): per-payload feature
+    booleans/counts fold to ONE partial row per batch inside map_batches;
+    a single sum crosses the exchange. The reference walks a directory on
+    one core; here the census streams over the corpus and the shuffle
+    carries #batches rows of 19 ints."""
+    from .gen.cache import tag_for_sf_dir, transcripts_path
+
+    path = transcripts_path(tag_for_sf_dir(sf_dir), with_golden=False)
+    return feature_census_over(path)
+
+
+def feature_census_over(path: str) -> pd.DataFrame:
+    """Census plan over any transcripts path (shared by the query and the
+    ``analyze`` CLI subcommand)."""
+    from .core.docmeta import FEATURE_KEYS
+    from .pipelines.flagship import read_transcripts
+
+    def per_batch(b: pa.Table) -> pd.DataFrame:
+        from .core.docmeta import analyze_features
+        from .core.document import PdfDocument
+
+        tot = dict.fromkeys(FEATURE_KEYS, 0)
+        for text in b.column("text").to_pylist():
+            if not (text or "").lstrip().startswith("%PDF"):
+                continue
+            try:
+                doc = PdfDocument(text.encode("latin-1", errors="replace"))
+                stats = analyze_features(doc)
+            except Exception:  # noqa: BLE001 - poison rows never fail a task
+                stats = dict.fromkeys(FEATURE_KEYS, 0)
+                stats["n_docs"] = stats["n_parse_fail"] = 1
+            for k, v in stats.items():
+                tot[k] += v
+        return pd.DataFrame({k: [v] for k, v in tot.items()})
+
+    ds = read_transcripts(path, columns=["text"])
+    out = ds.map_batches(per_batch, batch_format="pyarrow") \
+        .sum(list(FEATURE_KEYS))
+    return pd.DataFrame([{k.replace("sum(", "").replace(")", ""): int(v)
+                          for k, v in out.items()}])
+
+
 def q_doc_metadata(sf_dir: str) -> pd.DataFrame:
     """R8 rollup: outline items / annotations / form fields counted per
     payload kind across the corpus (metadata parse inside map_batches; one
@@ -2105,6 +2149,7 @@ QUERIES = {
     "structured_elements": q_structured_elements,
     "html_output": q_html_output,
     "doc_metadata": q_doc_metadata,
+    "feature_census": q_feature_census,
     "pdf_images": q_pdf_images,
     "asof_purchase_click": q_asof_purchase_click,
     "range_purchase_views": q_range_purchase_views,

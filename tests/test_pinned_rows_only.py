@@ -33,6 +33,8 @@ PINNED = {
     # exact-int partial sums make the Lloyd loop order-invariant; hash
     # confirmed identical at num_cpus=4/8/16 in fresh sessions
     "kmeans_assign": "98c73c18eeeb7ea0e10e8b11a9b7ac18",
+    # integer feature counts; confirmed at num_cpus=4/8 in fresh sessions
+    "feature_census": "07979ecfe3b6684e9e036ad8a2544986",
 }
 
 
