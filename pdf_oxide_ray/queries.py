@@ -2082,6 +2082,60 @@ def q_quality_filter(sf_dir: str) -> pd.DataFrame:
         .sort_values("doc_id").reset_index(drop=True)
 
 
+def q_curate_corpus(sf_dir: str) -> pd.DataFrame:
+    """End-to-end curation composition — the shape of a real training-data
+    prep job chained as ONE plan: (1) heuristic quality score (bit-exact
+    SQL chain), (2) keep docs at/above the corpus MEDIAN via the exact
+    value-histogram percentile (no global sort), (3) exact-dedup the
+    survivors (min doc_id per sha-256; shuffle carries only
+    (hash, id, n_tokens, quality) — never the text), (4) per-survivor
+    whitespace token counts. Reuses the engine's primitives; the only
+    exchanges are the score-histogram reduce and the skinny dedup
+    groupby."""
+    from ray.data.aggregate import Min
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def hist(b: pd.DataFrame) -> pd.DataFrame:
+        vc = ftext.quality_score(b["text"]).value_counts()
+        return pd.DataFrame({"q": vc.index.to_numpy(np.float64),
+                             "cnt": vc.to_numpy(np.int64)})
+
+    h = _reduce_partials(ds.map_batches(hist, batch_format="pandas"),
+                         ["q"], ["cnt"]).sort_values("q")
+    cum = h["cnt"].cumsum().to_numpy()
+    n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "n_tokens": pd.Series([], dtype="int64"),
+                             "quality": pd.Series([], dtype="float64")})
+    idx = min(max(int(np.ceil(n * 0.5)) - 1, 0), n - 1)
+    thr = float(h["q"].to_numpy()[np.searchsorted(cum, idx + 1)])
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        q = ftext.quality_score(b["text"]).to_numpy(np.float64)
+        m = q >= thr
+        texts = b["text"][m]
+        return pd.DataFrame({
+            "content_hash": fdedup.content_hash(texts),
+            "doc_id": b["doc_id"].to_numpy(np.int64)[m],
+            "n_tokens": ftext.token_count_ws(texts).to_numpy(np.int64),
+            "quality": q[m]})
+
+    kept = ds.map_batches(keep, batch_format="pandas")
+    with _scoped_parallelism(32):
+        # identical texts carry identical n_tokens/quality, so Min works
+        # as "any" for the non-key columns
+        out = kept.groupby("content_hash").aggregate(
+            Min("doc_id", alias_name="doc_id"),
+            Min("n_tokens", alias_name="n_tokens"),
+            Min("quality", alias_name="quality")).to_pandas()
+    return out[["doc_id", "n_tokens", "quality"]] \
+        .astype({"doc_id": "int64", "n_tokens": "int64",
+                 "quality": "float64"}) \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2130,6 +2184,7 @@ QUERIES = {
     "repetition_filter": q_repetition_filter,
     "chunk_dedup": q_chunk_dedup,
     "quality_filter": q_quality_filter,
+    "curate_corpus": q_curate_corpus,
     "dedup_exact": q_dedup_exact,
     "minhash_dedup": q_minhash_dedup,
     "simhash_buckets": q_simhash_buckets,
@@ -2870,3 +2925,46 @@ ORACLE_SQL["embedding_quantize"] = """
              CAST(round(CAST(unnest(embedding) AS DOUBLE) * 127.0 / ma)
                   AS BIGINT) END AS q
     FROM m"""
+
+# End-to-end curation chain: score -> median filter -> exact dedup ->
+# token count, mirrored stage-for-stage.
+ORACLE_SQL["curate_corpus"] = r"""
+    WITH w AS (
+      SELECT doc_id, text,
+             length(list_filter(regexp_split_to_array(text, '\s+'),
+                    x -> x <> '')) AS n_tokens,
+             length(text) - length(regexp_replace(text, '[.!?,;:]',
+                    '', 'g')) AS n_punct,
+             list_filter(regexp_split_to_array(lower(text), '\s+'),
+                    x -> x <> '') AS words
+      FROM documents),
+    f AS (
+      SELECT doc_id, text, n_tokens, n_punct,
+             CASE WHEN len(words) = 0 THEN 0.0 ELSE
+               CAST(len(list_filter(words, x -> list_contains(
+                 ['the','and','of','to','a','in','is','that','for','it'],
+                 x))) AS DOUBLE) / len(words) END AS stop_ratio,
+             CASE WHEN len(words) = 0 THEN 0.0 ELSE
+               CAST(list_sum(list_transform(words, x -> length(x)))
+                    AS DOUBLE) / len(words) END AS mean_word_len
+      FROM w),
+    s AS (
+      SELECT doc_id, text, n_tokens,
+             0.3 * least(greatest(n_tokens / 50.0, 0.0), 1.0)
+             + 0.2 * least(greatest(
+                 n_punct / greatest(n_tokens / 10.0, 1.0), 0.0), 1.0)
+             + 0.25 * least(greatest(
+                 1.0 - abs(stop_ratio - 0.35) / 0.35, 0.0), 1.0)
+             + 0.25 * least(greatest(
+                 1.0 - abs(mean_word_len - 4.5) / 4.5, 0.0), 1.0)
+             AS quality
+      FROM f),
+    kept AS (
+      SELECT * FROM s
+      WHERE quality >= (SELECT quantile_disc(quality, 0.5) FROM s)),
+    dedup AS (
+      SELECT doc_id, n_tokens, quality,
+             row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM kept)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality
+    FROM dedup WHERE rn = 1"""

@@ -84,7 +84,8 @@ def _assert_equal(a: pd.DataFrame, b: pd.DataFrame, name: str):
 @pytest.mark.parametrize("name", ["ngram_topk", "tfidf_keywords",
                                   "length_deciles", "running_revenue",
                                   "pack_blocks", "chunk_dedup",
-                                  "quality_filter", "length_cdf"])
+                                  "quality_filter", "length_cdf",
+                                  "curate_corpus"])
 def test_new_op_matches_oracle_on_random_corpus(ray_session, tmp_path,
                                                 seed, name):
     sf_dir = _write_corpus(tmp_path, seed)
