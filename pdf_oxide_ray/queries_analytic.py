@@ -80,6 +80,9 @@ def q_event_deltas(sf_dir: str) -> pd.DataFrame:
             .groupby("__bucket").map_groups(per_bucket,
                                             batch_format="pandas") \
             .to_pandas()
+    if out.empty:  # zero-block column-less frame: mirror the twin's 0 rows
+        return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                             "delta_us": pd.Series([], dtype="int64")})
     return out.astype({"event_id": "int64", "delta_us": "int64"})
 
 
@@ -97,12 +100,18 @@ def q_rolling_value_sum(sf_dir: str) -> pd.DataFrame:
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         v = np.round(g["value"].to_numpy(np.float64) * 1e6).astype(np.int64)
-        cs_s = pd.Series(v).groupby(g["user_id"].to_numpy(),
-                                    sort=False).cumsum()
-        lag5 = pd.Series(cs_s.to_numpy()).groupby(
-            g["user_id"].to_numpy(), sort=False).shift(5)
-        roll = cs_s.to_numpy(np.int64) - np.nan_to_num(
-            lag5.to_numpy(np.float64)).astype(np.int64)
+        user = g["user_id"].to_numpy()
+        cs = pd.Series(v).groupby(user, sort=False).cumsum() \
+            .to_numpy(np.int64)
+        # pure-int lag: the float64 shift() round-trip would lose
+        # exactness once a user's cumulative micro-units exceed 2^53
+        pos = pd.Series(np.zeros(len(g))).groupby(user, sort=False) \
+            .cumcount().to_numpy(np.int64)
+        have = pos >= 5
+        lag = np.zeros(len(g), np.int64)
+        idx = np.arange(len(g), dtype=np.int64) - 5
+        lag[have] = cs[idx[have]]
+        roll = cs - lag
         return pd.DataFrame({
             "event_id": g["event_id"].to_numpy(np.int64),
             "roll_value": roll.astype(np.float64) / 1e6})
@@ -112,6 +121,9 @@ def q_rolling_value_sum(sf_dir: str) -> pd.DataFrame:
             .groupby("__bucket").map_groups(per_bucket,
                                             batch_format="pandas") \
             .to_pandas()
+    if out.empty:  # zero-block column-less frame: mirror the twin's 0 rows
+        return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                             "roll_value": pd.Series([], dtype="float64")})
     return out.astype({"event_id": "int64", "roll_value": "float64"})
 
 
@@ -135,6 +147,10 @@ def q_funnel_conversion(sf_dir: str) -> pd.DataFrame:
 
     partials = ds.map_batches(partial, batch_format="pandas") \
         .materialize().to_pandas()
+    if partials.empty:  # no qualifying events: all-zero funnel (SQL twin)
+        return pd.DataFrame({"step": np.int64([1, 2, 3]),
+                             "stage": list(stages),
+                             "n_users": np.int64([0, 0, 0])})
     m = partials.groupby(["user_id", "event_type"], as_index=False).min() \
         .pivot(index="user_id", columns="event_type", values="ts_us")
     for s in stages:
@@ -375,7 +391,7 @@ def q_shipping_priority(sf_dir: str) -> pd.DataFrame:
         keys = _get_broadcast(ref)
         dt = b["o_orderdate"].to_numpy("datetime64[us]")
         keep = (dt < np.datetime64(cutoff, "us")) \
-            & b["o_custkey"].map(lambda c: c in keys).to_numpy(bool)
+            & b["o_custkey"].isin(keys).to_numpy(bool)
         b = b[keep]
         return pd.DataFrame({
             "k": b["o_orderkey"].to_numpy(np.int64),
@@ -405,6 +421,10 @@ def q_shipping_priority(sf_dir: str) -> pd.DataFrame:
             .groupby("__bucket").map_groups(per_bucket,
                                             batch_format="pandas") \
             .to_pandas()
+    if parts.empty:  # zero-block column-less frame: twin returns 0 rows
+        return pd.DataFrame({"l_orderkey": pd.Series([], dtype="int64"),
+                             "o_date": pd.Series([], dtype=object),
+                             "revenue": pd.Series([], dtype="float64")})
     out = parts.sort_values(["rev_c", "k"], ascending=[False, True],
                             kind="mergesort").head(10)
     out = pd.DataFrame({
@@ -500,6 +520,12 @@ def q_returned_revenue(sf_dir: str) -> pd.DataFrame:
             .groupby("__bucket").map_groups(per_cust_bucket,
                                             batch_format="pandas") \
             .to_pandas()
+    if parts.empty:  # zero-block column-less frame: twin returns 0 rows
+        return pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                             "c_name": pd.Series([], dtype=object),
+                             "revenue": pd.Series([], dtype="float64"),
+                             "c_acctbal": pd.Series([], dtype="float64"),
+                             "n_name": pd.Series([], dtype=object)})
     top = parts.sort_values(["rev_c", "cust"], ascending=[False, True],
                             kind="mergesort").head(20)
 
@@ -549,6 +575,10 @@ def q_group_topk_docs(sf_dir: str) -> pd.DataFrame:
 
     parts = ds.map_batches(partial, batch_format="pandas") \
         .materialize().to_pandas()
+    if parts.empty:  # zero-block column-less frame: mirror the twin's 0 rows
+        return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                             "doc_id": pd.Series([], dtype="int64"),
+                             "quality": pd.Series([], dtype="float64")})
     parts = parts.sort_values(["lang", "quality", "doc_id"],
                               ascending=[True, False, True],
                               kind="mergesort")
@@ -647,6 +677,9 @@ def q_deterministic_shuffle(sf_dir: str) -> pd.DataFrame:
         out = skinny.groupby("rng").map_groups(rank_range,
                                                batch_format="pandas") \
             .to_pandas()
+    if out.empty:  # zero-block column-less frame: mirror the twin's 0 rows
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "shuffle_pos": pd.Series([], dtype="int64")})
     return out.astype({"doc_id": "int64", "shuffle_pos": "int64"})
 
 
@@ -662,12 +695,23 @@ def q_mixture_sample(sf_dir: str) -> pd.DataFrame:
     def keep(b: pd.DataFrame) -> pd.DataFrame:
         ids = b["doc_id"].to_numpy(np.int64)
         u_top = _md5_u64([f"mix:{i}" for i in ids]) >> np.uint64(62)
-        k = (b["source"].str.slice(3).astype(np.int64) % 4 + 1).to_numpy()
-        m = u_top.astype(np.int64) < k
+        # TRY_CAST semantics like the SQL twin: a source name without a
+        # numeric tail yields NULL and the row drops (never a crash).
+        # Domain assumption (shared with the twin): numeric tails are
+        # non-negative integers.
+        vals = pd.to_numeric(b["source"].str.slice(3), errors="coerce") \
+            .to_numpy(np.float64)
+        ok = ~np.isnan(vals)
+        k = np.zeros(len(vals))
+        k[ok] = np.fmod(np.rint(vals[ok]), 4) + 1
+        m = ok & (u_top.astype(np.float64) < k)
         return pd.DataFrame({"doc_id": ids[m],
                              "source": b["source"].to_numpy()[m]})
 
     out = ds.map_batches(keep, batch_format="pandas").to_pandas()
+    if out.empty:  # zero-block column-less frame: mirror the twin's 0 rows
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "source": pd.Series([], dtype=object)})
     return out.astype({"doc_id": "int64"})
 
 
@@ -693,6 +737,9 @@ def q_group_reservoir(sf_dir: str) -> pd.DataFrame:
 
     parts = ds.map_batches(partial, batch_format="pandas") \
         .materialize().to_pandas()
+    if parts.empty:  # zero-block column-less frame: mirror the twin's 0 rows
+        return pd.DataFrame({"lang": pd.Series([], dtype=object),
+                             "doc_id": pd.Series([], dtype="int64")})
     parts = parts.sort_values(["lang", "key", "doc_id"], kind="mergesort")
     out = parts.groupby("lang", as_index=False).head(_RESERVOIR_K)
     return out[["lang", "doc_id"]].reset_index(drop=True) \
@@ -742,6 +789,12 @@ def q_hll_distinct_users(sf_dir: str) -> pd.DataFrame:
 
     regs = ds.map_batches(partial, batch_format="pandas") \
         .materialize().to_pandas()
+    if regs.empty:  # zero-block column-less frame: mirror the twin's 0 rows
+        return pd.DataFrame(
+            {"event_type": pd.Series([], dtype=object),
+             "est_distinct": pd.Series([], dtype="float64"),
+             "n_zero_registers": pd.Series([], dtype="int64"),
+             "register_checksum": pd.Series([], dtype="int64")})
     regs = regs.groupby(["event_type", "idx"], as_index=False).max()
 
     alpha = 0.7213 / (1 + 1.079 / _HLL_M)
@@ -1073,7 +1126,9 @@ def q_length_cdf(sf_dir: str) -> pd.DataFrame:
     the same int64 cumulative count by the same int64 n."""
     import ray
 
-    ds = _pq(sf_dir, "documents", ["doc_id", "n_chars"])
+    # two consumers (histogram pass + annotate pass): materialize the
+    # skinny projection once so the parquet read/decode doesn't run twice
+    ds = _pq(sf_dir, "documents", ["doc_id", "n_chars"]).materialize()
 
     def hist(b: pd.DataFrame) -> pd.DataFrame:
         vc = b["n_chars"].value_counts()
@@ -1149,6 +1204,10 @@ def q_user_reconcile(sf_dir: str) -> pd.DataFrame:
     with _scoped_parallelism(32):
         out = both.groupby("__bucket").map_groups(
             combine, batch_format="pandas").to_pandas()
+    if out.empty:  # zero-block column-less frame: mirror the twin's 0 rows
+        return pd.DataFrame({"key": pd.Series([], dtype="int64"),
+                             "n_events": pd.Series([], dtype="int64"),
+                             "is_customer": pd.Series([], dtype=bool)})
     return out.astype({"key": "int64", "n_events": "int64"}) \
         .sort_values("key").reset_index(drop=True)
 

@@ -202,3 +202,73 @@ def test_empty_input_parity_new_ops(ray_session, tmp_path):
     roll = QUERIES["revenue_rollup"](str(d))
     assert len(roll) == 1
     assert roll["r_name"].isna().all() and roll["revenue"].isna().all()
+
+
+def test_empty_input_parity_analytic_ops(ray_session, tmp_path):
+    """Empty fact tables across the analytic family: every op must return
+    its SQL twin's empty-input shape (0 rows, or funnel's 3 zero-count
+    stages) instead of raising on column-less zero-block frames."""
+    d = tmp_path / "empty3"
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                  "text": pd.Series([], dtype="string"),
+                  "lang": pd.Series([], dtype="string"),
+                  "source": pd.Series([], dtype="string"),
+                  "n_chars": pd.Series([], dtype="int64")}) \
+        .to_parquet(d / "documents.parquet", index=False)
+    pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                  "ts": pd.Series([], dtype="datetime64[us]"),
+                  "user_id": pd.Series([], dtype="int64"),
+                  "event_type": pd.Series([], dtype="string"),
+                  "value": pd.Series([], dtype="float64"),
+                  "props": pd.Series([], dtype="string")}) \
+        .to_parquet(d / "events.parquet", index=False)
+    pd.DataFrame({"o_orderkey": pd.Series([], dtype="int64"),
+                  "o_custkey": pd.Series([], dtype="int64"),
+                  "o_totalprice": pd.Series([], dtype="float64"),
+                  "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+                  "o_orderpriority": pd.Series([], dtype="string"),
+                  "o_shippriority": pd.Series([], dtype="int64")}) \
+        .to_parquet(d / "orders.parquet", index=False)
+    pd.DataFrame({"l_orderkey": pd.Series([], dtype="int64"),
+                  "l_extendedprice": pd.Series([], dtype="float64"),
+                  "l_discount": pd.Series([], dtype="float64"),
+                  "l_returnflag": pd.Series([], dtype="string"),
+                  "l_shipdate": pd.Series([], dtype="datetime64[us]")}) \
+        .to_parquet(d / "lineitem.parquet", index=False)
+    pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
+                  "c_name": pd.Series([], dtype="string"),
+                  "c_nationkey": pd.Series([], dtype="int64"),
+                  "c_acctbal": pd.Series([], dtype="float64"),
+                  "c_mktsegment": pd.Series([], dtype="string")}) \
+        .to_parquet(d / "customer.parquet", index=False)
+
+    zero_row = ["event_deltas", "rolling_value_sum", "group_topk_docs",
+                "group_reservoir", "deterministic_shuffle", "mixture_sample",
+                "hll_distinct_users", "shipping_priority",
+                "returned_revenue", "user_reconcile",
+                "source_length_quantiles"]
+    for name in zero_row:
+        out = QUERIES[name](str(d))
+        assert len(out) == 0, f"{name}: {len(out)} rows on empty input"
+    funnel = QUERIES["funnel_conversion"](str(d))
+    assert len(funnel) == 3 and (funnel["n_users"] == 0).all()
+
+
+def test_mixture_sample_nonnumeric_source(ray_session, tmp_path):
+    """Source names without a numeric tail: TRY_CAST semantics — the row
+    drops on both sides (previously a hard ValueError crash)."""
+    d = tmp_path / "mix"
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame({"doc_id": np.arange(20, dtype=np.int64),
+                  "text": "x", "lang": "en",
+                  "source": ["synth"] * 10 + [f"web{i}" for i in range(10)],
+                  "n_chars": np.int64(1)}) \
+        .to_parquet(d / "documents.parquet", index=False)
+    out = QUERIES["mixture_sample"](str(d))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    gold = con.execute(ORACLE_SQL["mixture_sample"]).fetchdf()
+    _assert_equal(out, gold, "mixture_sample")
+    assert not out["source"].str.startswith("synth").any()
