@@ -55,6 +55,17 @@ def _cents(s: pd.Series) -> pd.Series:
 
 import contextlib  # noqa: E402
 
+
+def _empty_typed(**schema: str) -> pd.DataFrame:
+    """Typed zero-row frame. A fully-empty input yields zero blocks, and
+    ``Dataset.to_pandas()`` then returns a COLUMN-LESS frame — any astype/
+    sort_values on it raises. Every query guards with this so empty input
+    mirrors the SQL twin's empty result instead of crashing (the 100 TB
+    story: an all-filtered corpus slice must flow through, not fail)."""
+    return pd.DataFrame({c: pd.Series([], dtype=t)
+                         for c, t in schema.items()})
+
+
 _REDUCE_GATE_ROWS = 5_000_000
 
 
@@ -234,13 +245,19 @@ def q_quantity_quantiles(sf_dir: str) -> pd.DataFrame:
 
     out = ds.groupby("l_returnflag").map_groups(
         per_flag, batch_format="pandas").to_pandas()
+    if out.empty:
+        return _empty_typed(l_returnflag=object, p50="float64",
+                            p90="float64")
     return _round6(out, ["p50", "p90"])
 
 
 def q_distinct_event_types(sf_dir: str) -> pd.DataFrame:
     ds = _pq(sf_dir, "events", ["event_type"])
-    vals = sorted(ds.unique("event_type"))
-    return pd.DataFrame({"event_type": vals})
+    try:
+        vals = sorted(ds.unique("event_type"))
+    except TypeError:  # zero-block dataset: unique() yields None
+        vals = []
+    return pd.DataFrame({"event_type": pd.Series(vals, dtype=object)})
 
 
 # ---------------------------------------------------------------------------
@@ -253,6 +270,9 @@ def q_top_events(sf_dir: str) -> pd.DataFrame:
     ds = _pq(sf_dir, "events", ["event_id", "event_type", "value"])
     out = ds.sort(["value", "event_id"], descending=[True, False]) \
         .limit(10).to_pandas()
+    if out.empty:
+        return _empty_typed(event_id="int64", event_type=object,
+                            value="float64")
     return _round6(out, ["value"])
 
 
@@ -267,6 +287,8 @@ def q_top_customers(sf_dir: str) -> pd.DataFrame:
         Sum("spent_c", alias_name="spent_c"))
     out = agg.sort(["spent_c", "o_custkey"],
                    descending=[True, False]).limit(10).to_pandas()
+    if out.empty:
+        return _empty_typed(o_custkey="int64", total_spent="float64")
     out["total_spent"] = out["spent_c"].astype(np.float64) / 100.0
     return out.drop(columns=["spent_c"])
 
@@ -304,6 +326,8 @@ def q_user_sessions(sf_dir: str) -> pd.DataFrame:
 
     out = ds.groupby("user_id").map_groups(
         per_user, batch_format="pandas").to_pandas()
+    if out.empty:
+        return _empty_typed(user_id="int64", n_sessions="int64")
     return out.astype({"n_sessions": "int64"})
 
 
@@ -404,6 +428,9 @@ def q_promo_revenue(sf_dir: str) -> pd.DataFrame:
     joined = broadcast_join(li, part, on="l_partkey", right_on="p_partkey")
     agg = joined.map_batches(partial, batch_format="pandas").sum(
         ["promo_i", "total_i"])
+    if not agg or agg.get("sum(total_i)") in (None, 0):
+        # empty window: SQL SUM is NULL and the share divides to NULL
+        return pd.DataFrame({"promo_revenue": [np.nan]})
     promo = 100.0 * float(agg["sum(promo_i)"]) / float(agg["sum(total_i)"])
     return pd.DataFrame({"promo_revenue": [promo]})
 
@@ -419,7 +446,10 @@ def q_customers_without_orders(sf_dir: str) -> pd.DataFrame:
     bucketed join with an anti flag instead)."""
     import ray
 
-    keys = set(_pq(sf_dir, "orders", ["o_custkey"]).unique("o_custkey"))
+    try:
+        keys = set(_pq(sf_dir, "orders", ["o_custkey"]).unique("o_custkey"))
+    except TypeError:  # zero-block dataset: unique() yields None
+        keys = set()
     keys_ref = ray.put(keys)
 
     def anti(b: pd.DataFrame) -> pd.DataFrame:
@@ -440,7 +470,10 @@ def q_customers_with_orders(sf_dir: str) -> pd.DataFrame:
     segment per batch crosses the shuffle)."""
     import ray
 
-    keys = set(_pq(sf_dir, "orders", ["o_custkey"]).unique("o_custkey"))
+    try:
+        keys = set(_pq(sf_dir, "orders", ["o_custkey"]).unique("o_custkey"))
+    except TypeError:  # zero-block dataset: unique() yields None
+        keys = set()
     keys_ref = ray.put(keys)
 
     def semi(b: pd.DataFrame) -> pd.DataFrame:
@@ -558,6 +591,8 @@ def q_winnow_dup_pairs(sf_dir: str) -> pd.DataFrame:
         .groupby("bucket").map_groups(pairs_in_bucket,
                                       batch_format="pandas") \
         .groupby(["id_a", "id_b"]).sum("n").to_pandas()
+    if pair_counts.empty:
+        return _empty_typed(id_a="int64", id_b="int64")
     out = pair_counts[pair_counts["sum(n)"] >= _WINNOW_PAIR_THRESHOLD]
     return out[["id_a", "id_b"]].astype("int64") \
         .sort_values(["id_a", "id_b"]).reset_index(drop=True)
@@ -730,8 +765,9 @@ def q_decontaminate(sf_dir: str) -> pd.DataFrame:
     bench_df = _pq(sf_dir, "documents", ["doc_id", "text"]) \
         .filter(expr=f"doc_id < {_BENCH_DOC_IDS}").to_pandas()
     bench: set = set()
-    for t in bench_df["text"]:
-        bench |= grams_of(t)
+    if "text" in bench_df.columns:  # zero-block frame has no columns
+        for t in bench_df["text"]:
+            bench |= grams_of(t)
     bench_ref = ray.put(frozenset(bench))
 
     def flag(b: pd.DataFrame) -> pd.DataFrame:
@@ -815,6 +851,8 @@ def q_ngram_topk(sf_dir: str) -> pd.DataFrame:
                              kind="mergesort").head(20)
 
     m = ds.map_batches(partial, batch_format="pandas").materialize()
+    if m.count() == 0:
+        return _empty_typed(gram=object, n="int64")
     if m.count() <= _REDUCE_GATE_ROWS:
         out = m.to_pandas().groupby("gram", as_index=False)["n"].sum()
     else:  # distributed reduce + per-block top-k; driver sees <=20/block
@@ -888,6 +926,8 @@ def q_tfidf_keywords(sf_dir: str) -> pd.DataFrame:
             "score": np.round(top["key"].to_numpy(np.float64) / 1e6, 6)})
 
     out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    if out.empty:
+        return _empty_typed(doc_id="int64", term=object, score="float64")
     return out.astype({"doc_id": "int64", "score": "float64"}) \
         .sort_values(["doc_id", "term"]).reset_index(drop=True)
 
@@ -963,6 +1003,9 @@ def q_running_revenue(sf_dir: str) -> pd.DataFrame:
             .groupby("__bucket").map_groups(per_bucket,
                                             batch_format="pandas") \
             .to_pandas()
+    if out.empty:
+        return _empty_typed(o_orderkey="int64", o_custkey="int64",
+                            running_total="float64")
     return out.astype({"o_orderkey": "int64", "o_custkey": "int64",
                        "running_total": "float64"})
 
@@ -1030,6 +1073,9 @@ def q_pack_blocks(sf_dir: str) -> pd.DataFrame:
         out = skinny.map_batches(add_rng, batch_format="pandas") \
             .groupby("rng").map_groups(pack_range, batch_format="pandas") \
             .to_pandas()
+    if out.empty:
+        return _empty_typed(doc_id="int64", n_tokens="int64",
+                            block_id="int64", offset_in_block="int64")
     return out.astype({"doc_id": "int64", "n_tokens": "int64",
                        "block_id": "int64", "offset_in_block": "int64"})
 
@@ -1052,6 +1098,10 @@ def q_latest_order_per_customer(sf_dir: str) -> pd.DataFrame:
 
     partials = ds.map_batches(best, batch_format="pandas")
     m = partials.materialize()
+    if m.count() == 0:
+        return _empty_typed(o_custkey="int64", o_orderkey="int64",
+                            o_orderdate="datetime64[us]",
+                            last_price="float64")
     if m.count() <= _REDUCE_GATE_ROWS:
         out = best(m.to_pandas())
     else:  # bucketed re-reduce (custkey % 64): one vectorized best()
@@ -1087,6 +1137,8 @@ def q_distinct_users_per_type(sf_dir: str) -> pd.DataFrame:
         return b.drop_duplicates()
 
     m = ds.map_batches(pairs, batch_format="pandas").materialize()
+    if m.count() == 0:
+        return _empty_typed(event_type=object, n_users="int64")
     if m.count() <= _REDUCE_GATE_ROWS:
         dd = m.to_pandas().drop_duplicates()
         out = dd.groupby("event_type", as_index=False) \
@@ -1128,6 +1180,8 @@ def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
         # partitions drown a kilorow groupby in per-partition overhead
         out = hashed.groupby("content_hash").aggregate(
             Min("doc_id", alias_name="doc_id")).to_pandas()
+    if out.empty:
+        return _empty_typed(doc_id="int64")
     return out[["doc_id"]].astype({"doc_id": "int64"})
 
 
@@ -1274,6 +1328,8 @@ def q_simhash_buckets(sf_dir: str) -> pd.DataFrame:
     the DuckDB oracle reconstructs the signature bit-for-bit)."""
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(fdedup.add_simhash, batch_format="pandas").to_pandas()
+    if out.empty:
+        return _empty_typed(doc_id="int64", simhash="int64")
     return out[["doc_id", "simhash"]]
 
 
@@ -1321,20 +1377,29 @@ _KNN_K = 5
 _KNN_QUERIES = 5
 
 
-def _query_matrix(sf_dir: str) -> np.ndarray:
+def _query_matrix(sf_dir: str) -> np.ndarray | None:
     import pyarrow.parquet as pq
 
     t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
                       columns=["vec_id", "embedding"]).to_pandas()
     t = t[t["vec_id"] < _KNN_QUERIES].sort_values("vec_id")
+    if t.empty:  # empty corpus: no query vectors -> callers emit 0 rows
+        return None
     return np.stack(t["embedding"].to_numpy())
+
+
+def _empty_knn() -> pd.DataFrame:
+    return _empty_typed(query_id="int64", vec_id="int64", score="float64")
 
 
 def q_embedding_knn(sf_dir: str) -> pd.DataFrame:
     """Brute-force cosine top-k: broadcast query matrix, per-batch matmul,
     small final reduce. query_id = vec_id < 5; k=5."""
     ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = fsim.brute_force_topk(ds, _query_matrix(sf_dir), k=_KNN_K)
+    qm = _query_matrix(sf_dir)
+    if qm is None:
+        return _empty_knn()
+    out = fsim.brute_force_topk(ds, qm, k=_KNN_K)
     out["score"] = np.round(out["score"].astype(np.float64), 4)
     out = out.drop(columns=["rank"])
     return out.astype({"query_id": "int64", "vec_id": "int64"})
@@ -1344,6 +1409,9 @@ def _ivf_query(sf_dir: str, n_probe: int) -> pd.DataFrame:
     """Shared IVF body (quantizer sample, train, probe, rounding) so the
     approximate and exhaustive registrations can never drift apart."""
     ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    qm = _query_matrix(sf_dir)
+    if qm is None:
+        return _empty_knn()
     sample = np.stack(ds.limit(2000).to_pandas()["embedding"].to_numpy())
     centroids = fsim.train_ivf_centroids(sample, n_lists=16)
     out = fsim.ivf_topk(ds, _query_matrix(sf_dir), centroids,
@@ -1400,6 +1468,8 @@ def q_embedding_sim_pairs(sf_dir: str) -> pd.DataFrame:
             "rows is past the gate — use embedding_ivf_knn or "
             "embedding_near_dups at this scale")
     full = ds.to_pandas()
+    if full.empty:
+        return _empty_typed(id_a="int64", id_b="int64")
     ids = full["vec_id"].to_numpy()
     mat = np.stack(full["embedding"].to_numpy()).astype(np.float64)
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
@@ -1441,7 +1511,10 @@ def q_doc_embed_knn(sf_dir: str) -> pd.DataFrame:
     emb = ds.map_batches(fsim.HashingEmbedder, batch_format="pandas",
                          batch_size=256, concurrency=pool,
                          fn_constructor_kwargs={"dim": 64}).materialize()
-    qdf = emb.filter(expr="vec_id < 5").to_pandas().sort_values("vec_id")
+    qdf = emb.filter(expr="vec_id < 5").to_pandas()
+    if qdf.empty:
+        return _empty_knn()
+    qdf = qdf.sort_values("vec_id")
     qmat = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
     out = fsim.brute_force_topk(emb, qmat, k=5)
     out["score"] = np.round(out["score"].astype(np.float64), 4)
@@ -1686,6 +1759,10 @@ def q_asof_purchase_click(sf_dir: str) -> pd.DataFrame:
     out = out.rename(columns={"ts": "purchase_ts", "ts_right": "click_ts",
                               "event_id": "purchase_id",
                               "event_id_right": "click_id"})
+    if out.empty:
+        return _empty_typed(user_id="int64", purchase_id="int64",
+                            purchase_ts="datetime64[us]", click_id="int64",
+                            click_ts="datetime64[us]")
     return out.astype({"purchase_id": "int64", "click_id": "int64"})
 
 
@@ -1703,6 +1780,8 @@ def q_range_purchase_views(sf_dir: str) -> pd.DataFrame:
             left_id="event_id", lower=-pd.Timedelta(hours=1),
             upper=pd.Timedelta(0), count_name="n_views_1h").to_pandas()
     out = out.rename(columns={"event_id": "purchase_id"})
+    if out.empty:
+        return _empty_typed(purchase_id="int64", n_views_1h="int64")
     return out[["purchase_id", "n_views_1h"]].astype(
         {"purchase_id": "int64", "n_views_1h": "int64"})
 
@@ -1958,8 +2037,10 @@ def q_embedding_quantize(sf_dir: str) -> pd.DataFrame:
             "i": np.tile(np.arange(1, d + 1, dtype=np.int64), n),
             "q": q.reshape(-1).astype(np.int64)})
 
-    return ds.map_batches(quant, batch_format="pandas").to_pandas() \
-        .sort_values(["vec_id", "i"]).reset_index(drop=True)
+    out = ds.map_batches(quant, batch_format="pandas").to_pandas()
+    if out.empty:
+        return _empty_typed(vec_id="int64", i="int64", q="int64")
+    return out.sort_values(["vec_id", "i"]).reset_index(drop=True)
 
 
 _KMEANS_K = 8
@@ -1983,8 +2064,10 @@ def q_kmeans_assign(sf_dir: str) -> pd.DataFrame:
 
     ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
 
-    seed_df = ds.filter(expr=f"vec_id < {_KMEANS_K}").to_pandas() \
-        .sort_values("vec_id")
+    seed_df = ds.filter(expr=f"vec_id < {_KMEANS_K}").to_pandas()
+    if seed_df.empty:  # empty corpus: nothing to cluster
+        return _empty_typed(vec_id="int64", cluster="int64")
+    seed_df = seed_df.sort_values("vec_id")
     cent = np.rint(np.stack(seed_df["embedding"].to_numpy())
                    .astype(np.float64) * _KMEANS_SCALE) / _KMEANS_SCALE
     k, dim = cent.shape

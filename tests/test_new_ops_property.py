@@ -272,3 +272,34 @@ def test_mixture_sample_nonnumeric_source(ray_session, tmp_path):
     gold = con.execute(ORACLE_SQL["mixture_sample"]).fetchdf()
     _assert_equal(out, gold, "mixture_sample")
     assert not out["source"].str.startswith("synth").any()
+
+
+def test_all_queries_total_on_empty_tables(ray_session, tmp_path):
+    """Totality: EVERY table-backed query must run on a fully-empty
+    dataset (all 10 tables present, 0 rows) — the all-filtered-slice
+    case at 100 TB — instead of crashing on zero-block column-less
+    frames, None aggregates, or empty query matrices."""
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as e
+
+    d = tmp_path / "empty_all"
+    os.makedirs(d, exist_ok=True)
+    for t in ("region nation customer supplier part orders lineitem "
+              "events documents embeddings").split():
+        schema = pq.read_schema(f"/root/testdata/sf0.001/{t}.parquet")
+        pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
+
+    corpus_backed = {"extract_transcripts", "golden_parity", "doc_metadata",
+                     "feature_census", "layout_stats", "heading_stats",
+                     "structured_elements", "html_output", "pdf_images",
+                     "media_features", "frame_sampling"}
+    failures = []
+    for name, fn in sorted(e.queries().items()):
+        if name in corpus_backed:
+            continue
+        try:
+            fn(str(d))
+        except Exception as ex:  # noqa: BLE001 - collecting, not hiding
+            failures.append(f"{name}: {type(ex).__name__}: {ex}")
+    assert not failures, "\n".join(failures)
