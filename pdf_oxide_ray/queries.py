@@ -546,12 +546,11 @@ def q_fingerprint_md5(sf_dir: str) -> pd.DataFrame:
 _WINNOW_PAIR_THRESHOLD = 20  # min shared fingerprints for a dup pair
 
 
-def q_winnow_dup_pairs(sf_dir: str) -> pd.DataFrame:
-    """Rolling-hash document fingerprinting (winnowing): explode each doc
-    into its fingerprint set, groupby(fingerprint) to find co-occurring
-    docs, then count shared fingerprints per pair and keep pairs sharing
-    >= _WINNOW_PAIR_THRESHOLD (MOSS-style plagiarism/dup detection; only
-    (fp, doc_id) pairs cross the shuffle, never text)."""
+def _winnow_pair_counts_ds(sf_dir: str):
+    """Lazy Dataset of winnowing co-occurrence counts (id_a, id_b,
+    sum(n)) — the shared upstream of q_winnow_dup_pairs (driver-side
+    report) and q_dup_components (distributed clustering). Only
+    (fp, doc_id) int pairs cross the shuffle, never text."""
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
     num_buckets = 64
 
@@ -587,15 +586,136 @@ def q_winnow_dup_pairs(sf_dir: str) -> pd.DataFrame:
             .groupby(["id_a", "id_b"], as_index=False).size() \
             .rename(columns={"size": "n"})
 
-    pair_counts = ds.map_batches(explode, batch_format="pandas") \
+    return ds.map_batches(explode, batch_format="pandas") \
         .groupby("bucket").map_groups(pairs_in_bucket,
                                       batch_format="pandas") \
-        .groupby(["id_a", "id_b"]).sum("n").to_pandas()
+        .groupby(["id_a", "id_b"]).sum("n")
+
+
+def q_winnow_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    """Rolling-hash document fingerprinting (winnowing): explode each doc
+    into its fingerprint set, groupby(fingerprint) to find co-occurring
+    docs, then count shared fingerprints per pair and keep pairs sharing
+    >= _WINNOW_PAIR_THRESHOLD (MOSS-style plagiarism/dup detection; only
+    (fp, doc_id) pairs cross the shuffle, never text)."""
+    pair_counts = _winnow_pair_counts_ds(sf_dir).to_pandas()
     if pair_counts.empty:
         return _empty_typed(id_a="int64", id_b="int64")
     out = pair_counts[pair_counts["sum(n)"] >= _WINNOW_PAIR_THRESHOLD]
     return out[["id_a", "id_b"]].astype("int64") \
         .sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+
+_CC_MAX_ITERS = 64
+
+
+def q_dup_components(sf_dir: str) -> pd.DataFrame:
+    """Connected components of the winnowing near-dup graph by
+    DISTRIBUTED min-label propagation — the scale path for dedup
+    clustering when the verified edge list outgrows the driver (the
+    driver union-find in q_minhash_dedup assumes a tiny edge list; this
+    operator does not). Returns (doc_id, component) where component is
+    the smallest doc_id reachable from doc_id; only docs in a dup pair
+    appear (cluster size > 1 by construction).
+
+    Shuffle budget per iteration: TWO int-only exchanges — a bucketed
+    groupby over the tagged union of symmetric edges and current labels
+    (each bucket attaches its nodes' labels to their out-edges with one
+    vectorized merge and pre-reduces the (neighbor, label) messages),
+    then a groupby(node).min(lab) reduce. Iterations = graph diameter
+    (near-dup families are dense, so small); labels decrease
+    monotonically, so convergence = sum(lab) unchanged — a cheap global
+    check, no join against the previous state. The corpus-sized
+    documents table never enters the loop: edges and labels are
+    O(dup nodes), the skinny tail of the corpus."""
+    def edges_of(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["sum(n)"] >= _WINNOW_PAIR_THRESHOLD]
+        return pd.DataFrame({"a": b["id_a"].astype("int64"),
+                             "b": b["id_b"].astype("int64")})
+
+    with _scoped_parallelism(16):
+        edges = _winnow_pair_counts_ds(sf_dir) \
+            .map_batches(edges_of, batch_format="pandas").materialize()
+    return _connected_components(edges)
+
+
+def _connected_components(edges) -> pd.DataFrame:
+    """Distributed min-label propagation over a Dataset of int64 edges
+    (a, b). Returns (doc_id, component) sorted by doc_id — see
+    q_dup_components for the per-iteration shuffle budget."""
+    from .stages.joins import _bucket_of
+
+    _CC_BUCKETS = 64
+
+    if edges.count() == 0:
+        return _empty_typed(doc_id="int64", component="int64")
+
+    def sym_msgs(b: pd.DataFrame) -> pd.DataFrame:
+        # both directions: key owns an out-neighbor list, bucketed by key
+        key = np.concatenate([b["a"].to_numpy(np.int64),
+                              b["b"].to_numpy(np.int64)])
+        dst = np.concatenate([b["b"].to_numpy(np.int64),
+                              b["a"].to_numpy(np.int64)])
+        return pd.DataFrame({
+            "key": key, "dst": dst, "lab": np.int64(-1),
+            "is_lab": np.int64(0),
+            "__bucket": _bucket_of(pd.Series(key), _CC_BUCKETS)})
+
+    def init_labels(b: pd.DataFrame) -> pd.DataFrame:
+        nodes = np.unique(np.concatenate([b["a"].to_numpy(np.int64),
+                                          b["b"].to_numpy(np.int64)]))
+        return pd.DataFrame({"node": nodes, "lab": nodes})
+
+    def as_label_rows(b: pd.DataFrame) -> pd.DataFrame:
+        key = b["node"].astype("int64") if "node" in b.columns \
+            else b["key"].astype("int64")
+        lab = b["min(lab)"].astype("int64") if "min(lab)" in b.columns \
+            else b["lab"].astype("int64")
+        return pd.DataFrame({
+            "key": key.to_numpy(np.int64), "dst": np.int64(-1),
+            "lab": lab.to_numpy(np.int64), "is_lab": np.int64(1),
+            "__bucket": _bucket_of(key, _CC_BUCKETS)})
+
+    def propagate(g: pd.DataFrame) -> pd.DataFrame:
+        """One bucket: merge labels onto out-edges, emit pre-reduced
+        (node, lab) messages (neighbors + self)."""
+        labs = g.loc[g["is_lab"] == 1, ["key", "lab"]]
+        outs = g.loc[g["is_lab"] == 0, ["key", "dst"]] \
+            .merge(labs, on="key")
+        node = np.concatenate([outs["dst"].to_numpy(np.int64),
+                               labs["key"].to_numpy(np.int64)])
+        lab = np.concatenate([outs["lab"].to_numpy(np.int64),
+                              labs["lab"].to_numpy(np.int64)])
+        return pd.DataFrame({"node": node, "lab": lab}) \
+            .groupby("node", as_index=False).min()
+
+    sym = edges.map_batches(sym_msgs, batch_format="pandas").materialize()
+
+    with _scoped_parallelism(16):
+        labels = edges.map_batches(init_labels, batch_format="pandas") \
+            .groupby("node").min("lab") \
+            .map_batches(as_label_rows, batch_format="pandas") \
+            .materialize()
+        prev_sum = None
+        for _ in range(_CC_MAX_ITERS):
+            nxt = sym.union(labels) \
+                .groupby("__bucket").map_groups(propagate,
+                                                batch_format="pandas") \
+                .groupby("node").min("lab") \
+                .map_batches(as_label_rows, batch_format="pandas") \
+                .materialize()
+            tot = nxt.sum("lab")
+            labels = nxt
+            if tot == prev_sum:  # monotone ↓: fixpoint reached
+                break
+            prev_sum = tot
+        else:
+            raise RuntimeError("dup_components did not converge")
+
+    out = labels.to_pandas()
+    return pd.DataFrame({"doc_id": out["key"].astype("int64"),
+                         "component": out["lab"].astype("int64")}) \
+        .sort_values("doc_id").reset_index(drop=True)
 
 
 def q_normalize_text(sf_dir: str) -> pd.DataFrame:
@@ -2247,6 +2367,7 @@ QUERIES = {
     "doc_stats": q_doc_stats,
     "fingerprint_md5": q_fingerprint_md5,
     "winnow_dup_pairs": q_winnow_dup_pairs,
+    "dup_components": q_dup_components,
     "normalize_text": q_normalize_text,
     "redact_pii": q_redact_pii,
     "quality_features": q_quality_features,
@@ -2724,6 +2845,21 @@ ORACLE_SQL = {
     # identical pair-count + hot-fingerprint guard as the Ray query.
     # Corpus is pure ASCII (verified), so ord(substr) == utf-8 byte.
     "winnow_dup_pairs": _winnow_oracle_sql(),
+    # connected components of the winnow dup graph: min reachable id per
+    # node via a recursive CTE (terminates because (node, lab) pairs are
+    # finite and UNION deduplicates)
+    "dup_components": f"""
+        WITH RECURSIVE e AS ({_winnow_oracle_sql()}),
+        sym AS (SELECT id_a AS u, id_b AS v FROM e
+                UNION ALL SELECT id_b, id_a FROM e),
+        reach(node, lab) AS (
+            SELECT u, u FROM sym
+            UNION
+            SELECT s.u, r.lab FROM sym s JOIN reach r ON r.node = s.v
+        )
+        SELECT CAST(node AS BIGINT) AS doc_id,
+               CAST(MIN(lab) AS BIGINT) AS component
+        FROM reach GROUP BY node""",
     # Bit-exact SimHash reconstruction: md5(tok) hex -> 64 bit values ->
     # +1/-1 accumulation -> sign bits packed big-endian >> 1 (the same
     # arithmetic as functions/dedup.py::simhash64, verified bit-for-bit

@@ -303,3 +303,35 @@ def test_all_queries_total_on_empty_tables(ray_session, tmp_path):
         except Exception as ex:  # noqa: BLE001 - collecting, not hiding
             failures.append(f"{name}: {type(ex).__name__}: {ex}")
     assert not failures, "\n".join(failures)
+
+
+def test_connected_components_path_graph(ray_session):
+    """The CC loop must propagate labels across a diameter-7 path (one
+    hop per iteration), not just dense near-clique families: a path
+    0-1-...-7 plus a disjoint triangle and an isolated pair."""
+    import ray
+
+    from pdf_oxide_ray.queries import _connected_components
+
+    edges = pd.DataFrame({
+        "a": [0, 1, 2, 3, 4, 5, 6,   10, 11, 10,   20],
+        "b": [1, 2, 3, 4, 5, 6, 7,   11, 12, 12,   21]})
+    out = _connected_components(ray.data.from_pandas(edges))
+    want = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3, 4, 5, 6, 7, 10, 11, 12, 20, 21],
+        "component": [0] * 8 + [10] * 3 + [20] * 2})
+    assert out.reset_index(drop=True).equals(want)
+
+
+def test_connected_components_reversed_path(ray_session):
+    """Worst case for min-label propagation: the minimum id sits at the
+    END of the edge ordering (edges given high-to-low), still converges
+    to the global min."""
+    import ray
+
+    from pdf_oxide_ray.queries import _connected_components
+
+    edges = pd.DataFrame({"a": [9, 8, 7, 6, 5, 4, 3, 2, 1],
+                          "b": [8, 7, 6, 5, 4, 3, 2, 1, 0]})
+    out = _connected_components(ray.data.from_pandas(edges))
+    assert (out["component"] == 0).all() and len(out) == 10
