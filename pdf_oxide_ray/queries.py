@@ -253,10 +253,10 @@ def q_quantity_quantiles(sf_dir: str) -> pd.DataFrame:
 
 def q_distinct_event_types(sf_dir: str) -> pd.DataFrame:
     ds = _pq(sf_dir, "events", ["event_type"])
-    try:
-        vals = sorted(ds.unique("event_type"))
-    except TypeError:  # zero-block dataset: unique() yields None
-        vals = []
+    # zero-block dataset: unique() yields None (a NULL value in the
+    # column must NOT be swallowed here — only the all-empty case)
+    u = ds.unique("event_type")
+    vals = sorted(u, key=lambda v: (v is None, v)) if u is not None else []
     return pd.DataFrame({"event_type": pd.Series(vals, dtype=object)})
 
 
@@ -1534,8 +1534,7 @@ def _ivf_query(sf_dir: str, n_probe: int) -> pd.DataFrame:
         return _empty_knn()
     sample = np.stack(ds.limit(2000).to_pandas()["embedding"].to_numpy())
     centroids = fsim.train_ivf_centroids(sample, n_lists=16)
-    out = fsim.ivf_topk(ds, _query_matrix(sf_dir), centroids,
-                        k=_KNN_K, n_probe=n_probe)
+    out = fsim.ivf_topk(ds, qm, centroids, k=_KNN_K, n_probe=n_probe)
     out["score"] = np.round(out["score"].astype(np.float64), 4)
     out = out.drop(columns=["rank"])
     return out.astype({"query_id": "int64", "vec_id": "int64"})
@@ -2005,7 +2004,10 @@ def feature_census_over(path: str) -> pd.DataFrame:
     ds = read_transcripts(path, columns=["text"])
     out = ds.map_batches(per_batch, batch_format="pyarrow") \
         .sum(list(FEATURE_KEYS))
-    return pd.DataFrame([{k.replace("sum(", "").replace(")", ""): int(v)
+    if not out:  # zero-block input: Dataset.sum yields None
+        return pd.DataFrame([dict.fromkeys(FEATURE_KEYS, 0)])
+    return pd.DataFrame([{k.replace("sum(", "").replace(")", ""):
+                          int(v) if v is not None else 0
                           for k, v in out.items()}])
 
 
@@ -2244,6 +2246,31 @@ def q_kmeans_assign(sf_dir: str) -> pd.DataFrame:
 _QUALITY_FILTER_P = 0.75  # keep docs at/above the corpus P75 quality
 
 
+def _quality_threshold(ds, p: float) -> float | None:
+    """Exact corpus percentile of the heuristic quality score via the
+    bounded value histogram (same plan as ``q_length_deciles``):
+    per-batch score value_counts reduce to one row per distinct score —
+    far smaller than the corpus (scores are low-cardinality rationals of
+    doc stats) — and the threshold is read off cumulative counts with
+    the percentile_disc index rule sorted[ceil(n*p)-1]. Shared by
+    q_quality_filter (P75) and q_curate_corpus (median) so the subtle
+    index rule can never drift between them. None on an empty corpus."""
+
+    def hist(b: pd.DataFrame) -> pd.DataFrame:
+        vc = ftext.quality_score(b["text"]).value_counts()
+        return pd.DataFrame({"q": vc.index.to_numpy(np.float64),
+                             "cnt": vc.to_numpy(np.int64)})
+
+    h = _reduce_partials(ds.map_batches(hist, batch_format="pandas"),
+                         ["q"], ["cnt"]).sort_values("q")
+    cum = h["cnt"].cumsum().to_numpy()
+    n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        return None
+    idx = min(max(int(np.ceil(n * p)) - 1, 0), n - 1)
+    return float(h["q"].to_numpy()[np.searchsorted(cum, idx + 1)])
+
+
 def q_quality_filter(sf_dir: str) -> pd.DataFrame:
     """Top-quartile quality selection: keep docs whose heuristic quality
     score >= the corpus P75 — the select-the-best-slice op every
@@ -2258,21 +2285,9 @@ def q_quality_filter(sf_dir: str) -> pd.DataFrame:
     rounding. Two streamed passes (score+histogram, then score+filter):
     recomputing the cheap score beats materializing a per-doc table."""
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
-
-    def hist(b: pd.DataFrame) -> pd.DataFrame:
-        vc = ftext.quality_score(b["text"]).value_counts()
-        return pd.DataFrame({"q": vc.index.to_numpy(np.float64),
-                             "cnt": vc.to_numpy(np.int64)})
-
-    h = _reduce_partials(ds.map_batches(hist, batch_format="pandas"),
-                         ["q"], ["cnt"]).sort_values("q")
-    cum = h["cnt"].cumsum().to_numpy()
-    n = int(cum[-1]) if len(cum) else 0
-    if n == 0:
-        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                             "quality": pd.Series([], dtype="float64")})
-    idx = min(max(int(np.ceil(n * _QUALITY_FILTER_P)) - 1, 0), n - 1)
-    thr = float(h["q"].to_numpy()[np.searchsorted(cum, idx + 1)])
+    thr = _quality_threshold(ds, _QUALITY_FILTER_P)
+    if thr is None:
+        return _empty_typed(doc_id="int64", quality="float64")
 
     def keep(b: pd.DataFrame) -> pd.DataFrame:
         q = ftext.quality_score(b["text"]).to_numpy(np.float64)
@@ -2298,22 +2313,10 @@ def q_curate_corpus(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Min
 
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
-
-    def hist(b: pd.DataFrame) -> pd.DataFrame:
-        vc = ftext.quality_score(b["text"]).value_counts()
-        return pd.DataFrame({"q": vc.index.to_numpy(np.float64),
-                             "cnt": vc.to_numpy(np.int64)})
-
-    h = _reduce_partials(ds.map_batches(hist, batch_format="pandas"),
-                         ["q"], ["cnt"]).sort_values("q")
-    cum = h["cnt"].cumsum().to_numpy()
-    n = int(cum[-1]) if len(cum) else 0
-    if n == 0:
-        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                             "n_tokens": pd.Series([], dtype="int64"),
-                             "quality": pd.Series([], dtype="float64")})
-    idx = min(max(int(np.ceil(n * 0.5)) - 1, 0), n - 1)
-    thr = float(h["q"].to_numpy()[np.searchsorted(cum, idx + 1)])
+    thr = _quality_threshold(ds, 0.5)
+    if thr is None:
+        return _empty_typed(doc_id="int64", n_tokens="int64",
+                            quality="float64")
 
     def keep(b: pd.DataFrame) -> pd.DataFrame:
         q = ftext.quality_score(b["text"]).to_numpy(np.float64)

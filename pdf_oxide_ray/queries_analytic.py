@@ -21,7 +21,8 @@ import hashlib
 import numpy as np
 import pandas as pd
 
-from .queries import (_cents, _pq, _reduce_partials, _scoped_parallelism)
+from .queries import (_cents, _empty_typed, _pq, _reduce_partials,
+                      _scoped_parallelism)
 from .stages.joins import _get_broadcast
 
 
@@ -81,8 +82,7 @@ def q_event_deltas(sf_dir: str) -> pd.DataFrame:
                                             batch_format="pandas") \
             .to_pandas()
     if out.empty:  # zero-block column-less frame: mirror the twin's 0 rows
-        return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
-                             "delta_us": pd.Series([], dtype="int64")})
+        return _empty_typed(event_id="int64", delta_us="int64")
     return out.astype({"event_id": "int64", "delta_us": "int64"})
 
 
@@ -122,8 +122,7 @@ def q_rolling_value_sum(sf_dir: str) -> pd.DataFrame:
                                             batch_format="pandas") \
             .to_pandas()
     if out.empty:  # zero-block column-less frame: mirror the twin's 0 rows
-        return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
-                             "roll_value": pd.Series([], dtype="float64")})
+        return _empty_typed(event_id="int64", roll_value="float64")
     return out.astype({"event_id": "int64", "roll_value": "float64"})
 
 
@@ -422,9 +421,8 @@ def q_shipping_priority(sf_dir: str) -> pd.DataFrame:
                                             batch_format="pandas") \
             .to_pandas()
     if parts.empty:  # zero-block column-less frame: twin returns 0 rows
-        return pd.DataFrame({"l_orderkey": pd.Series([], dtype="int64"),
-                             "o_date": pd.Series([], dtype=object),
-                             "revenue": pd.Series([], dtype="float64")})
+        return _empty_typed(l_orderkey="int64", o_date=object,
+                            revenue="float64")
     out = parts.sort_values(["rev_c", "k"], ascending=[False, True],
                             kind="mergesort").head(10)
     out = pd.DataFrame({
@@ -521,11 +519,9 @@ def q_returned_revenue(sf_dir: str) -> pd.DataFrame:
                                             batch_format="pandas") \
             .to_pandas()
     if parts.empty:  # zero-block column-less frame: twin returns 0 rows
-        return pd.DataFrame({"c_custkey": pd.Series([], dtype="int64"),
-                             "c_name": pd.Series([], dtype=object),
-                             "revenue": pd.Series([], dtype="float64"),
-                             "c_acctbal": pd.Series([], dtype="float64"),
-                             "n_name": pd.Series([], dtype=object)})
+        return _empty_typed(c_custkey="int64", c_name=object,
+                            revenue="float64", c_acctbal="float64",
+                            n_name=object)
     top = parts.sort_values(["rev_c", "cust"], ascending=[False, True],
                             kind="mergesort").head(20)
 
@@ -576,9 +572,7 @@ def q_group_topk_docs(sf_dir: str) -> pd.DataFrame:
     parts = ds.map_batches(partial, batch_format="pandas") \
         .materialize().to_pandas()
     if parts.empty:  # zero-block column-less frame: mirror the twin's 0 rows
-        return pd.DataFrame({"lang": pd.Series([], dtype=object),
-                             "doc_id": pd.Series([], dtype="int64"),
-                             "quality": pd.Series([], dtype="float64")})
+        return _empty_typed(lang=object, doc_id="int64", quality="float64")
     parts = parts.sort_values(["lang", "quality", "doc_id"],
                               ascending=[True, False, True],
                               kind="mergesort")
@@ -678,8 +672,7 @@ def q_deterministic_shuffle(sf_dir: str) -> pd.DataFrame:
                                                batch_format="pandas") \
             .to_pandas()
     if out.empty:  # zero-block column-less frame: mirror the twin's 0 rows
-        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                             "shuffle_pos": pd.Series([], dtype="int64")})
+        return _empty_typed(doc_id="int64", shuffle_pos="int64")
     return out.astype({"doc_id": "int64", "shuffle_pos": "int64"})
 
 
@@ -701,17 +694,20 @@ def q_mixture_sample(sf_dir: str) -> pd.DataFrame:
         # non-negative integers.
         vals = pd.to_numeric(b["source"].str.slice(3), errors="coerce") \
             .to_numpy(np.float64)
-        ok = ~np.isnan(vals)
+        ok = np.isfinite(vals)
         k = np.zeros(len(vals))
-        k[ok] = np.fmod(np.rint(vals[ok]), 4) + 1
+        # DuckDB TRY_CAST('x.5' AS BIGINT) rounds half AWAY from zero
+        # (verified: '0.5'->1, '2.5'->3, '-0.5'->-1) — np.rint's
+        # half-to-even would diverge on every half-integer tail
+        rounded = np.copysign(np.floor(np.abs(vals[ok]) + 0.5), vals[ok])
+        k[ok] = np.fmod(rounded, 4) + 1
         m = ok & (u_top.astype(np.float64) < k)
         return pd.DataFrame({"doc_id": ids[m],
                              "source": b["source"].to_numpy()[m]})
 
     out = ds.map_batches(keep, batch_format="pandas").to_pandas()
     if out.empty:  # zero-block column-less frame: mirror the twin's 0 rows
-        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                             "source": pd.Series([], dtype=object)})
+        return _empty_typed(doc_id="int64", source=object)
     return out.astype({"doc_id": "int64"})
 
 
@@ -738,8 +734,7 @@ def q_group_reservoir(sf_dir: str) -> pd.DataFrame:
     parts = ds.map_batches(partial, batch_format="pandas") \
         .materialize().to_pandas()
     if parts.empty:  # zero-block column-less frame: mirror the twin's 0 rows
-        return pd.DataFrame({"lang": pd.Series([], dtype=object),
-                             "doc_id": pd.Series([], dtype="int64")})
+        return _empty_typed(lang=object, doc_id="int64")
     parts = parts.sort_values(["lang", "key", "doc_id"], kind="mergesort")
     out = parts.groupby("lang", as_index=False).head(_RESERVOIR_K)
     return out[["lang", "doc_id"]].reset_index(drop=True) \
@@ -790,11 +785,9 @@ def q_hll_distinct_users(sf_dir: str) -> pd.DataFrame:
     regs = ds.map_batches(partial, batch_format="pandas") \
         .materialize().to_pandas()
     if regs.empty:  # zero-block column-less frame: mirror the twin's 0 rows
-        return pd.DataFrame(
-            {"event_type": pd.Series([], dtype=object),
-             "est_distinct": pd.Series([], dtype="float64"),
-             "n_zero_registers": pd.Series([], dtype="int64"),
-             "register_checksum": pd.Series([], dtype="int64")})
+        return _empty_typed(event_type=object, est_distinct="float64",
+                            n_zero_registers="int64",
+                            register_checksum="int64")
     regs = regs.groupby(["event_type", "idx"], as_index=False).max()
 
     alpha = 0.7213 / (1 + 1.079 / _HLL_M)
@@ -1141,9 +1134,7 @@ def q_length_cdf(sf_dir: str) -> pd.DataFrame:
     cd = h["cnt"].cumsum().to_numpy(np.int64)
     n = int(cd[-1]) if len(cd) else 0
     if n == 0:  # zero blocks -> column-less frame, matching the SQL twin
-        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                             "n_chars": pd.Series([], dtype="int64"),
-                             "cd": pd.Series([], dtype="float64")})
+        return _empty_typed(doc_id="int64", n_chars="int64", cd="float64")
     ref = ray.put((vals, cd.astype(np.float64) / n))
 
     def annotate(b: pd.DataFrame) -> pd.DataFrame:
@@ -1205,9 +1196,7 @@ def q_user_reconcile(sf_dir: str) -> pd.DataFrame:
         out = both.groupby("__bucket").map_groups(
             combine, batch_format="pandas").to_pandas()
     if out.empty:  # zero-block column-less frame: mirror the twin's 0 rows
-        return pd.DataFrame({"key": pd.Series([], dtype="int64"),
-                             "n_events": pd.Series([], dtype="int64"),
-                             "is_customer": pd.Series([], dtype=bool)})
+        return _empty_typed(key="int64", n_events="int64", is_customer=bool)
     return out.astype({"key": "int64", "n_events": "int64"}) \
         .sort_values("key").reset_index(drop=True)
 

@@ -335,3 +335,42 @@ def test_connected_components_reversed_path(ray_session):
                           "b": [8, 7, 6, 5, 4, 3, 2, 1, 0]})
     out = _connected_components(ray.data.from_pandas(edges))
     assert (out["component"] == 0).all() and len(out) == 10
+
+
+def test_mixture_sample_decimal_source_tail(ray_session, tmp_path):
+    """Half-integer/decimal tails: DuckDB TRY_CAST rounds half AWAY
+    from zero ('0.5'->1, '2.5'->3), np.rint would round to even —
+    regression for the divergence on 'web0.5'-style sources."""
+    d = tmp_path / "mixdec"
+    os.makedirs(d, exist_ok=True)
+    tails = ["0.5", "1.5", "2.5", "3.5", "1.4", "2.6", "0", "3"]
+    pd.DataFrame({"doc_id": np.arange(len(tails) * 25, dtype=np.int64),
+                  "text": "x", "lang": "en",
+                  "source": [f"web{t}" for t in tails] * 25,
+                  "n_chars": np.int64(1)}) \
+        .to_parquet(d / "documents.parquet", index=False)
+    out = QUERIES["mixture_sample"](str(d))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    gold = con.execute(ORACLE_SQL["mixture_sample"]).fetchdf()
+    _assert_equal(out, gold, "mixture_sample")
+
+
+def test_distinct_event_types_null_value(ray_session, tmp_path):
+    """A NULL event_type must surface as a row, not silently empty the
+    result (regression: the zero-block TypeError guard used to swallow
+    the None-vs-str sort TypeError too)."""
+    d = tmp_path / "evnull"
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame({"event_id": np.arange(4, dtype=np.int64),
+                  "user_id": np.int64(1),
+                  "event_type": ["click", None, "view", "click"],
+                  "value": 1.0,
+                  "ts": pd.Timestamp("2024-01-01"),
+                  "properties": "{}"}) \
+        .to_parquet(d / "events.parquet", index=False)
+    out = QUERIES["distinct_event_types"](str(d))
+    assert len(out) == 3
+    assert set(out["event_type"].dropna()) == {"click", "view"}
+    assert out["event_type"].isna().sum() == 1
