@@ -3190,3 +3190,8 @@ ORACLE_SQL["curate_corpus"] = r"""
       FROM kept)
     SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality
     FROM dedup WHERE rn = 1"""
+
+
+# second relational/corpus family (Q13/Q15/Q18/Q22 shapes + retention
+# cohorts) self-registers the same way
+from . import queries_relational  # noqa: E402,F401

@@ -1,0 +1,159 @@
+"""Tests for the second relational family (queries_relational):
+randomized oracle equivalence on seeded corpora with ties and
+threshold-straddling groups, forced above-gate distributed paths, and
+a constructed exact tie for the Q15 arg-max.
+"""
+
+import math
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from pdf_oxide_ray.queries import ORACLE_SQL, QUERIES
+
+_NAMES = ["order_count_distribution", "top_supplier_revenue",
+          "large_orders", "idle_rich_customers", "retention_cohorts"]
+
+
+def _write_tables(tmp_path, seed: int) -> str:
+    rs = np.random.RandomState(seed)
+    n_cust = int(rs.randint(4, 25))
+    cust = pd.DataFrame({
+        "c_custkey": np.arange(n_cust, dtype=np.int64),
+        "c_name": [f"Customer#{i}" for i in range(n_cust)],
+        "c_nationkey": rs.randint(0, 3, n_cust).astype(np.int32),
+        # mix of negative / zero / positive balances for the Q22 shape
+        "c_acctbal": np.round(rs.rand(n_cust) * 2000 - 400, 2),
+        "c_mktsegment": rs.choice(["BUILDING", "MACHINERY"], n_cust)})
+    n_sup = int(rs.randint(2, 8))
+    sup = pd.DataFrame({
+        "s_suppkey": np.arange(n_sup, dtype=np.int64),
+        "s_name": [f"Supplier#{i}" for i in range(n_sup)],
+        "s_nationkey": rs.randint(0, 3, n_sup).astype(np.int32),
+        "s_acctbal": np.round(rs.rand(n_sup) * 1000, 2)})
+    n_ord = int(rs.randint(5, 60))
+    # some customers have no orders at all; some orders cluster pre/post
+    # the 1998 idle cutoff
+    orders = pd.DataFrame({
+        "o_orderkey": np.arange(n_ord, dtype=np.int64),
+        "o_custkey": rs.randint(0, max(n_cust - 2, 1), n_ord)
+        .astype(np.int64),
+        "o_orderstatus": "O",
+        "o_totalprice": np.round(rs.rand(n_ord) * 1000, 2),
+        "o_orderdate": pd.to_datetime("1995-01-01")
+        + pd.to_timedelta(rs.randint(0, 2500, n_ord), unit="D"),
+        "o_orderpriority": "1-URGENT"})
+    # several lines per order; quantities sized so some orders straddle
+    # the 300 HAVING threshold
+    n_li = int(rs.randint(10, 150))
+    li = pd.DataFrame({
+        "l_orderkey": rs.randint(0, n_ord, n_li).astype(np.int64),
+        "l_partkey": rs.randint(0, 20, n_li).astype(np.int64),
+        "l_suppkey": rs.randint(0, n_sup, n_li).astype(np.int64),
+        "l_linenumber": np.arange(n_li, dtype=np.int32) % 7,
+        "l_quantity": np.round(rs.rand(n_li) * 120, 2),
+        "l_extendedprice": np.round(rs.rand(n_li) * 5000, 2),
+        "l_discount": np.round(rs.rand(n_li) * 0.1, 2),
+        "l_tax": 0.0,
+        "l_returnflag": "N",
+        "l_linestatus": "O",
+        "l_shipdate": pd.to_datetime("1995-06-01")
+        + pd.to_timedelta(rs.randint(0, 500, n_li), unit="D")})
+    n_ev = int(rs.randint(10, 200))
+    ev = pd.DataFrame({
+        "event_id": np.arange(n_ev, dtype=np.int64),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rs.randint(0, 12 * 86400, n_ev), unit="s"),
+        "user_id": rs.randint(0, 9, n_ev).astype(np.int64),
+        "event_type": rs.choice(["view", "click"], n_ev),
+        "value": np.round(rs.rand(n_ev), 3),
+        "props": "{}"})
+    d = tmp_path / f"rel-{seed}"
+    os.makedirs(d, exist_ok=True)
+    for name, df in (("customer", cust), ("supplier", sup),
+                     ("orders", orders), ("lineitem", li), ("events", ev)):
+        df.to_parquet(d / f"{name}.parquet", index=False)
+    return str(d)
+
+
+def _oracle(sf_dir: str, sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in ("customer", "supplier", "orders", "lineitem", "events"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')")
+    return con.execute(sql).fetchdf()
+
+
+def _assert_equal(a: pd.DataFrame, b: pd.DataFrame, name: str):
+    cols = sorted(a.columns)
+    assert cols == sorted(b.columns), f"{name}: columns"
+    a = a[cols].sort_values(cols).reset_index(drop=True)
+    b = b[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b), f"{name}: {len(a)} vs {len(b)} rows"
+    for c in cols:
+        if a[c].dtype.kind == "f" or b[c].dtype.kind == "f":
+            assert all(math.isclose(x, y, rel_tol=0, abs_tol=0)
+                       or x == y
+                       for x, y in zip(a[c].astype(float),
+                                       b[c].astype(float))), f"{name}: {c}"
+        else:
+            assert (a[c].astype(str) == b[c].astype(str)).all(), \
+                f"{name}: col {c}"
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+@pytest.mark.parametrize("name", _NAMES)
+def test_relational_matches_oracle_random(ray_session, tmp_path, seed,
+                                          name):
+    sf_dir = _write_tables(tmp_path, seed)
+    _assert_equal(QUERIES[name](sf_dir), _oracle(sf_dir, ORACLE_SQL[name]),
+                  name)
+
+
+@pytest.mark.parametrize("name", ["order_count_distribution",
+                                  "large_orders", "retention_cohorts"])
+def test_relational_above_gate_path(ray_session, monkeypatch, name):
+    """Force the distributed-reduce branch (gate=1) and require the
+    identical result as the driver-combine path."""
+    import pdf_oxide_ray.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    small = QUERIES[name](sf)
+    monkeypatch.setattr(Q, "_REDUCE_GATE_ROWS", 1)
+    big = QUERIES[name](sf)
+    pd.testing.assert_frame_equal(
+        small.sort_values(list(small.columns)).reset_index(drop=True),
+        big[small.columns].sort_values(list(small.columns))
+        .reset_index(drop=True))
+
+
+def test_top_supplier_revenue_exact_tie(ray_session, tmp_path):
+    """Two suppliers with bit-identical windowed revenue must BOTH
+    appear (the int-cents arg-max keeps exact ties)."""
+    d = tmp_path / "tie"
+    os.makedirs(d, exist_ok=True)
+    sup = pd.DataFrame({
+        "s_suppkey": np.int64([1, 2, 3]),
+        "s_name": ["Supplier#1", "Supplier#2", "Supplier#3"],
+        "s_nationkey": np.int32([0, 0, 0]),
+        "s_acctbal": [0.0, 0.0, 0.0]})
+    li = pd.DataFrame({
+        "l_orderkey": np.int64([1, 2, 3]),
+        "l_partkey": np.int64([0, 0, 0]),
+        "l_suppkey": np.int64([1, 2, 3]),
+        "l_linenumber": np.int32([0, 0, 0]),
+        "l_quantity": [1.0, 1.0, 1.0],
+        "l_extendedprice": [100.00, 100.00, 50.00],
+        "l_discount": [0.05, 0.05, 0.0],
+        "l_tax": [0.0, 0.0, 0.0],
+        "l_returnflag": ["N"] * 3,
+        "l_linestatus": ["O"] * 3,
+        "l_shipdate": pd.to_datetime(["1996-02-01"] * 3)})
+    sup.to_parquet(d / "supplier.parquet", index=False)
+    li.to_parquet(d / "lineitem.parquet", index=False)
+    out = QUERIES["top_supplier_revenue"](str(d))
+    assert out["s_suppkey"].tolist() == [1, 2]
+    assert (out["total_revenue"] == 95.0).all()
