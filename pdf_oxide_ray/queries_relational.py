@@ -353,6 +353,119 @@ def q_retention_cohorts(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# corpus unigram log-probability (KenLM-style quality signal)
+# ---------------------------------------------------------------------------
+
+def q_unigram_logprob(sf_dir: str) -> pd.DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM — the classic cheap fluency/quality signal for training
+    -data curation. Two streamed passes: (1) vocab counts via per-batch
+    ``value_counts`` partials (the reduce is vocab-bounded, Heaps-law
+    small relative to the corpus; the same shape as ``tfidf_keywords``'
+    df table), (2) broadcast the token->logprob map once and score each
+    doc in a pure map. Exactness: ln(count/total) is quantized to an
+    integer 1e-6 grid on BOTH sides (the ``tfidf_keywords`` technique),
+    so each doc's score is an int64 sum divided by its token count —
+    bit-identical doubles in any summation order."""
+    import ray
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok_counts(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.split()
+        c = pd.Series([t for row in toks for t in row],
+                      dtype=object).value_counts()
+        return pd.DataFrame({"token": c.index.astype(object),
+                             "n": c.to_numpy(np.int64)})
+
+    vocab = _reduce_partials(ds.map_batches(tok_counts,
+                                            batch_format="pandas"),
+                             ["token"], ["n"])
+    empty = _empty_typed(doc_id="int64", n_tokens="int64",
+                         logprob="float64")
+    if vocab.empty:
+        # corpus has rows but zero tokens: every doc scores NULL
+        ids = _pq(sf_dir, "documents", ["doc_id"]).to_pandas()
+        if ids.empty:
+            return empty
+        return pd.DataFrame({"doc_id": ids["doc_id"].astype("int64"),
+                             "n_tokens": np.int64(0),
+                             "logprob": np.nan}) \
+            .sort_values("doc_id").reset_index(drop=True)
+    total = float(vocab["n"].sum())
+    lp6 = np.round(np.log(vocab["n"].to_numpy(np.float64) / total)
+                   * 1e6).astype(np.int64)
+    lut_ref = ray.put(dict(zip(vocab["token"], lp6)))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        lut = _get_broadcast(lut_ref)
+        toks = b["text"].fillna("").str.split()
+        n = toks.str.len().to_numpy(np.int64)
+        s = np.fromiter((sum(lut[t] for t in row) for row in toks),
+                        dtype=np.int64, count=len(toks))
+        # v = mean lp6 (exact int/int division on identical doubles both
+        # sides); round half-away like DuckDB ROUND, THEN divide by 1e6
+        v = s.astype(np.float64) / np.maximum(n, 1)
+        lp = np.where(n > 0,
+                      np.copysign(np.floor(np.abs(v) + 0.5), v) / 1e6,
+                      np.nan)
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(np.int64),
+                             "n_tokens": n, "logprob": lp})
+
+    out = ds.map_batches(score, batch_format="pandas").to_pandas()
+    if out.empty:
+        return empty
+    return out.astype({"doc_id": "int64", "n_tokens": "int64"}) \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# event-type transition matrix (per-user Markov counts)
+# ---------------------------------------------------------------------------
+
+_TRANSITION_BUCKETS = 64
+
+
+def q_event_transitions(sf_dir: str) -> pd.DataFrame:
+    """First-order Markov transition counts over each user's event
+    stream ordered by (ts, event_id) — the bucketed-window pattern
+    (user_id % 64 -> one vectorized in-bucket pass, cf.
+    ``q_event_deltas``), then a tiny (prev, next) count reduce: the
+    wide exchange carries events once; the second shuffle carries one
+    row per (type-pair, bucket), bounded by #types² x buckets."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b["__bucket"] = (b["user_id"] % _TRANSITION_BUCKETS) \
+            .astype(np.int64)
+        return b
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        user = g["user_id"].to_numpy(np.int64)
+        typ = g["event_type"].to_numpy(object)
+        if len(g) < 2:
+            return pd.DataFrame({"prev_type": pd.Series([], dtype=object),
+                                 "next_type": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        same = user[1:] == user[:-1]
+        return pd.DataFrame({"prev_type": typ[:-1][same],
+                             "next_type": typ[1:][same]}) \
+            .groupby(["prev_type", "next_type"], as_index=False) \
+            .size().rename(columns={"size": "n"})
+
+    with _scoped_parallelism(32):
+        part = ds.map_batches(add_bucket, batch_format="pandas") \
+            .groupby("__bucket").map_groups(per_bucket,
+                                            batch_format="pandas")
+        out = _reduce_partials(part, ["prev_type", "next_type"], ["n"])
+    if out.empty:
+        return _empty_typed(prev_type=object, next_type=object, n="int64")
+    return out.astype({"n": "int64"}) \
+        .sort_values(["prev_type", "next_type"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -362,6 +475,8 @@ RELATIONAL_QUERIES = {
     "large_orders": q_large_orders,
     "idle_rich_customers": q_idle_rich_customers,
     "retention_cohorts": q_retention_cohorts,
+    "unigram_logprob": q_unigram_logprob,
+    "event_transitions": q_event_transitions,
 }
 
 RELATIONAL_ORACLES = {
@@ -436,6 +551,41 @@ RELATIONAL_ORACLES = {
                CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
         FROM events e JOIN f USING (user_id)
         GROUP BY 1, 2""",
+    # ln(count/total) quantized to an int 1e-6 grid on both sides (the
+    # tfidf_keywords technique); per-doc score = int sum / n / 1e6.
+    "unigram_logprob": r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(
+                     coalesce(text, ''), '\s+'), x -> x <> '')) AS token
+          FROM documents),
+        vocab AS (
+          SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+        tot AS (SELECT SUM(n) AS total FROM vocab),
+        lp AS (
+          SELECT token,
+                 CAST(round(ln(CAST(n AS DOUBLE)
+                               / (SELECT CAST(total AS DOUBLE) FROM tot))
+                            * 1000000) AS BIGINT) AS lp6
+          FROM vocab),
+        per_doc AS (
+          SELECT t.doc_id, COUNT(*) AS n_tokens, SUM(l.lp6) AS s
+          FROM toks t JOIN lp l USING (token) GROUP BY t.doc_id)
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+               ROUND(CAST(p.s AS DOUBLE) / p.n_tokens, 0) / 1000000.0
+               AS logprob
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)""",
+    "event_transitions": """
+        WITH w AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+          FROM events)
+        SELECT prev AS prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM w WHERE prev IS NOT NULL
+        GROUP BY prev, event_type""",
 }
 
 

@@ -15,7 +15,11 @@ import pytest
 from pdf_oxide_ray.queries import ORACLE_SQL, QUERIES
 
 _NAMES = ["order_count_distribution", "top_supplier_revenue",
-          "large_orders", "idle_rich_customers", "retention_cohorts"]
+          "large_orders", "idle_rich_customers", "retention_cohorts",
+          "unigram_logprob", "event_transitions"]
+
+_WORDS = ["alpha", "beta", "gamma", "the", "a", "of", "scan", "merge",
+          "sort", "hash"]
 
 
 def _write_tables(tmp_path, seed: int) -> str:
@@ -71,17 +75,30 @@ def _write_tables(tmp_path, seed: int) -> str:
         "event_type": rs.choice(["view", "click"], n_ev),
         "value": np.round(rs.rand(n_ev), 3),
         "props": "{}"})
+    n_docs = int(rs.randint(3, 30))
+    texts = []
+    for _ in range(n_docs):
+        k = int(rs.randint(0, 10))  # includes zero-token docs
+        words = [_WORDS[i] for i in rs.randint(0, len(_WORDS), k)]
+        sep = rs.choice([" ", "  ", " \t "])
+        texts.append(sep.join(words))
+    docs = pd.DataFrame({
+        "doc_id": np.arange(n_docs, dtype=np.int64),
+        "text": texts, "lang": "en", "source": "synth",
+        "n_chars": np.int64([len(t) for t in texts])})
     d = tmp_path / f"rel-{seed}"
     os.makedirs(d, exist_ok=True)
     for name, df in (("customer", cust), ("supplier", sup),
-                     ("orders", orders), ("lineitem", li), ("events", ev)):
+                     ("orders", orders), ("lineitem", li), ("events", ev),
+                     ("documents", docs)):
         df.to_parquet(d / f"{name}.parquet", index=False)
     return str(d)
 
 
 def _oracle(sf_dir: str, sql: str) -> pd.DataFrame:
     con = duckdb.connect()
-    for t in ("customer", "supplier", "orders", "lineitem", "events"):
+    for t in ("customer", "supplier", "orders", "lineitem", "events",
+              "documents"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
     return con.execute(sql).fetchdf()
@@ -95,8 +112,7 @@ def _assert_equal(a: pd.DataFrame, b: pd.DataFrame, name: str):
     assert len(a) == len(b), f"{name}: {len(a)} vs {len(b)} rows"
     for c in cols:
         if a[c].dtype.kind == "f" or b[c].dtype.kind == "f":
-            assert all(math.isclose(x, y, rel_tol=0, abs_tol=0)
-                       or x == y
+            assert all(x == y or (math.isnan(x) and math.isnan(y))
                        for x, y in zip(a[c].astype(float),
                                        b[c].astype(float))), f"{name}: {c}"
         else:
