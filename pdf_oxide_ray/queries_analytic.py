@@ -510,14 +510,30 @@ def q_returned_revenue(sf_dir: str) -> pd.DataFrame:
                                ascending=[False, True],
                                kind="mergesort").head(20)
 
+    from . import queries as _qm
+
     with _scoped_parallelism(_BUCKETS):
-        parts = tagged.map_batches(bucket_orderkey, batch_format="pandas") \
+        cust_parts = tagged \
+            .map_batches(bucket_orderkey, batch_format="pandas") \
             .groupby("__bucket").map_groups(per_order_bucket,
                                             batch_format="pandas") \
-            .map_batches(bucket_cust, batch_format="pandas") \
-            .groupby("__bucket").map_groups(per_cust_bucket,
-                                            batch_format="pandas") \
-            .to_pandas()
+            .materialize()
+        n_parts = cust_parts.count()
+        if n_parts and n_parts <= _qm._REDUCE_GATE_ROWS:
+            # per-cust partials are customer-dimension-bounded: the
+            # driver combine replaces a whole groupby exchange that
+            # costs seconds of pure overhead on kilorow inputs
+            parts = cust_parts.to_pandas() \
+                .groupby("cust", as_index=False)["rev_c"].sum()
+        elif n_parts:  # distributed second exchange, local top-20 per
+            # bucket: only 32 x 20 rows ever reach the driver
+            parts = cust_parts \
+                .map_batches(bucket_cust, batch_format="pandas") \
+                .groupby("__bucket").map_groups(per_cust_bucket,
+                                                batch_format="pandas") \
+                .to_pandas()
+        else:
+            parts = pd.DataFrame()
     if parts.empty:  # zero-block column-less frame: twin returns 0 rows
         return _empty_typed(c_custkey="int64", c_name=object,
                             revenue="float64", c_acctbal="float64",
