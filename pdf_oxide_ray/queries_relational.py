@@ -466,6 +466,108 @@ def q_event_transitions(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# RANGE-interval time window (the time-based sibling of rolling_value_sum)
+# ---------------------------------------------------------------------------
+
+_RANGE_WINDOW_US = 3_600_000_000  # 1 hour in microseconds
+
+
+def q_rolling_time_window(sf_dir: str) -> pd.DataFrame:
+    """Per-user sum of ``value`` over the trailing ONE HOUR of events —
+    a RANGE-interval window (vs ``rolling_value_sum``'s ROWS frame).
+    Bucketed-window pattern (user_id % 64 → one vectorized in-bucket
+    pass); the frame sum is a cumsum difference between two
+    ``searchsorted`` boundaries on int64 microseconds. SQL RANGE frames
+    include ALL ts-peer rows of the current row (not just preceding
+    ones), so the upper boundary is ``searchsorted(ts, ts_i, 'right')``
+    — exact tie parity with the DuckDB window. Values ride int64
+    micro-units so the difference is order-exact."""
+    ds = _pq(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b["__bucket"] = (b["user_id"] % _TRANSITION_BUCKETS) \
+            .astype(np.int64)
+        return b
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        user = g["user_id"].to_numpy(np.int64)
+        v = np.round(g["value"].to_numpy(np.float64) * 1e6) \
+            .astype(np.int64)
+        if not len(g):
+            return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
+                                 "hour_value": pd.Series([],
+                                                         dtype="float64")})
+        # offset each user's ts into a disjoint band so ONE global
+        # searchsorted respects user boundaries (no per-user loop)
+        uid_dense = pd.factorize(user)[0].astype(np.int64)
+        span = int(ts.max() - ts.min()) + 2 * _RANGE_WINDOW_US + 2
+        key = (ts - ts.min()) + uid_dense * span
+        cs = np.concatenate([[0], np.cumsum(v)])
+        lo = np.searchsorted(key, key - _RANGE_WINDOW_US, side="left")
+        hi = np.searchsorted(key, key, side="right")
+        roll = cs[hi] - cs[lo]
+        return pd.DataFrame({
+            "event_id": g["event_id"].to_numpy(np.int64),
+            "hour_value": roll.astype(np.float64) / 1e6})
+
+    with _scoped_parallelism(32):
+        out = ds.map_batches(add_bucket, batch_format="pandas") \
+            .groupby("__bucket").map_groups(per_bucket,
+                                            batch_format="pandas") \
+            .to_pandas()
+    if out.empty:
+        return _empty_typed(event_id="int64", hour_value="float64")
+    return out.astype({"event_id": "int64", "hour_value": "float64"}) \
+        .sort_values("event_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# per-source token entropy (corpus diversity metric)
+# ---------------------------------------------------------------------------
+
+def q_source_token_entropy(sf_dir: str) -> pd.DataFrame:
+    """Shannon entropy of each source's unigram distribution — the
+    standard corpus-diversity signal for mixture design. One reduce
+    over (source, token) partial counts (vocab x sources bounded, the
+    ``tfidf_keywords`` df-table shape), then exact per-source entropy:
+    H = -(Σ n·lp6)/T/1e6 where lp6 = round(ln(n/T)·1e6) is the shared
+    integer quantization — both engines sum only int64s, so the result
+    is bit-identical in any order."""
+    ds = _pq(sf_dir, "documents", ["source", "text"])
+
+    def tok_counts(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.split()
+        src = b["source"].to_numpy(object)
+        pairs = pd.DataFrame({
+            "source": np.repeat(src, toks.str.len().to_numpy(np.int64)),
+            "token": [t for row in toks for t in row]})
+        return pairs.groupby(["source", "token"], as_index=False) \
+            .size().rename(columns={"size": "n"})
+
+    st = _reduce_partials(ds.map_batches(tok_counts,
+                                         batch_format="pandas"),
+                          ["source", "token"], ["n"])
+    if st.empty:
+        return _empty_typed(source=object, n_tokens="int64",
+                            n_types="int64", entropy="float64")
+    totals = st.groupby("source")["n"].transform("sum") \
+        .to_numpy(np.float64)
+    n = st["n"].to_numpy(np.int64)
+    lp6 = np.rint(np.log(n.astype(np.float64) / totals) * 1e6) \
+        .astype(np.int64)
+    st = st.assign(h=n * lp6)
+    agg = st.groupby("source", as_index=False).agg(
+        n_tokens=("n", "sum"), n_types=("n", "size"), h=("h", "sum"))
+    v = agg["h"].to_numpy(np.float64) / agg["n_tokens"].to_numpy(np.float64)
+    agg["entropy"] = -np.copysign(np.floor(np.abs(v) + 0.5), v) / 1e6
+    return agg.drop(columns=["h"]) \
+        .astype({"n_tokens": "int64", "n_types": "int64"}) \
+        .sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -477,6 +579,8 @@ RELATIONAL_QUERIES = {
     "retention_cohorts": q_retention_cohorts,
     "unigram_logprob": q_unigram_logprob,
     "event_transitions": q_event_transitions,
+    "rolling_time_window": q_rolling_time_window,
+    "source_token_entropy": q_source_token_entropy,
 }
 
 RELATIONAL_ORACLES = {
@@ -586,6 +690,38 @@ RELATIONAL_ORACLES = {
                CAST(COUNT(*) AS BIGINT) AS n
         FROM w WHERE prev IS NOT NULL
         GROUP BY prev, event_type""",
+    "rolling_time_window": """
+        SELECT event_id,
+               CAST(SUM(CAST(round(value * 1000000) AS BIGINT))
+                        OVER (PARTITION BY user_id ORDER BY ts
+                              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                        AND CURRENT ROW)
+                    AS DOUBLE) / 1000000.0 AS hour_value
+        FROM events""",
+    "source_token_entropy": r"""
+        WITH toks AS (
+          SELECT source,
+                 unnest(list_filter(regexp_split_to_array(
+                     coalesce(text, ''), '\s+'), x -> x <> '')) AS token
+          FROM documents),
+        c AS (
+          SELECT source, token, COUNT(*) AS n FROM toks
+          GROUP BY source, token),
+        t AS (
+          SELECT source, SUM(n) AS total, COUNT(*) AS n_types FROM c
+          GROUP BY source),
+        lp AS (
+          SELECT c.source,
+                 c.n * CAST(round(ln(CAST(c.n AS DOUBLE)
+                                     / CAST(t.total AS DOUBLE))
+                                  * 1000000) AS BIGINT) AS h
+          FROM c JOIN t USING (source)),
+        hh AS (SELECT source, SUM(h) AS s FROM lp GROUP BY source)
+        SELECT t.source, CAST(t.total AS BIGINT) AS n_tokens,
+               CAST(t.n_types AS BIGINT) AS n_types,
+               - ROUND(CAST(hh.s AS DOUBLE) / t.total, 0) / 1000000.0
+               AS entropy
+        FROM t JOIN hh USING (source)""",
 }
 
 

@@ -16,7 +16,8 @@ from pdf_oxide_ray.queries import ORACLE_SQL, QUERIES
 
 _NAMES = ["order_count_distribution", "top_supplier_revenue",
           "large_orders", "idle_rich_customers", "retention_cohorts",
-          "unigram_logprob", "event_transitions"]
+          "unigram_logprob", "event_transitions", "rolling_time_window",
+          "source_token_entropy"]
 
 _WORDS = ["alpha", "beta", "gamma", "the", "a", "of", "scan", "merge",
           "sort", "hash"]
@@ -144,6 +145,28 @@ def test_relational_above_gate_path(ray_session, monkeypatch, name):
         small.sort_values(list(small.columns)).reset_index(drop=True),
         big[small.columns].sort_values(list(small.columns))
         .reset_index(drop=True))
+
+
+def test_rolling_time_window_ts_peers(ray_session, tmp_path):
+    """SQL RANGE frames include ALL rows with the current row's ORDER BY
+    value (ts peers), even 'later' ones — two same-ts events of one user
+    must each sum BOTH values, and a third event 2h later must see only
+    itself."""
+    d = tmp_path / "peers"
+    os.makedirs(d, exist_ok=True)
+    ev = pd.DataFrame({
+        "event_id": np.int64([1, 2, 3]),
+        "ts": pd.to_datetime(["2024-01-01 10:00:00",
+                              "2024-01-01 10:00:00",
+                              "2024-01-01 12:00:00"]),
+        "user_id": np.int64([7, 7, 7]),
+        "event_type": "view",
+        "value": [1.25, 2.5, 4.0],
+        "props": "{}"})
+    ev.to_parquet(d / "events.parquet", index=False)
+    out = QUERIES["rolling_time_window"](str(d)) \
+        .sort_values("event_id").reset_index(drop=True)
+    assert out["hour_value"].tolist() == [3.75, 3.75, 4.0]
 
 
 def test_top_supplier_revenue_exact_tie(ray_session, tmp_path):
