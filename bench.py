@@ -36,6 +36,9 @@ BENCH_QUERIES = [
     "shipping_priority", "returned_revenue",
     "chunk_dedup", "quality_filter", "revenue_rollup", "event_type_pivot",
     "length_cdf",
+    "order_count_distribution", "large_orders", "retention_cohorts",
+    "unigram_logprob", "event_transitions", "rolling_time_window",
+    "source_token_entropy",
 ]
 
 
