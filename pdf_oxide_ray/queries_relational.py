@@ -568,6 +568,150 @@ def q_source_token_entropy(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# grouped robust statistics: exact median + MAD, exact mode
+# ---------------------------------------------------------------------------
+
+def _typed_hist(sf_dir: str, value_fn) -> pd.DataFrame:
+    """(event_type, v6) count histogram over events.value micro-units
+    — the bounded-value-histogram plan shared by MAD and mode (one
+    skinny reduce, rows bounded by #types x #distinct values, never by
+    #events). ``value_fn`` maps raw int64 micro-units to the
+    histogrammed value (identity, or |v - med| for the MAD pass)."""
+
+    def hist(b: pd.DataFrame) -> pd.DataFrame:
+        v6 = np.round(b["value"].to_numpy(np.float64) * 1e6) \
+            .astype(np.int64)
+        v6 = value_fn(b["event_type"].to_numpy(object), v6)
+        g = pd.DataFrame({"event_type": b["event_type"].to_numpy(object),
+                          "v6": v6})
+        return g.groupby(["event_type", "v6"], as_index=False) \
+            .size().rename(columns={"size": "cnt"})
+
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+    return _reduce_partials(ds.map_batches(hist, batch_format="pandas"),
+                            ["event_type", "v6"], ["cnt"])
+
+
+def _disc_quantile_per_group(h: pd.DataFrame, p: float) -> dict:
+    """percentile_disc per event_type off a (type, v6, cnt) histogram:
+    sorted[ceil(n*p) - 1] read from cumulative counts (the shared index
+    rule, cf. q_length_deciles)."""
+    out: dict = {}
+    for typ, g in h.groupby("event_type"):
+        g = g.sort_values("v6")
+        cum = g["cnt"].cumsum().to_numpy(np.int64)
+        n = int(cum[-1])
+        idx = min(max(int(np.ceil(n * p)) - 1, 0), n - 1)
+        out[typ] = int(g["v6"].to_numpy(np.int64)[
+            np.searchsorted(cum, idx + 1)])
+    return out
+
+
+def q_value_mad_by_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped robust statistics: exact median and median-absolute-
+    deviation of ``value`` per event type — outlier-robust telemetry
+    at corpus scale WITHOUT a global sort. Two histogram passes: (1)
+    value histogram -> per-type median by the percentile_disc index
+    rule, (2) |v - median| histogram (median broadcast in the closure)
+    -> per-type MAD by the same rule. Each pass's reduce is bounded by
+    #types x #distinct values; micro-unit int64 values make both
+    passes exact."""
+    h1 = _typed_hist(sf_dir, lambda types, v6: v6)
+    if h1.empty:
+        return _empty_typed(event_type=object, median="float64",
+                            mad="float64")
+    med = _disc_quantile_per_group(h1, 0.5)
+
+    def dev(types: np.ndarray, v6: np.ndarray) -> np.ndarray:
+        m = np.fromiter((med[t] for t in types), dtype=np.int64,
+                        count=len(types))
+        return np.abs(v6 - m)
+
+    mad = _disc_quantile_per_group(_typed_hist(sf_dir, dev), 0.5)
+    types = sorted(med)
+    return pd.DataFrame({
+        "event_type": types,
+        "median": [med[t] / 1e6 for t in types],
+        "mad": [mad[t] / 1e6 for t in types]})
+
+
+def q_value_mode_by_type(sf_dir: str) -> pd.DataFrame:
+    """Grouped exact MODE: most frequent value per event type, ties to
+    the smallest value — read directly off the same bounded value
+    histogram (one skinny reduce, no sort of the raw events)."""
+    h = _typed_hist(sf_dir, lambda types, v6: v6)
+    if h.empty:
+        return _empty_typed(event_type=object, mode_value="float64",
+                            n="int64")
+    best = h.sort_values(["event_type", "cnt", "v6"],
+                         ascending=[True, False, True], kind="mergesort") \
+        .drop_duplicates("event_type", keep="first")
+    return pd.DataFrame({
+        "event_type": best["event_type"].to_numpy(object),
+        "mode_value": best["v6"].to_numpy(np.int64) / 1e6,
+        "n": best["cnt"].to_numpy(np.int64)}) \
+        .sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: big-big ANTI join vs a corpus snapshot
+# ---------------------------------------------------------------------------
+
+_INCR_BUCKETS = 32
+
+
+def q_incremental_dedup(sf_dir: str) -> pd.DataFrame:
+    """Incremental ingestion dedup: drop new documents (top half of
+    doc_ids) whose exact text already exists in the snapshot (bottom
+    half) — the day-2 problem of a continuously-ingesting corpus.
+    BIG-BIG ANTI join: neither side's key set is collected; snapshot
+    hashes dedup per batch (skinny partials), both sides ride ONE
+    bucketed exchange on the content hash, membership is tested per
+    bucket (cf. the Q4-shaped semi in ``q_priority_semi_counts`` —
+    this is its anti dual). Collision-safe sha-256/128 keys; the SQL
+    twin anti-joins on the raw text (same relation on any corpus
+    without hash collisions, like ``dedup_exact``)."""
+    from .functions import dedup as fdedup
+    from .stages.joins import _bucket_of
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    half = ds.count() // 2
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        h = fdedup.content_hash(b["text"])
+        ids = b["doc_id"].to_numpy(np.int64)
+        old = ids < half
+        snap = pd.DataFrame({"h": h[old].unique()})
+        snap["doc_id"] = np.int64(-1)
+        snap["side"] = 0
+        new = pd.DataFrame({"h": h[~old].to_numpy(object),
+                            "doc_id": ids[~old], "side": 1})
+        return pd.concat([snap, new], ignore_index=True)
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b["__bucket"] = _bucket_of(b["h"], _INCR_BUCKETS)
+        return b
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy(np.int64)
+        seen = set(g.loc[side == 0, "h"])
+        new = g[side == 1]
+        keep = new[~new["h"].isin(seen)]
+        return keep[["doc_id"]]
+
+    with _scoped_parallelism(_INCR_BUCKETS):
+        out = ds.map_batches(tag, batch_format="pandas") \
+            .map_batches(add_bucket, batch_format="pandas") \
+            .groupby("__bucket").map_groups(per_bucket,
+                                            batch_format="pandas") \
+            .to_pandas()
+    if out.empty:
+        return _empty_typed(doc_id="int64")
+    return out.astype({"doc_id": "int64"}) \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -581,6 +725,9 @@ RELATIONAL_QUERIES = {
     "event_transitions": q_event_transitions,
     "rolling_time_window": q_rolling_time_window,
     "source_token_entropy": q_source_token_entropy,
+    "value_mad_by_type": q_value_mad_by_type,
+    "value_mode_by_type": q_value_mode_by_type,
+    "incremental_dedup": q_incremental_dedup,
 }
 
 RELATIONAL_ORACLES = {
@@ -722,6 +869,43 @@ RELATIONAL_ORACLES = {
                - ROUND(CAST(hh.s AS DOUBLE) / t.total, 0) / 1000000.0
                AS entropy
         FROM t JOIN hh USING (source)""",
+    # quantile_disc == the shared index rule sorted[ceil(n*p)-1]
+    "value_mad_by_type": """
+        WITH v AS (
+          SELECT event_type,
+                 CAST(round(value * 1000000) AS BIGINT) AS v6
+          FROM events),
+        med AS (
+          SELECT event_type, quantile_disc(v6, 0.5) AS m FROM v
+          GROUP BY event_type)
+        SELECT v.event_type,
+               CAST(MIN(med.m) AS DOUBLE) / 1000000.0 AS median,
+               CAST(quantile_disc(abs(v.v6 - med.m), 0.5) AS DOUBLE)
+                   / 1000000.0 AS mad
+        FROM v JOIN med USING (event_type)
+        GROUP BY v.event_type""",
+    "value_mode_by_type": """
+        WITH c AS (
+          SELECT event_type,
+                 CAST(round(value * 1000000) AS BIGINT) AS v6,
+                 COUNT(*) AS cnt
+          FROM events GROUP BY event_type, v6),
+        r AS (
+          SELECT event_type, v6, cnt,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY cnt DESC, v6) AS rn
+          FROM c)
+        SELECT event_type, CAST(v6 AS DOUBLE) / 1000000.0 AS mode_value,
+               CAST(cnt AS BIGINT) AS n
+        FROM r WHERE rn = 1""",
+    "incremental_dedup": """
+        WITH half AS (
+          SELECT CAST(COUNT(*) // 2 AS BIGINT) AS h FROM documents)
+        SELECT d.doc_id FROM documents d, half
+        WHERE d.doc_id >= half.h
+          AND coalesce(d.text, '') NOT IN (
+              SELECT coalesce(text, '') FROM documents, half
+              WHERE doc_id < half.h)""",
 }
 
 
