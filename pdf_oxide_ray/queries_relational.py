@@ -654,6 +654,57 @@ def q_value_mode_by_type(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# grouped linear trend (exact least-squares slope from combiner partials)
+# ---------------------------------------------------------------------------
+
+_TREND_EPOCH = "2024-01-01"  # events' day 0 (generator-bounded x range)
+
+
+def q_value_trend_by_type(sf_dir: str) -> pd.DataFrame:
+    """Least-squares slope of ``value`` against event DAY per event
+    type — trend detection over telemetry. The regression is a PURE
+    COMBINER: each batch emits five int64 moment partials (n, Σx, Σy,
+    Σxy, Σx²) per type (x = days since 2024-01-01, y = micro-units),
+    ONE skinny reduce sums them, and the driver evaluates the closed
+    form ``(nΣxy − ΣxΣy) / (nΣx² − (Σx)²)`` in arbitrary-precision
+    Python ints — the SQL twin's BIGINT sums promote to HUGEINT, so
+    both sides divide the identical integers (then identical doubles).
+    Groups with a degenerate x spread (all one day) yield NULL slope
+    on both sides. No shuffle carries raw events."""
+    ds = _pq(sf_dir, "events", ["event_type", "ts", "value"])
+    epoch = np.datetime64(_TREND_EPOCH, "D")
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        x = (b["ts"].to_numpy("datetime64[D]") - epoch) \
+            .astype(np.int64)
+        y = np.round(b["value"].to_numpy(np.float64) * 1e6) \
+            .astype(np.int64)
+        g = pd.DataFrame({"event_type": b["event_type"].to_numpy(object),
+                          "n": np.int64(1), "sx": x, "sy": y,
+                          "sxy": x * y, "sxx": x * x})
+        return g.groupby("event_type", as_index=False).sum()
+
+    agg = _reduce_partials(ds.map_batches(moments, batch_format="pandas"),
+                           ["event_type"], ["n", "sx", "sy", "sxy", "sxx"])
+    if agg.empty:
+        return _empty_typed(event_type=object, n="int64",
+                            slope="float64")
+    slopes = []
+    for _, r in agg.iterrows():
+        n, sx, sy, sxy, sxx = (int(r["n"]), int(r["sx"]), int(r["sy"]),
+                               int(r["sxy"]), int(r["sxx"]))
+        den = n * sxx - sx * sx
+        slopes.append(np.nan if den == 0
+                      else float(n * sxy - sx * sy) / float(den))
+    return pd.DataFrame({
+        "event_type": agg["event_type"].to_numpy(object),
+        "n": agg["n"].to_numpy(np.int64),
+        # slope in micro-units/day -> value-units/day on the shared grid
+        "slope": np.asarray(slopes, np.float64) / 1e6}) \
+        .sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # incremental dedup: big-big ANTI join vs a corpus snapshot
 # ---------------------------------------------------------------------------
 
@@ -728,6 +779,7 @@ RELATIONAL_QUERIES = {
     "value_mad_by_type": q_value_mad_by_type,
     "value_mode_by_type": q_value_mode_by_type,
     "incremental_dedup": q_incremental_dedup,
+    "value_trend_by_type": q_value_trend_by_type,
 }
 
 RELATIONAL_ORACLES = {
@@ -906,6 +958,25 @@ RELATIONAL_ORACLES = {
           AND coalesce(d.text, '') NOT IN (
               SELECT coalesce(text, '') FROM documents, half
               WHERE doc_id < half.h)""",
+    # BIGINT sums promote to HUGEINT, so the closed form divides the
+    # same exact integers the Python driver computes in big ints.
+    "value_trend_by_type": f"""
+        WITH m AS (
+          SELECT event_type, COUNT(*) AS n,
+                 SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx
+          FROM (SELECT event_type,
+                       CAST(datediff('day', DATE '{_TREND_EPOCH}',
+                                     CAST(ts AS DATE)) AS BIGINT) AS x,
+                       CAST(round(value * 1000000) AS BIGINT) AS y
+                FROM events)
+          GROUP BY event_type)
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                    ELSE (CAST(n * sxy - sx * sy AS DOUBLE)
+                          / CAST(n * sxx - sx * sx AS DOUBLE)) / 1000000.0
+               END AS slope
+        FROM m""",
 }
 
 
