@@ -763,6 +763,169 @@ def q_incremental_dedup(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PageRank over the near-dup graph (distributed integer power iteration)
+# ---------------------------------------------------------------------------
+
+_PR_Q = 10 ** 12  # total rank mass in integer units
+_PR_ITERS = 8
+_PR_BUCKETS = 16
+
+
+def q_dup_pagerank(sf_dir: str) -> pd.DataFrame:
+    """PageRank centrality over the winnowing near-dup graph — ranks
+    the 'template' documents whose text radiates through the most
+    duplicate families (dedup triage: keep the hub, drop satellites).
+    ALL arithmetic is int64 on a 1e-12 mass grid with floor division,
+    so 8 damped power iterations are bit-identical in any execution
+    order — the same quantization trick that makes kmeans_assign
+    CI-pinnable, here applied to a graph algorithm with an unrolled
+    8-CTE DuckDB twin (aggregation inside a recursive CTE is illegal,
+    so the twin unrolls the fixed iterations instead).
+
+    Shuffle budget per iteration: TWO int-only exchanges (the
+    q_dup_components budget) — (1) bucketed by source node: each
+    bucket joins its state rows (node, deg, rank) to its out-edges and
+    pre-reduces contribution messages (85·r)//(100·d) per destination,
+    plus one self-message carrying deg; (2) groupby(node) sum of
+    messages -> new state. Nodes/edges are the skinny dup tail of the
+    corpus, never the documents table."""
+    from .queries import (_WINNOW_PAIR_THRESHOLD, _winnow_pair_counts_ds)
+    from .stages.joins import _bucket_of
+    import ray.data as rd
+
+    def edges_of(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["sum(n)"] >= _WINNOW_PAIR_THRESHOLD]
+        a = b["id_a"].to_numpy(np.int64)
+        c = b["id_b"].to_numpy(np.int64)
+        return pd.DataFrame({"src": np.concatenate([a, c]),
+                             "dst": np.concatenate([c, a])})
+
+    with _scoped_parallelism(_PR_BUCKETS):
+        sym = _winnow_pair_counts_ds(sf_dir) \
+            .map_batches(edges_of, batch_format="pandas").materialize()
+    empty = _empty_typed(doc_id="int64", rank_q="int64")
+    if sym.count() == 0:
+        return empty
+
+    def deg_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("src", as_index=False) \
+            .agg(d=("dst", "size"))
+
+    deg = _reduce_partials(sym.map_batches(deg_partial,
+                                           batch_format="pandas"),
+                           ["src"], ["d"])
+    n_nodes = len(deg)
+    base = (15 * _PR_Q) // (100 * n_nodes)
+
+    if n_nodes <= _qmod._REDUCE_GATE_ROWS:
+        # the dup graph fits the driver (the common case — dup nodes
+        # are the skinny tail of the corpus): identical int64 power
+        # iteration in numpy, zero per-iteration exchanges
+        ep = sym.to_pandas()
+        nodes = np.sort(deg["src"].to_numpy(np.int64))
+        d = deg.set_index("src").loc[nodes, "d"].to_numpy(np.int64)
+        si = np.searchsorted(nodes, ep["src"].to_numpy(np.int64))
+        di = np.searchsorted(nodes, ep["dst"].to_numpy(np.int64))
+        r = np.full(n_nodes, _PR_Q // n_nodes, np.int64)
+        for _ in range(_PR_ITERS):
+            msg = (85 * r[si]) // (100 * d[si])
+            acc = np.zeros(n_nodes, np.int64)
+            np.add.at(acc, di, msg)
+            r = base + acc
+        return pd.DataFrame({"doc_id": nodes, "rank_q": r}) \
+            .reset_index(drop=True)
+
+    state = rd.from_pandas(pd.DataFrame({
+        "k": deg["src"].to_numpy(np.int64),
+        "deg": deg["d"].to_numpy(np.int64),
+        "r": np.int64(_PR_Q // n_nodes)}))
+
+    def tag_edges(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k": b["src"].to_numpy(np.int64),
+                             "dst": b["dst"].to_numpy(np.int64),
+                             "deg": np.int64(0), "r": np.int64(0),
+                             "side": np.int64(1)})
+
+    edges_tagged = sym.map_batches(tag_edges,
+                                   batch_format="pandas").materialize()
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b["__bucket"] = _bucket_of(b["k"], _PR_BUCKETS)
+        return b
+
+    def messages(g: pd.DataFrame) -> pd.DataFrame:
+        side = g["side"].to_numpy(np.int64)
+        st = g[side == 0]
+        ed = g[side == 1]
+        j = ed.merge(st[["k", "deg", "r"]], on="k",
+                     suffixes=("", "_s"))
+        msg = pd.DataFrame({
+            "node": j["dst"].to_numpy(np.int64),
+            "c": (85 * j["r_s"].to_numpy(np.int64))
+            // (100 * j["deg_s"].to_numpy(np.int64)),
+            "deg": np.int64(0)})
+        selfmsg = pd.DataFrame({
+            "node": st["k"].to_numpy(np.int64),
+            "c": np.int64(0),
+            "deg": st["deg"].to_numpy(np.int64)})
+        out = pd.concat([msg, selfmsg], ignore_index=True)
+        return out.groupby("node", as_index=False).sum()
+
+    from ray.data.aggregate import Sum
+
+    with _scoped_parallelism(_PR_BUCKETS):
+        for _ in range(_PR_ITERS):
+            tagged = state.map_batches(
+                lambda b: b.assign(dst=np.int64(0), side=np.int64(0)),
+                batch_format="pandas").union(edges_tagged)
+            summed = tagged \
+                .map_batches(add_bucket, batch_format="pandas") \
+                .groupby("__bucket").map_groups(messages,
+                                                batch_format="pandas") \
+                .groupby("node").aggregate(Sum("c", alias_name="c"),
+                                           Sum("deg", alias_name="deg"))
+            state = summed.map_batches(
+                lambda b: pd.DataFrame({
+                    "k": b["node"].to_numpy(np.int64),
+                    "deg": b["deg"].to_numpy(np.int64),
+                    "r": base + b["c"].to_numpy(np.int64)}),
+                batch_format="pandas").materialize()
+    out = state.to_pandas()
+    if out.empty:
+        return empty
+    return pd.DataFrame({"doc_id": out["k"].to_numpy(np.int64),
+                         "rank_q": out["r"].to_numpy(np.int64)}) \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+def _pagerank_oracle_sql() -> str:
+    """Unrolled 8-iteration integer PageRank twin over the winnowing
+    pair SQL (same floor-division arithmetic as q_dup_pagerank)."""
+    from .queries import _winnow_oracle_sql
+
+    base = f"(15 * {_PR_Q}) // (100 * (SELECT n FROM nn))"
+    ctes = [f"wp AS ({_winnow_oracle_sql()})",
+            "sym AS (SELECT id_a AS src, id_b AS dst FROM wp"
+            " UNION ALL SELECT id_b, id_a FROM wp)",
+            "deg AS (SELECT src, COUNT(*) AS d FROM sym GROUP BY src)",
+            "nn AS (SELECT COUNT(*) AS n FROM deg)",
+            f"r0 AS (SELECT src AS id, d, {_PR_Q} // (SELECT n FROM nn)"
+            " AS r FROM deg)"]
+    for t in range(_PR_ITERS):
+        ctes.append(f"""r{t + 1} AS (
+          SELECT g.id, deg.d, g.rn AS r
+          FROM (SELECT e.dst AS id,
+                       {base}
+                       + SUM((85 * r{t}.r) // (100 * r{t}.d)) AS rn
+                FROM r{t} JOIN sym e ON e.src = r{t}.id
+                GROUP BY e.dst) g
+          JOIN deg ON deg.src = g.id)""")
+    return ("WITH " + ",\n".join(ctes)
+            + f"\nSELECT CAST(id AS BIGINT) AS doc_id,"
+              f" CAST(r AS BIGINT) AS rank_q FROM r{_PR_ITERS}")
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -780,6 +943,7 @@ RELATIONAL_QUERIES = {
     "value_mode_by_type": q_value_mode_by_type,
     "incremental_dedup": q_incremental_dedup,
     "value_trend_by_type": q_value_trend_by_type,
+    "dup_pagerank": q_dup_pagerank,
 }
 
 RELATIONAL_ORACLES = {
@@ -983,6 +1147,7 @@ RELATIONAL_ORACLES = {
 def _register() -> None:
     from . import queries as _q
 
+    RELATIONAL_ORACLES["dup_pagerank"] = _pagerank_oracle_sql()
     _q.QUERIES.update(RELATIONAL_QUERIES)
     _q.ORACLE_SQL.update(RELATIONAL_ORACLES)
 

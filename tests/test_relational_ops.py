@@ -149,6 +149,27 @@ def test_relational_above_gate_path(ray_session, monkeypatch, name):
         .reset_index(drop=True))
 
 
+def test_dup_pagerank_paths_agree(ray_session, monkeypatch):
+    """The driver numpy iteration and the distributed two-exchange
+    iteration must produce identical int64 ranks (2 iterations to keep
+    the distributed loop's exchange overhead testable)."""
+    import pdf_oxide_ray.queries as Q
+    import pdf_oxide_ray.queries_relational as QR
+
+    sf = "/root/testdata/sf0.01"
+    monkeypatch.setattr(QR, "_PR_ITERS", 2)
+    small = QUERIES["dup_pagerank"](sf)
+    monkeypatch.setattr(Q, "_REDUCE_GATE_ROWS", 1)
+    big = QUERIES["dup_pagerank"](sf)
+    pd.testing.assert_frame_equal(small.reset_index(drop=True),
+                                  big.reset_index(drop=True))
+    assert len(small) > 0  # sf0.01 has dup families
+    # total mass is conserved up to floor-division shrinkage: every
+    # rank stays positive and below the full mass
+    assert (small["rank_q"] > 0).all()
+    assert small["rank_q"].sum() <= QR._PR_Q
+
+
 def test_rolling_time_window_ts_peers(ray_session, tmp_path):
     """SQL RANGE frames include ALL rows with the current row's ORDER BY
     value (ts peers), even 'later' ones — two same-ts events of one user
