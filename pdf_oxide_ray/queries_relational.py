@@ -763,6 +763,93 @@ def q_incremental_dedup(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# hourly anomaly z-scores (exact integer moments, shared-sqrt doubles)
+# ---------------------------------------------------------------------------
+
+def q_event_anomaly_hours(sf_dir: str) -> pd.DataFrame:
+    """Per-(type, hour-of-day) event-count z-score against the type's
+    hourly distribution — the monitoring/anomaly-triage rollup. One
+    skinny (type, hour) count reduce (cells bounded by #types x 24);
+    the z-score uses the all-integer rearrangement
+    ``(c·m − Σc) / sqrt(m·Σc² − (Σc)²)`` so both engines take sqrt of
+    the SAME int64 and divide the SAME integer numerator — identical
+    doubles, then the shared half-away 1e-6 rounding. Degenerate types
+    (zero variance) yield NULL on both sides."""
+
+    def cells(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"event_type": b["event_type"].to_numpy(object),
+                          "hr": b["ts"].dt.hour.to_numpy(np.int64)})
+        return g.groupby(["event_type", "hr"], as_index=False) \
+            .size().rename(columns={"size": "n"})
+
+    ds = _pq(sf_dir, "events", ["event_type", "ts"])
+    c = _reduce_partials(ds.map_batches(cells, batch_format="pandas"),
+                         ["event_type", "hr"], ["n"])
+    if c.empty:
+        return _empty_typed(event_type=object, hr="int64",
+                            n_events="int64", z="float64")
+    s = c.groupby("event_type").agg(
+        m=("n", "size"), sn=("n", "sum"),
+        snn=("n", lambda x: int((x.astype(object) ** 2).sum())))
+    zs = np.full(len(c), np.nan)
+    for i, (typ, n) in enumerate(zip(c["event_type"], c["n"])):
+        m, sn, snn = (int(s.loc[typ, "m"]), int(s.loc[typ, "sn"]),
+                      int(s.loc[typ, "snn"]))
+        nv = m * snn - sn * sn
+        if nv:
+            y = float(int(n) * m - sn) / np.sqrt(float(nv)) * 1e6
+            zs[i] = np.copysign(np.floor(np.abs(y) + 0.5), y) / 1e6
+    return pd.DataFrame({"event_type": c["event_type"].to_numpy(object),
+                         "hr": c["hr"].to_numpy(np.int64),
+                         "n_events": c["n"].to_numpy(np.int64),
+                         "z": zs}) \
+        .sort_values(["event_type", "hr"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling without replacement (A-ES exponential-jump keys)
+# ---------------------------------------------------------------------------
+
+_WRS_K = 25
+
+
+def q_weighted_sample(sf_dir: str) -> pd.DataFrame:
+    """Weighted sample WITHOUT replacement (Efraimidis–Spirakis A-ES):
+    25 documents drawn with probability proportional to length — the
+    curriculum/upsampling primitive. Key = ln(u)/w with u derived from
+    md5 (exact same uint64 -> double chain in SQL), maximized; the
+    per-batch top-k partial is associative, so the only exchange is
+    k rows per batch and the driver folds #batches x k rows. Zero-
+    weight docs are excluded on both sides (their key is -inf/NaN)."""
+
+    from .queries_analytic import _md5_u64
+
+    def topk(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["n_chars"] > 0]
+        ids = b["doc_id"].to_numpy(np.int64)
+        h = _md5_u64([f"wrs:{i}" for i in ids])
+        u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0
+        key = np.log(u) / b["n_chars"].to_numpy(np.float64)
+        g = pd.DataFrame({"doc_id": ids,
+                          "n_chars": b["n_chars"].to_numpy(np.int64),
+                          "key": key})
+        return g.sort_values(["key", "doc_id"],
+                             ascending=[False, True],
+                             kind="mergesort").head(_WRS_K)
+
+    parts = _pq(sf_dir, "documents", ["doc_id", "n_chars"]) \
+        .map_batches(topk, batch_format="pandas") \
+        .materialize().to_pandas()
+    if parts.empty:
+        return _empty_typed(doc_id="int64", n_chars="int64")
+    out = parts.sort_values(["key", "doc_id"],
+                            ascending=[False, True],
+                            kind="mergesort").head(_WRS_K)
+    return out[["doc_id", "n_chars"]].astype("int64") \
+        .reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # PageRank over the near-dup graph (distributed integer power iteration)
 # ---------------------------------------------------------------------------
 
@@ -944,6 +1031,8 @@ RELATIONAL_QUERIES = {
     "incremental_dedup": q_incremental_dedup,
     "value_trend_by_type": q_value_trend_by_type,
     "dup_pagerank": q_dup_pagerank,
+    "event_anomaly_hours": q_event_anomaly_hours,
+    "weighted_sample": q_weighted_sample,
 }
 
 RELATIONAL_ORACLES = {
@@ -1141,6 +1230,36 @@ RELATIONAL_ORACLES = {
                           / CAST(n * sxx - sx * sx AS DOUBLE)) / 1000000.0
                END AS slope
         FROM m""",
+    # z rearranged so sqrt and the division see identical int64s:
+    # (c*m - sn) / sqrt(m*snn - sn^2); half-away rounding on both sides
+    "event_anomaly_hours": """
+        WITH c AS (
+          SELECT event_type, CAST(hour(ts) AS BIGINT) AS hr,
+                 COUNT(*) AS n
+          FROM events GROUP BY event_type, hr),
+        s AS (
+          SELECT event_type, COUNT(*) AS m, SUM(n) AS sn,
+                 SUM(n * n) AS snn
+          FROM c GROUP BY event_type)
+        SELECT c.event_type, c.hr, CAST(c.n AS BIGINT) AS n_events,
+               CASE WHEN s.m * s.snn - s.sn * s.sn = 0 THEN NULL
+                    ELSE ROUND(CAST(c.n * s.m - s.sn AS DOUBLE)
+                               / sqrt(CAST(s.m * s.snn - s.sn * s.sn
+                                           AS DOUBLE)) * 1000000, 0)
+                         / 1000000.0
+               END AS z
+        FROM c JOIN s USING (event_type)""",
+    # A-ES key ln(u)/w from the identical md5-uint64 -> double chain
+    "weighted_sample": f"""
+        WITH keyed AS (
+          SELECT doc_id, n_chars,
+                 ln((CAST(('0x' || substr(md5('wrs:'
+                          || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT
+                          AS DOUBLE) + 1)
+                    / 18446744073709551616.0) / n_chars AS key
+          FROM documents WHERE n_chars > 0)
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+        FROM keyed ORDER BY key DESC, doc_id LIMIT {_WRS_K}""",
 }
 
 

@@ -19,7 +19,8 @@ _NAMES = ["order_count_distribution", "top_supplier_revenue",
           "unigram_logprob", "event_transitions", "rolling_time_window",
           "source_token_entropy", "value_mad_by_type",
           "value_mode_by_type", "incremental_dedup",
-          "value_trend_by_type"]
+          "value_trend_by_type",
+          "event_anomaly_hours", "weighted_sample"]
 
 _WORDS = ["alpha", "beta", "gamma", "the", "a", "of", "scan", "merge",
           "sort", "hash"]
