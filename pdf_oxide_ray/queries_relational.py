@@ -763,6 +763,93 @@ def q_incremental_dedup(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# referential-integrity audit (cross-table data-quality gate)
+# ---------------------------------------------------------------------------
+
+def q_fk_audit(sf_dir: str) -> pd.DataFrame:
+    """Pipeline data-quality gate: orphan-row counts for every foreign
+    key in the star schema (lineitem→orders, lineitem→part,
+    lineitem→supplier, orders→customer, customer→nation,
+    supplier→nation). Dimension key sets broadcast once (ray.put +
+    per-worker cache); each fact table streams through ONE pass that
+    tests ALL its FKs per batch and emits per-relation partial counts
+    — the shuffle carries #relations rows per batch. For fact→fact
+    edges whose key set outgrows a broadcast, the bucketed anti join
+    (cf. q_incremental_dedup) is the swap-in."""
+    import pyarrow.parquet as pq
+    import ray
+
+    def keyset(table: str, col: str):
+        t = pq.read_table(os.path.join(sf_dir, f"{table}.parquet"),
+                          columns=[col])
+        return ray.put(set(t.column(col).to_pylist()))
+
+    orders_ref = keyset("orders", "o_orderkey")
+    part_ref = keyset("part", "p_partkey")
+    supp_ref = keyset("supplier", "s_suppkey")
+    cust_ref = keyset("customer", "c_custkey")
+    nation_ref = keyset("nation", "n_nationkey")
+
+    def li_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "relation": ["lineitem.l_orderkey->orders",
+                         "lineitem.l_partkey->part",
+                         "lineitem.l_suppkey->supplier"],
+            "n_orphans": [
+                int((~b["l_orderkey"].isin(
+                    _get_broadcast(orders_ref))).sum()),
+                int((~b["l_partkey"].isin(
+                    _get_broadcast(part_ref))).sum()),
+                int((~b["l_suppkey"].isin(
+                    _get_broadcast(supp_ref))).sum())]})
+
+    def ord_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "relation": ["orders.o_custkey->customer"],
+            "n_orphans": [int((~b["o_custkey"].isin(
+                _get_broadcast(cust_ref))).sum())]})
+
+    def cust_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "relation": ["customer.c_nationkey->nation"],
+            "n_orphans": [int((~b["c_nationkey"].isin(
+                _get_broadcast(nation_ref))).sum())]})
+
+    def supp_partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "relation": ["supplier.s_nationkey->nation"],
+            "n_orphans": [int((~b["s_nationkey"].isin(
+                _get_broadcast(nation_ref))).sum())]})
+
+    parts = _pq(sf_dir, "lineitem",
+                ["l_orderkey", "l_partkey", "l_suppkey"]) \
+        .map_batches(li_partial, batch_format="pandas") \
+        .union(_pq(sf_dir, "orders", ["o_custkey"])
+               .map_batches(ord_partial, batch_format="pandas")) \
+        .union(_pq(sf_dir, "customer", ["c_nationkey"])
+               .map_batches(cust_partial, batch_format="pandas")) \
+        .union(_pq(sf_dir, "supplier", ["s_nationkey"])
+               .map_batches(supp_partial, batch_format="pandas"))
+    out = _reduce_partials(parts, ["relation"], ["n_orphans"])
+    # a fully-empty fact table yields no partials for its relations:
+    # complete with explicit zero rows so the audit always reports all
+    # six relations (matching the SQL twin's UNION ALL of scalars)
+    all_rel = ["customer.c_nationkey->nation",
+               "lineitem.l_orderkey->orders",
+               "lineitem.l_partkey->part",
+               "lineitem.l_suppkey->supplier",
+               "orders.o_custkey->customer",
+               "supplier.s_nationkey->nation"]
+    have = set(out["relation"]) if not out.empty else set()
+    missing = [r for r in all_rel if r not in have]
+    if missing:
+        out = pd.concat([out, pd.DataFrame(
+            {"relation": missing, "n_orphans": 0})], ignore_index=True)
+    return out.astype({"n_orphans": "int64"}) \
+        .sort_values("relation").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # hourly anomaly z-scores (exact integer moments, shared-sqrt doubles)
 # ---------------------------------------------------------------------------
 
@@ -1033,6 +1120,7 @@ RELATIONAL_QUERIES = {
     "dup_pagerank": q_dup_pagerank,
     "event_anomaly_hours": q_event_anomaly_hours,
     "weighted_sample": q_weighted_sample,
+    "fk_audit": q_fk_audit,
 }
 
 RELATIONAL_ORACLES = {
@@ -1260,6 +1348,36 @@ RELATIONAL_ORACLES = {
           FROM documents WHERE n_chars > 0)
         SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
         FROM keyed ORDER BY key DESC, doc_id LIMIT {_WRS_K}""",
+    "fk_audit": """
+        SELECT 'lineitem.l_orderkey->orders' AS relation,
+               CAST(COUNT(*) AS BIGINT) AS n_orphans
+        FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        UNION ALL
+        SELECT 'lineitem.l_partkey->part',
+               CAST(COUNT(*) AS BIGINT)
+        FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+        UNION ALL
+        SELECT 'lineitem.l_suppkey->supplier',
+               CAST(COUNT(*) AS BIGINT)
+        FROM lineitem l WHERE NOT EXISTS
+            (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+        UNION ALL
+        SELECT 'orders.o_custkey->customer',
+               CAST(COUNT(*) AS BIGINT)
+        FROM orders o WHERE NOT EXISTS
+            (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+        UNION ALL
+        SELECT 'customer.c_nationkey->nation',
+               CAST(COUNT(*) AS BIGINT)
+        FROM customer c WHERE NOT EXISTS
+            (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+        UNION ALL
+        SELECT 'supplier.s_nationkey->nation',
+               CAST(COUNT(*) AS BIGINT)
+        FROM supplier s WHERE NOT EXISTS
+            (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)""",
 }
 
 

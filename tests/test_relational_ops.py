@@ -20,7 +20,7 @@ _NAMES = ["order_count_distribution", "top_supplier_revenue",
           "source_token_entropy", "value_mad_by_type",
           "value_mode_by_type", "incremental_dedup",
           "value_trend_by_type",
-          "event_anomaly_hours", "weighted_sample"]
+          "event_anomaly_hours", "weighted_sample", "fk_audit"]
 
 _WORDS = ["alpha", "beta", "gamma", "the", "a", "of", "scan", "merge",
           "sort", "hash"]
@@ -90,11 +90,22 @@ def _write_tables(tmp_path, seed: int) -> str:
         "doc_id": np.arange(n_docs, dtype=np.int64),
         "text": texts, "lang": "en", "source": "synth",
         "n_chars": np.int64([len(t) for t in texts])})
+    # part UNDER-covers l_partkey (0..19) and nation UNDER-covers the
+    # nationkeys, so the fk_audit finds real orphans on most seeds
+    n_part = int(rs.randint(5, 20))
+    part = pd.DataFrame({
+        "p_partkey": np.arange(n_part, dtype=np.int64),
+        "p_name": "widget", "p_brand": "B", "p_type": "PROMO X",
+        "p_size": np.int32(1), "p_retailprice": 1.0})
+    nation = pd.DataFrame({
+        "n_nationkey": np.arange(int(rs.randint(1, 4)), dtype=np.int32),
+        "n_name": "N", "n_regionkey": np.int32(0)})
     d = tmp_path / f"rel-{seed}"
     os.makedirs(d, exist_ok=True)
     for name, df in (("customer", cust), ("supplier", sup),
                      ("orders", orders), ("lineitem", li), ("events", ev),
-                     ("documents", docs)):
+                     ("documents", docs), ("part", part),
+                     ("nation", nation)):
         df.to_parquet(d / f"{name}.parquet", index=False)
     return str(d)
 
@@ -102,7 +113,7 @@ def _write_tables(tmp_path, seed: int) -> str:
 def _oracle(sf_dir: str, sql: str) -> pd.DataFrame:
     con = duckdb.connect()
     for t in ("customer", "supplier", "orders", "lineitem", "events",
-              "documents"):
+              "documents", "part", "nation"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
     return con.execute(sql).fetchdf()
