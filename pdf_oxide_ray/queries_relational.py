@@ -763,6 +763,65 @@ def q_incremental_dedup(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# per-column data profiling (schema-quality report)
+# ---------------------------------------------------------------------------
+
+_PROFILE_COLS = ("event_id", "ts", "user_id", "event_type", "value",
+                 "props")
+
+
+def q_table_profile(sf_dir: str) -> pd.DataFrame:
+    """Per-column profile of the events table — row count, null count,
+    exact distinct count — the schema-quality report every ingestion
+    pipeline runs first. Each column streams independently with a
+    PRUNED single-column read; nulls are one int partial per batch and
+    distinct is the two-level distinct-partials pattern
+    (cf. q_distinct_users_per_type): per-batch drop_duplicates is the
+    combiner, so the exchange carries distinct values per batch, never
+    rows. Values cross the exchange in their NATIVE type (no string
+    round-trip), so the counts equal SQL COUNT(DISTINCT) exactly.
+    (Stored float NaNs would count as SQL non-null but pandas-null;
+    the corpus schema stores NULL, never NaN payloads.)"""
+    full = _pq(sf_dir, "events", list(_PROFILE_COLS))
+    n_rows = full.count()
+
+    def null_part(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {c: [int(b[c].isna().sum())] for c in _PROFILE_COLS})
+
+    agg = full.map_batches(null_part, batch_format="pandas") \
+        .sum(list(_PROFILE_COLS))
+    nulls = {c: (int(agg[f"sum({c})"]) if agg else 0)
+             for c in _PROFILE_COLS}
+
+    rows = []
+    for c in _PROFILE_COLS:
+        n_null = nulls[c]
+
+        def dedup(b: pd.DataFrame, c=c) -> pd.DataFrame:
+            return b[[c]].dropna().drop_duplicates()
+
+        m = _pq(sf_dir, "events", [c]) \
+            .map_batches(dedup, batch_format="pandas").materialize()
+        cnt = m.count()
+        if cnt == 0:
+            n_distinct = 0
+        elif cnt <= _qmod._REDUCE_GATE_ROWS:
+            n_distinct = int(m.to_pandas()[c].nunique())
+        else:  # distinct values never reach the driver
+            from ray.data.aggregate import Count
+
+            with _scoped_parallelism(32):
+                n_distinct = m.groupby(c).aggregate(Count()).count()
+        rows.append((c, n_rows, n_null, n_distinct))
+    return pd.DataFrame(rows, columns=["column_name", "n_rows", "n_null",
+                                       "n_distinct"]) \
+        .astype({"n_rows": "int64", "n_null": "int64",
+                 "n_distinct": "int64"}) \
+        .sort_values("column_name").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # referential-integrity audit (cross-table data-quality gate)
 # ---------------------------------------------------------------------------
 
@@ -1121,6 +1180,7 @@ RELATIONAL_QUERIES = {
     "event_anomaly_hours": q_event_anomaly_hours,
     "weighted_sample": q_weighted_sample,
     "fk_audit": q_fk_audit,
+    "table_profile": q_table_profile,
 }
 
 RELATIONAL_ORACLES = {
@@ -1378,6 +1438,12 @@ RELATIONAL_ORACLES = {
                CAST(COUNT(*) AS BIGINT)
         FROM supplier s WHERE NOT EXISTS
             (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)""",
+    "table_profile": "\nUNION ALL\n".join(
+        f"""SELECT '{c}' AS column_name,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+                   CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+            FROM events""" for c in _PROFILE_COLS),
 }
 
 

@@ -20,7 +20,8 @@ _NAMES = ["order_count_distribution", "top_supplier_revenue",
           "source_token_entropy", "value_mad_by_type",
           "value_mode_by_type", "incremental_dedup",
           "value_trend_by_type",
-          "event_anomaly_hours", "weighted_sample", "fk_audit"]
+          "event_anomaly_hours", "weighted_sample", "fk_audit",
+          "table_profile"]
 
 _WORDS = ["alpha", "beta", "gamma", "the", "a", "of", "scan", "merge",
           "sort", "hash"]
