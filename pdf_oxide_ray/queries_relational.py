@@ -635,6 +635,36 @@ def q_value_mad_by_type(sf_dir: str) -> pd.DataFrame:
         "mad": [mad[t] / 1e6 for t in types]})
 
 
+def q_value_outliers_by_type(sf_dir: str) -> pd.DataFrame:
+    """Tukey-fence outlier counts per event type: events outside
+    [p25 − 1.5·IQR, p75 + 1.5·IQR] — the classic telemetry screen.
+    Pass 1: the shared bounded value histogram -> exact p25/p75 by the
+    percentile_disc index rule; the fences stay on a 0.25-micro-unit
+    integer grid (4·fence = 4·q1 − 6·(q3−q1) is int), so the
+    containment test ``4·v < 4·lo`` is pure int64 — no float compare
+    anywhere. Pass 2 re-reads ONLY the histogram (no second corpus
+    pass): outlier counts sum straight off the (value, count) rows."""
+    h = _typed_hist(sf_dir, lambda types, v6: v6)
+    if h.empty:
+        return _empty_typed(event_type=object, n_low="int64",
+                            n_high="int64", n_total="int64")
+    q1 = _disc_quantile_per_group(h, 0.25)
+    q3 = _disc_quantile_per_group(h, 0.75)
+    rows = []
+    for typ, g in h.groupby("event_type"):
+        lo4 = 4 * q1[typ] - 6 * (q3[typ] - q1[typ])
+        hi4 = 4 * q3[typ] + 6 * (q3[typ] - q1[typ])
+        v4 = 4 * g["v6"].to_numpy(np.int64)
+        cnt = g["cnt"].to_numpy(np.int64)
+        rows.append((typ, int(cnt[v4 < lo4].sum()),
+                     int(cnt[v4 > hi4].sum()), int(cnt.sum())))
+    return pd.DataFrame(rows, columns=["event_type", "n_low", "n_high",
+                                       "n_total"]) \
+        .astype({"n_low": "int64", "n_high": "int64",
+                 "n_total": "int64"}) \
+        .sort_values("event_type").reset_index(drop=True)
+
+
 def q_value_mode_by_type(sf_dir: str) -> pd.DataFrame:
     """Grouped exact MODE: most frequent value per event type, ties to
     the smallest value — read directly off the same bounded value
@@ -1181,6 +1211,7 @@ RELATIONAL_QUERIES = {
     "weighted_sample": q_weighted_sample,
     "fk_audit": q_fk_audit,
     "table_profile": q_table_profile,
+    "value_outliers_by_type": q_value_outliers_by_type,
 }
 
 RELATIONAL_ORACLES = {
@@ -1444,6 +1475,28 @@ RELATIONAL_ORACLES = {
                    CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
                    CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
             FROM events""" for c in _PROFILE_COLS),
+    # fences on a 0.25-micro-unit int grid: 4*lo = 4*q1 - 6*IQR so the
+    # containment test is pure integer on both sides
+    "value_outliers_by_type": """
+        WITH v AS (
+          SELECT event_type,
+                 CAST(round(value * 1000000) AS BIGINT) AS v6
+          FROM events),
+        q AS (
+          SELECT event_type,
+                 quantile_disc(v6, 0.25) AS q1,
+                 quantile_disc(v6, 0.75) AS q3
+          FROM v GROUP BY event_type)
+        SELECT v.event_type,
+               CAST(SUM(CASE WHEN 4 * v.v6 <
+                    4 * q.q1 - 6 * (q.q3 - q.q1) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_low,
+               CAST(SUM(CASE WHEN 4 * v.v6 >
+                    4 * q.q3 + 6 * (q.q3 - q.q1) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_high,
+               CAST(COUNT(*) AS BIGINT) AS n_total
+        FROM v JOIN q USING (event_type)
+        GROUP BY v.event_type""",
 }
 
 
