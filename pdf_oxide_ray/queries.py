@@ -358,13 +358,18 @@ def q_join_customer_orders(sf_dir: str) -> pd.DataFrame:
 
 
 def q_join_lineitem_orders(sf_dir: str) -> pd.DataFrame:
-    """Large-large bucketed hash join (lineitem x orders) -> revenue per
-    order priority. num_buckets=32 is the skew knob."""
+    """Large-large join (lineitem x orders) -> revenue per order
+    priority, via AQE-style strategy selection: the skinny orders
+    key-map broadcasts below the 5M-row stats gate (zero shuffle at
+    test scale), and the partitioned bucketed hash join takes over
+    above it (num_buckets=32 is the skew knob)."""
+    from .stages.joins import adaptive_join
+
     li = _pq(sf_dir, "lineitem",
              ["l_orderkey", "l_extendedprice", "l_discount"])
     orders = _pq(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    joined = bucketed_hash_join(li, orders, "l_orderkey", "o_orderkey",
-                                num_buckets=32)
+    joined = adaptive_join(li, orders, "l_orderkey", "o_orderkey",
+                           num_buckets=32)
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         rev_i = _cents(b["l_extendedprice"]).to_numpy() \

@@ -821,7 +821,9 @@ def q_table_profile(sf_dir: str) -> pd.DataFrame:
 
     agg = full.map_batches(null_part, batch_format="pandas") \
         .sum(list(_PROFILE_COLS))
-    nulls = {c: (int(agg[f"sum({c})"]) if agg else 0)
+    # a zero-block dataset yields no aggregate (or None per column):
+    # every null count is 0 then, mirroring the twin's COUNT() = 0
+    nulls = {c: int((agg or {}).get(f"sum({c})") or 0)
              for c in _PROFILE_COLS}
 
     rows = []

@@ -161,6 +161,31 @@ def bucketed_hash_join(left_ds, right_ds, left_on: str, right_on: str,
 # key upstream if a single key's rows exceed a worker's heap.
 
 
+_ADAPTIVE_BROADCAST_MAX_ROWS = 5_000_000
+
+
+def adaptive_join(left_ds, right_ds, left_on: str, right_on: str,
+                  num_buckets: int = 32, how: str = "inner",
+                  broadcast_max_rows: int | None = None):
+    """AQE-style join strategy selection: when the RIGHT side's row
+    count (a cheap stat — parquet metadata for pruned reads) fits the
+    broadcast gate, ship it once via ``broadcast_join`` (zero shuffle);
+    otherwise fall back to the partitioned ``bucketed_hash_join``. Both
+    strategies produce the identical inner-join relation, so the choice
+    is pure physics — the same decision a cost-based optimizer makes
+    from table stats. The gate mirrors `_REDUCE_GATE_ROWS`' philosophy:
+    a skinny dimension or key-map side (rows × few columns) under ~5M
+    rows is cheaper to replicate than to shuffle both sides."""
+    n = right_ds.count()
+    gate = (_ADAPTIVE_BROADCAST_MAX_ROWS if broadcast_max_rows is None
+            else broadcast_max_rows)
+    if n <= gate:
+        return broadcast_join(left_ds, right_ds.to_pandas(), on=left_on,
+                              right_on=right_on, how=how)
+    return bucketed_hash_join(left_ds, right_ds, left_on, right_on,
+                              num_buckets=num_buckets, how=how)
+
+
 def asof_join(left_ds, right_ds, on: str, left_ts: str, right_ts: str,
               left_cols: list[str], right_cols: list[str],
               suffix: str = "_right"):

@@ -162,6 +162,32 @@ def test_relational_above_gate_path(ray_session, monkeypatch, name):
         .reset_index(drop=True))
 
 
+def test_adaptive_join_strategies_agree(ray_session):
+    """adaptive_join must produce the identical relation whichever
+    strategy the stats gate picks (broadcast vs bucketed)."""
+    import ray.data as rd
+
+    from pdf_oxide_ray.stages.joins import adaptive_join
+
+    left = rd.from_pandas(pd.DataFrame(
+        {"k": np.int64([1, 2, 2, 3, 5]),
+         "x": np.int64([10, 20, 21, 30, 50])}))
+    right = rd.from_pandas(pd.DataFrame(
+        {"rk": np.int64([1, 2, 3, 4]), "y": list("abcd")}))
+    a = adaptive_join(left, right, "k", "rk").to_pandas()
+    b = adaptive_join(left, right, "k", "rk",
+                      broadcast_max_rows=0).to_pandas()
+    cols = sorted(a.columns)
+    assert cols == sorted(b.columns)
+    # check_dtype=False: merging empty buckets promotes int64 -> float64
+    # (pandas artifact); the relation's VALUES must be identical
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values(cols).reset_index(drop=True),
+        b[cols].sort_values(cols).reset_index(drop=True),
+        check_dtype=False)
+    assert len(a) == 4  # k=5 unmatched, k=2 doubled
+
+
 def test_dup_pagerank_paths_agree(ray_session, monkeypatch):
     """The driver numpy iteration and the distributed two-exchange
     iteration must produce identical int64 ranks (2 iterations to keep
