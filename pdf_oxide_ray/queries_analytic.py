@@ -177,14 +177,15 @@ def q_region_revenue(sf_dir: str) -> pd.DataFrame:
     where the ordering customer and the line's supplier share the nation.
     Plan: region/nation/supplier/customer broadcast as key->nation maps
     (small sides; at 100 TB customer graduates to the bucketed join),
-    lineitem x orders goes through the one bucketed hash join, and the
+    lineitem x orders goes through the adaptive join (broadcast
+    under the stats gate, ONE bucketed exchange above), and the
     revenue rollup rides exact integer cents partials."""
     import os
 
     import pyarrow.parquet as pq
     import ray
 
-    from .stages.joins import bucketed_hash_join
+    from .stages.joins import adaptive_join
 
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
     region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
@@ -206,8 +207,8 @@ def q_region_revenue(sf_dir: str) -> pd.DataFrame:
                    ["l_orderkey", "l_suppkey", "l_extendedprice",
                     "l_discount"])
     orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-    joined = bucketed_hash_join(lineitem, orders, left_on="l_orderkey",
-                                right_on="o_orderkey", num_buckets=32)
+    joined = adaptive_join(lineitem, orders, left_on="l_orderkey",
+                           right_on="o_orderkey", num_buckets=32)
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         lk = _get_broadcast(ref)
@@ -287,7 +288,7 @@ def q_nation_trade_volume(sf_dir: str) -> pd.DataFrame:
     import pyarrow.parquet as pq
     import ray
 
-    from .stages.joins import bucketed_hash_join
+    from .stages.joins import adaptive_join
 
     nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
     supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
@@ -308,8 +309,8 @@ def q_nation_trade_volume(sf_dir: str) -> pd.DataFrame:
                     "l_discount"])
     orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey",
                                     "o_orderdate"])
-    joined = bucketed_hash_join(lineitem, orders, left_on="l_orderkey",
-                                right_on="o_orderkey", num_buckets=32)
+    joined = adaptive_join(lineitem, orders, left_on="l_orderkey",
+                           right_on="o_orderkey", num_buckets=32)
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         lk = _get_broadcast(ref)

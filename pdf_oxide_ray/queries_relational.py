@@ -793,6 +793,67 @@ def q_incremental_dedup(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# rolling weekly active users (windowed exact count-distinct)
+# ---------------------------------------------------------------------------
+
+_WAU_WINDOW_DAYS = 7
+
+
+def q_weekly_active_users(sf_dir: str) -> pd.DataFrame:
+    """Rolling 7-day active users per day — the WAU curve, an exact
+    windowed COUNT DISTINCT. Each event explodes to the ≤7 window-end
+    days it contributes to (the events_sliding explode pattern), with
+    per-batch dedup of (window_day, user) as the combiner — the
+    exchange carries distinct pairs per batch, never raw events — then
+    the two-level distinct + tiny per-day count (the
+    q_distinct_users_per_type shape). Output days are restricted to
+    days with ≥1 event (both sides identically)."""
+    ev = _pq(sf_dir, "events", ["user_id", "ts"])
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        day = b["ts"].to_numpy("datetime64[D]").astype(np.int64)
+        user = b["user_id"].to_numpy(np.int64)
+        k = _WAU_WINDOW_DAYS
+        out = pd.DataFrame({
+            "wday": np.repeat(day, k) + np.tile(np.arange(k), len(day)),
+            "user_id": np.repeat(user, k),
+            # only the event's own day marks the day as "active" for
+            # the output-day filter
+            "is_event_day": np.tile(
+                np.eye(1, k, 0, dtype=np.int64)[0], len(day))})
+        return out.groupby(["wday", "user_id"], as_index=False).max()
+
+    t = ev.map_batches(explode, batch_format="pandas").materialize()
+    n = t.count()
+    if n == 0:
+        return _empty_typed(day=object, wau="int64")
+    if n <= _qmod._REDUCE_GATE_ROWS:
+        dd = t.to_pandas().groupby(["wday", "user_id"], as_index=False) \
+            .max()
+        out = dd.groupby("wday", as_index=False).agg(
+            wau=("user_id", "size"), has=("is_event_day", "max"))
+    else:  # distinct pairs never reach the driver
+        from ray.data.aggregate import Max
+
+        with _scoped_parallelism(64):
+            pairs = t.groupby(["wday", "user_id"]).aggregate(
+                Max("is_event_day", alias_name="is_event_day"))
+            parts = pairs.map_batches(
+                lambda b: b.groupby("wday", as_index=False).agg(
+                    wau=("user_id", "size"),
+                    has=("is_event_day", "max")),
+                batch_format="pandas")
+            m2 = parts.materialize().to_pandas()
+            out = m2.groupby("wday", as_index=False).agg(
+                wau=("wau", "sum"), has=("has", "max"))
+    out = out[out["has"] > 0]
+    out["day"] = np.datetime_as_string(
+        out["wday"].to_numpy(np.int64).astype("datetime64[D]"), unit="D")
+    return out[["day", "wau"]].astype({"wau": "int64"}) \
+        .sort_values("day").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # per-column data profiling (schema-quality report)
 # ---------------------------------------------------------------------------
 
@@ -1214,6 +1275,7 @@ RELATIONAL_QUERIES = {
     "fk_audit": q_fk_audit,
     "table_profile": q_table_profile,
     "value_outliers_by_type": q_value_outliers_by_type,
+    "weekly_active_users": q_weekly_active_users,
 }
 
 RELATIONAL_ORACLES = {
@@ -1499,6 +1561,14 @@ RELATIONAL_ORACLES = {
                CAST(COUNT(*) AS BIGINT) AS n_total
         FROM v JOIN q USING (event_type)
         GROUP BY v.event_type""",
+    "weekly_active_users": f"""
+        WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        days AS (SELECT DISTINCT d FROM ev)
+        SELECT strftime(days.d, '%Y-%m-%d') AS day,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS wau
+        FROM days JOIN ev e
+          ON e.d <= days.d AND e.d > days.d - {_WAU_WINDOW_DAYS}
+        GROUP BY days.d""",
 }
 
 

@@ -21,7 +21,8 @@ _NAMES = ["order_count_distribution", "top_supplier_revenue",
           "value_mode_by_type", "incremental_dedup",
           "value_trend_by_type",
           "event_anomaly_hours", "weighted_sample", "fk_audit",
-          "table_profile", "value_outliers_by_type"]
+          "table_profile", "value_outliers_by_type",
+          "weekly_active_users"]
 
 _WORDS = ["alpha", "beta", "gamma", "the", "a", "of", "scan", "merge",
           "sort", "hash"]
