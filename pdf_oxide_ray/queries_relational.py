@@ -793,6 +793,110 @@ def q_incremental_dedup(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# grouped Pearson correlation (value vs hour-of-day)
+# ---------------------------------------------------------------------------
+
+def q_value_hour_correlation(sf_dir: str) -> pd.DataFrame:
+    """Pearson correlation of ``value`` against hour-of-day per event
+    type — 'is this metric diurnal?'. Same pure-combiner shape as
+    ``q_value_trend_by_type``: six int64 moment partials per (type,
+    batch), one skinny reduce, closed form on the driver in
+    arbitrary-precision ints; both engines compute
+    num/sqrt(CAST(d1·d2 AS DOUBLE)) from the identical integers (SQL
+    sums promote to HUGEINT; int64 batch partials stay in range far
+    beyond the test scales), then the shared half-away 1e-6 rounding.
+    Degenerate variance → NULL on both sides."""
+    ds = _pq(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        x = b["ts"].dt.hour.to_numpy(np.int64)
+        # CENTS, not micro-units: r is scale-invariant and y^2 partials
+        # must stay far from int64 wrap (micro-units square to ~2.5e17
+        # per row — a thousand-row batch already overflows). Half-AWAY
+        # rounding: 3-decimal values put v*100 on exact .5 ties where
+        # np.round's half-even diverges from DuckDB round()
+        v = b["value"].to_numpy(np.float64) * 100
+        y = np.copysign(np.floor(np.abs(v) + 0.5), v).astype(np.int64)
+        g = pd.DataFrame({"event_type": b["event_type"].to_numpy(object),
+                          "n": np.int64(1), "sx": x, "sy": y,
+                          "sxy": x * y, "sxx": x * x, "syy": y * y})
+        return g.groupby("event_type", as_index=False).sum()
+
+    agg = _reduce_partials(ds.map_batches(moments, batch_format="pandas"),
+                           ["event_type"],
+                           ["n", "sx", "sy", "sxy", "sxx", "syy"])
+    if agg.empty:
+        return _empty_typed(event_type=object, n="int64", r="float64")
+    rs = []
+    for _, row in agg.iterrows():
+        n, sx, sy, sxy, sxx, syy = (int(row[c]) for c in
+                                    ("n", "sx", "sy", "sxy", "sxx",
+                                     "syy"))
+        d1, d2 = n * sxx - sx * sx, n * syy - sy * sy
+        if d1 == 0 or d2 == 0:
+            rs.append(np.nan)
+            continue
+        v = float(n * sxy - sx * sy) / np.sqrt(float(d1 * d2)) * 1e6
+        rs.append(np.copysign(np.floor(np.abs(v) + 0.5), v) / 1e6)
+    return pd.DataFrame({"event_type": agg["event_type"].to_numpy(object),
+                         "n": agg["n"].to_numpy(np.int64),
+                         "r": np.asarray(rs, np.float64)}) \
+        .sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# cross-source duplicate containment (corpus lineage)
+# ---------------------------------------------------------------------------
+
+def q_cross_source_dups(sf_dir: str) -> pd.DataFrame:
+    """Which sources copy from which: count of document PAIRS with
+    identical text across two different sources — the containment
+    matrix that tells a corpus curator where mirrored/aggregator
+    content lives. Per-batch (hash, source) dedup partials ride one
+    keyed exchange; per hash the pair counts are products of
+    per-source multiplicities (never materialized pairs), and the
+    final matrix is bounded by #sources². The SQL twin self-joins on
+    text equality — same relation absent sha-256/128 collisions (the
+    ``dedup_exact`` convention)."""
+    from .functions import dedup as fdedup
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text", "source"])
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "h": fdedup.content_hash(b["text"]),
+            "source": b["source"].to_numpy(object)}) \
+            .groupby(["h", "source"], as_index=False) \
+            .size().rename(columns={"size": "n"})
+
+    hs = _reduce_partials(ds.map_batches(tag, batch_format="pandas"),
+                          ["h", "source"], ["n"])
+    empty = _empty_typed(source_a=object, source_b=object,
+                         n_pairs="int64")
+    if hs.empty:
+        return empty
+    rows: dict = {}
+    for _, g in hs.groupby("h"):
+        if len(g) < 2:
+            continue
+        src = g["source"].to_numpy(object)
+        cnt = g["n"].to_numpy(np.int64)
+        order = np.argsort(src)
+        src, cnt = src[order], cnt[order]
+        for i in range(len(src)):
+            for j in range(i + 1, len(src)):
+                k = (src[i], src[j])
+                rows[k] = rows.get(k, 0) + int(cnt[i]) * int(cnt[j])
+    if not rows:
+        return empty
+    out = pd.DataFrame(
+        [(a, b, n) for (a, b), n in rows.items()],
+        columns=["source_a", "source_b", "n_pairs"])
+    return out.astype({"n_pairs": "int64"}) \
+        .sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # rolling weekly active users (windowed exact count-distinct)
 # ---------------------------------------------------------------------------
 
@@ -1276,6 +1380,8 @@ RELATIONAL_QUERIES = {
     "table_profile": q_table_profile,
     "value_outliers_by_type": q_value_outliers_by_type,
     "weekly_active_users": q_weekly_active_users,
+    "cross_source_dups": q_cross_source_dups,
+    "value_hour_correlation": q_value_hour_correlation,
 }
 
 RELATIONAL_ORACLES = {
@@ -1569,6 +1675,33 @@ RELATIONAL_ORACLES = {
         FROM days JOIN ev e
           ON e.d <= days.d AND e.d > days.d - {_WAU_WINDOW_DAYS}
         GROUP BY days.d""",
+    "cross_source_dups": """
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM documents a JOIN documents b
+          ON coalesce(a.text, '') = coalesce(b.text, '')
+         AND a.source < b.source
+        GROUP BY a.source, b.source""",
+    "value_hour_correlation": """
+        WITH m AS (
+          SELECT event_type, COUNT(*) AS n,
+                 SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+                 SUM(x * x) AS sxx, SUM(y * y) AS syy
+          FROM (SELECT event_type,
+                       CAST(hour(ts) AS BIGINT) AS x,
+                       CAST(round(value * 100) AS BIGINT) AS y
+                FROM events)
+          GROUP BY event_type)
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               CASE WHEN n * sxx - sx * sx = 0
+                      OR n * syy - sy * sy = 0 THEN NULL
+                    ELSE ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                               / sqrt(CAST((n * sxx - sx * sx)
+                                           * (n * syy - sy * sy)
+                                           AS DOUBLE)) * 1000000, 0)
+                         / 1000000.0
+               END AS r
+        FROM m""",
 }
 
 

@@ -22,7 +22,8 @@ _NAMES = ["order_count_distribution", "top_supplier_revenue",
           "value_trend_by_type",
           "event_anomaly_hours", "weighted_sample", "fk_audit",
           "table_profile", "value_outliers_by_type",
-          "weekly_active_users"]
+          "weekly_active_users", "cross_source_dups",
+          "value_hour_correlation"]
 
 _WORDS = ["alpha", "beta", "gamma", "the", "a", "of", "scan", "merge",
           "sort", "hash"]
@@ -90,7 +91,8 @@ def _write_tables(tmp_path, seed: int) -> str:
         texts.append(sep.join(words))
     docs = pd.DataFrame({
         "doc_id": np.arange(n_docs, dtype=np.int64),
-        "text": texts, "lang": "en", "source": "synth",
+        "text": texts, "lang": "en",
+        "source": rs.choice(["src0", "src1"], n_docs),
         "n_chars": np.int64([len(t) for t in texts])})
     # part UNDER-covers l_partkey (0..19) and nation UNDER-covers the
     # nationkeys, so the fk_audit finds real orphans on most seeds
