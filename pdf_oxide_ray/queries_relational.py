@@ -852,11 +852,13 @@ def q_cross_source_dups(sf_dir: str) -> pd.DataFrame:
     """Which sources copy from which: count of document PAIRS with
     identical text across two different sources — the containment
     matrix that tells a corpus curator where mirrored/aggregator
-    content lives. Per-batch (hash, source) dedup partials ride one
-    keyed exchange; per hash the pair counts are products of
-    per-source multiplicities (never materialized pairs), and the
-    final matrix is bounded by #sources². The SQL twin self-joins on
-    text equality — same relation absent sha-256/128 collisions (the
+    content lives. Per-batch (hash, source, n) partials ride ONE
+    bucketed exchange on the hash; inside each bucket only hashes seen
+    under ≥2 sources survive (the corpus-sized single-source tail dies
+    distributed-side), pair counts are products of per-source
+    multiplicities (pairs never materialize), and the driver reduce is
+    #sources²-bounded partials. The SQL twin self-joins on text
+    equality — same relation absent sha-256/128 collisions (the
     ``dedup_exact`` convention)."""
     from .functions import dedup as fdedup
 
@@ -869,29 +871,49 @@ def q_cross_source_dups(sf_dir: str) -> pd.DataFrame:
             .groupby(["h", "source"], as_index=False) \
             .size().rename(columns={"size": "n"})
 
-    hs = _reduce_partials(ds.map_batches(tag, batch_format="pandas"),
-                          ["h", "source"], ["n"])
+    from .stages.joins import _bucket_of
+
     empty = _empty_typed(source_a=object, source_b=object,
                          n_pairs="int64")
-    if hs.empty:
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b["__bucket"] = _bucket_of(b["h"], 32)
+        return b
+
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # combine batch partials, then ONLY hashes seen under >= 2
+        # sources survive — the corpus-sized single-source tail dies
+        # inside the bucket and never reaches the driver
+        g = g.groupby(["h", "source"], as_index=False)["n"].sum()
+        g = g[g.duplicated("h", keep=False)]
+        rows: dict = {}
+        for _, sub in g.groupby("h", sort=False):
+            src = sub["source"].to_numpy(object)
+            cnt = sub["n"].to_numpy(np.int64)
+            order = np.argsort(src)
+            src, cnt = src[order], cnt[order]
+            for i in range(len(src)):
+                for j in range(i + 1, len(src)):
+                    k = (src[i], src[j])
+                    rows[k] = rows.get(k, 0) + int(cnt[i]) * int(cnt[j])
+        if not rows:
+            return pd.DataFrame({
+                "source_a": pd.Series([], dtype=object),
+                "source_b": pd.Series([], dtype=object),
+                "n_pairs": pd.Series([], dtype="int64")})
+        return pd.DataFrame(
+            [(a, b, n) for (a, b), n in rows.items()],
+            columns=["source_a", "source_b", "n_pairs"])
+
+    with _scoped_parallelism(32):
+        parts = ds.map_batches(tag, batch_format="pandas") \
+            .map_batches(add_bucket, batch_format="pandas") \
+            .groupby("__bucket").map_groups(pairs_in_bucket,
+                                            batch_format="pandas")
+        out = _reduce_partials(parts, ["source_a", "source_b"],
+                               ["n_pairs"])
+    if out.empty:
         return empty
-    rows: dict = {}
-    for _, g in hs.groupby("h"):
-        if len(g) < 2:
-            continue
-        src = g["source"].to_numpy(object)
-        cnt = g["n"].to_numpy(np.int64)
-        order = np.argsort(src)
-        src, cnt = src[order], cnt[order]
-        for i in range(len(src)):
-            for j in range(i + 1, len(src)):
-                k = (src[i], src[j])
-                rows[k] = rows.get(k, 0) + int(cnt[i]) * int(cnt[j])
-    if not rows:
-        return empty
-    out = pd.DataFrame(
-        [(a, b, n) for (a, b), n in rows.items()],
-        columns=["source_a", "source_b", "n_pairs"])
     return out.astype({"n_pairs": "int64"}) \
         .sort_values(["source_a", "source_b"]).reset_index(drop=True)
 
