@@ -38,7 +38,8 @@ BENCH_QUERIES = [
     "length_cdf",
     "order_count_distribution", "large_orders", "retention_cohorts",
     "unigram_logprob", "event_transitions", "rolling_time_window",
-    "source_token_entropy",
+    "source_token_entropy", "value_mad_by_type", "weighted_sample",
+    "fk_audit", "weekly_active_users", "value_hour_correlation",
 ]
 
 
