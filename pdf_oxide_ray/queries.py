@@ -3066,8 +3066,8 @@ ORACLE_SQL["pack_blocks"] = r"""
                0) AS before
       FROM tok)
     SELECT doc_id, n_tokens,
-           before // 512 AS block_id,
-           before % 512 AS offset_in_block
+           CAST(before // 512 AS BIGINT) AS block_id,
+           CAST(before % 512 AS BIGINT) AS offset_in_block
     FROM w"""
 
 

@@ -1044,60 +1044,93 @@ def q_table_profile(sf_dir: str) -> pd.DataFrame:
 # referential-integrity audit (cross-table data-quality gate)
 # ---------------------------------------------------------------------------
 
-def q_fk_audit(sf_dir: str) -> pd.DataFrame:
+_FK_BUCKETS = 32
+
+
+def _orphan_count(vals: np.ndarray, keys: np.ndarray) -> int:
+    """Rows of ``vals`` absent from the SORTED UNIQUE int64 ``keys``
+    (vectorized searchsorted — no per-call set re-hash)."""
+    v = vals.astype(np.int64, copy=False)
+    if keys.size == 0:
+        return int(v.size)
+    idx = np.searchsorted(keys, v)
+    hit = (idx < keys.size) & (keys[np.minimum(idx, keys.size - 1)] == v)
+    return int((~hit).sum())
+
+
+def q_fk_audit(sf_dir: str, *,
+               fact_broadcast_max: int | None = None) -> pd.DataFrame:
     """Pipeline data-quality gate: orphan-row counts for every foreign
     key in the star schema (lineitem→orders, lineitem→part,
     lineitem→supplier, orders→customer, customer→nation,
-    supplier→nation). Dimension key sets broadcast once (ray.put +
-    per-worker cache); each fact table streams through ONE pass that
-    tests ALL its FKs per batch and emits per-relation partial counts
-    — the shuffle carries #relations rows per batch. For fact→fact
-    edges whose key set outgrows a broadcast, the bucketed anti join
-    (cf. q_incremental_dedup) is the swap-in."""
+    supplier→nation). Dimension key sets broadcast ONCE as sorted
+    unique int64 numpy arrays (ray.put + per-worker cache; membership
+    is a vectorized searchsorted, not a Python-set re-hash per batch);
+    each fact table streams through ONE pass that tests its
+    broadcastable FKs per batch and emits per-relation partial counts
+    — the shuffle carries #relations rows per batch. The fact→fact
+    edge (lineitem→orders) is gated on the orders ROW COUNT from
+    parquet metadata (no data read): at or below the gate the key
+    array broadcasts like a dimension; above it neither side touches
+    the driver — per-batch (key, multiplicity) partials from lineitem
+    and per-batch distinct keys from orders ride ONE bucketed
+    exchange (cf. q_incremental_dedup) and each bucket emits a single
+    orphan-count partial."""
     import pyarrow.parquet as pq
     import ray
 
-    def keyset(table: str, col: str):
+    from .stages.joins import _bucket_of
+
+    gate = (_qmod._REDUCE_GATE_ROWS if fact_broadcast_max is None
+            else fact_broadcast_max)
+
+    def sorted_keys(table: str, col: str):
         t = pq.read_table(os.path.join(sf_dir, f"{table}.parquet"),
                           columns=[col])
-        return ray.put(set(t.column(col).to_pylist()))
+        arr = t.column(col).to_numpy(zero_copy_only=False)
+        return ray.put(np.unique(arr.astype(np.int64)))
 
-    orders_ref = keyset("orders", "o_orderkey")
-    part_ref = keyset("part", "p_partkey")
-    supp_ref = keyset("supplier", "s_suppkey")
-    cust_ref = keyset("customer", "c_custkey")
-    nation_ref = keyset("nation", "n_nationkey")
+    n_orders = pq.ParquetFile(
+        os.path.join(sf_dir, "orders.parquet")).metadata.num_rows
+    orders_bcast = n_orders <= gate
+    orders_ref = sorted_keys("orders", "o_orderkey") if orders_bcast \
+        else None
+    part_ref = sorted_keys("part", "p_partkey")
+    supp_ref = sorted_keys("supplier", "s_suppkey")
+    cust_ref = sorted_keys("customer", "c_custkey")
+    nation_ref = sorted_keys("nation", "n_nationkey")
 
     def li_partial(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "relation": ["lineitem.l_orderkey->orders",
-                         "lineitem.l_partkey->part",
-                         "lineitem.l_suppkey->supplier"],
-            "n_orphans": [
-                int((~b["l_orderkey"].isin(
-                    _get_broadcast(orders_ref))).sum()),
-                int((~b["l_partkey"].isin(
-                    _get_broadcast(part_ref))).sum()),
-                int((~b["l_suppkey"].isin(
-                    _get_broadcast(supp_ref))).sum())]})
+        rels = ["lineitem.l_partkey->part",
+                "lineitem.l_suppkey->supplier"]
+        counts = [
+            _orphan_count(b["l_partkey"].to_numpy(),
+                          _get_broadcast(part_ref)),
+            _orphan_count(b["l_suppkey"].to_numpy(),
+                          _get_broadcast(supp_ref))]
+        if orders_bcast:
+            rels.append("lineitem.l_orderkey->orders")
+            counts.append(_orphan_count(b["l_orderkey"].to_numpy(),
+                                        _get_broadcast(orders_ref)))
+        return pd.DataFrame({"relation": rels, "n_orphans": counts})
 
     def ord_partial(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "relation": ["orders.o_custkey->customer"],
-            "n_orphans": [int((~b["o_custkey"].isin(
-                _get_broadcast(cust_ref))).sum())]})
+            "n_orphans": [_orphan_count(b["o_custkey"].to_numpy(),
+                                        _get_broadcast(cust_ref))]})
 
     def cust_partial(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "relation": ["customer.c_nationkey->nation"],
-            "n_orphans": [int((~b["c_nationkey"].isin(
-                _get_broadcast(nation_ref))).sum())]})
+            "n_orphans": [_orphan_count(b["c_nationkey"].to_numpy(),
+                                        _get_broadcast(nation_ref))]})
 
     def supp_partial(b: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "relation": ["supplier.s_nationkey->nation"],
-            "n_orphans": [int((~b["s_nationkey"].isin(
-                _get_broadcast(nation_ref))).sum())]})
+            "n_orphans": [_orphan_count(b["s_nationkey"].to_numpy(),
+                                        _get_broadcast(nation_ref))]})
 
     parts = _pq(sf_dir, "lineitem",
                 ["l_orderkey", "l_partkey", "l_suppkey"]) \
@@ -1109,6 +1142,54 @@ def q_fk_audit(sf_dir: str) -> pd.DataFrame:
         .union(_pq(sf_dir, "supplier", ["s_nationkey"])
                .map_batches(supp_partial, batch_format="pandas"))
     out = _reduce_partials(parts, ["relation"], ["n_orphans"])
+
+    if not orders_bcast:
+        # bucketed anti-join for lineitem.l_orderkey -> orders: skinny
+        # (key, n) partials from lineitem, distinct keys from orders,
+        # one hash exchange on the key, per-bucket searchsorted.
+        def li_keys(b: pd.DataFrame) -> pd.DataFrame:
+            vc = b["l_orderkey"].value_counts()
+            return pd.DataFrame({"k": vc.index.to_numpy(np.int64),
+                                 "n": vc.to_numpy(np.int64)})
+
+        def ord_keys(b: pd.DataFrame) -> pd.DataFrame:
+            u = np.unique(b["o_orderkey"].to_numpy(np.int64))
+            return pd.DataFrame({"k": u,
+                                 "n": np.full(u.size, -1, np.int64)})
+
+        def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+            b["__bucket"] = _bucket_of(b["k"], _FK_BUCKETS)
+            return b
+
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            n = g["n"].to_numpy(np.int64)
+            keys = np.unique(g.loc[n < 0, "k"].to_numpy(np.int64))
+            li = g[n > 0]
+            vals = li["k"].to_numpy(np.int64)
+            if keys.size == 0:
+                orphans = int(li["n"].sum())
+            else:
+                pos = np.searchsorted(keys, vals)
+                hit = (pos < keys.size) & \
+                    (keys[np.minimum(pos, keys.size - 1)] == vals)
+                orphans = int(li["n"].to_numpy(np.int64)[~hit].sum())
+            return pd.DataFrame({"n_orphans": [orphans]})
+
+        with _scoped_parallelism(_FK_BUCKETS):
+            li = _pq(sf_dir, "lineitem", ["l_orderkey"]) \
+                .map_batches(li_keys, batch_format="pandas")
+            od = _pq(sf_dir, "orders", ["o_orderkey"]) \
+                .map_batches(ord_keys, batch_format="pandas")
+            bucketed = li.union(od) \
+                .map_batches(add_bucket, batch_format="pandas") \
+                .groupby("__bucket") \
+                .map_groups(per_bucket, batch_format="pandas") \
+                .to_pandas()
+        n_orph = int(bucketed["n_orphans"].sum()) \
+            if not bucketed.empty else 0
+        out = pd.concat([out, pd.DataFrame(
+            {"relation": ["lineitem.l_orderkey->orders"],
+             "n_orphans": [n_orph]})], ignore_index=True)
     # a fully-empty fact table yields no partials for its relations:
     # complete with explicit zero rows so the audit always reports all
     # six relations (matching the SQL twin's UNION ALL of scalars)

@@ -261,3 +261,18 @@ def test_top_supplier_revenue_exact_tie(ray_session, tmp_path):
     out = QUERIES["top_supplier_revenue"](str(d))
     assert out["s_suppkey"].tolist() == [1, 2]
     assert (out["total_revenue"] == 95.0).all()
+
+
+def test_fk_audit_bucketed_path_matches_broadcast(ray_session, tmp_path):
+    """Above the fact-broadcast gate the lineitem->orders edge must ride
+    the bucketed anti-join and produce the identical audit as the
+    broadcast path (and the DuckDB twin)."""
+    from pdf_oxide_ray.queries_relational import q_fk_audit
+
+    sf_dir = _write_tables(tmp_path, 7)
+    bcast = q_fk_audit(sf_dir)
+    bucketed = q_fk_audit(sf_dir, fact_broadcast_max=0)
+    pd.testing.assert_frame_equal(bcast.reset_index(drop=True),
+                                  bucketed.reset_index(drop=True))
+    _assert_equal(bucketed, _oracle(sf_dir, ORACLE_SQL["fk_audit"]),
+                  "fk_audit-bucketed")

@@ -69,8 +69,21 @@ def main() -> int:
             problems.append(f"rows {len(mine)} vs {len(gold)}")
         if sorted(mine.columns) != sorted(gold.columns):
             problems.append(f"cols {sorted(mine.columns)} vs {sorted(gold.columns)}")
-        elif value_hash(mine) != value_hash(gold):
-            problems.append("value-hash mismatch")
+        else:
+            # dtype-kind parity: the driver's hash distinguishes 3 from 3.0
+            # (the r02 pack_blocks HUGEINT->float64 lesson); %.17g CSV alone
+            # would mask an int-vs-float divergence, so check kinds first.
+            bad_kinds = [
+                c for c in mine.columns
+                if mine[c].dtype.kind != gold[c].dtype.kind
+                and {mine[c].dtype.kind, gold[c].dtype.kind} <= {"i", "u", "f"}
+            ]
+            if bad_kinds:
+                problems.append(
+                    "dtype mismatch: " + ", ".join(
+                        f"{c} {mine[c].dtype}!={gold[c].dtype}" for c in bad_kinds))
+            elif value_hash(mine) != value_hash(gold):
+                problems.append("value-hash mismatch")
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
             n_fail += 1
