@@ -1331,22 +1331,17 @@ def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
     num_band_buckets = 64
 
     def bands(b: pd.DataFrame) -> pd.DataFrame:
-        rows_id, rows_band, rows_hash = [], [], []
-        for did, text in zip(b["doc_id"], b["text"].fillna("")):
-            sig = fdedup.minhash_signature(text)
-            for band_id, bh in enumerate(fdedup.minhash_bands(sig)):
-                rows_id.append(did)
-                rows_band.append(band_id)
-                rows_hash.append(bh)
-        bh_arr = pd.Series(rows_hash, dtype="int64")
+        br = fdedup.batch_minhash_band_rows(b["text"])
+        bh_arr = br["band_hash"]
         # grouping by the raw (band_id, band_hash) would mean one
         # map_groups group per band hash — nearly all singletons, measured
         # pathological (same finding as the winnowing query); bucket the
         # hash space and do the per-hash split vectorized inside a bucket
-        return pd.DataFrame({"doc_id": pd.Series(rows_id, dtype="int64"),
-                             "band_id": pd.Series(rows_band, dtype="int64"),
-                             "band_hash": bh_arr,
-                             "bucket": bh_arr % num_band_buckets})
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(np.int64)[br["row"]],
+            "band_id": br["band_id"],
+            "band_hash": bh_arr,
+            "bucket": bh_arr % num_band_buckets})
 
     band_rows = ds.map_batches(bands, batch_format="pandas")
 
@@ -1388,15 +1383,20 @@ def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                              "cluster_root": pd.Series(dtype="int64")})
     cand_ids = frozenset(pair_df["id_a"]) | frozenset(pair_df["id_b"])
-    ids_ref = ray.put(cand_ids)
+    ids_ref = ray.put(np.fromiter(cand_ids, dtype=np.int64,
+                                  count=len(cand_ids)))
 
-    def keep_candidates(b: pd.DataFrame) -> pd.DataFrame:
-        have = ray.get(ids_ref)
-        return b[b["doc_id"].isin(have)]
+    def keep_candidates(t: pa.Table) -> pa.Table:
+        # pyarrow filter: zero-copy, and empty results are Arrow blocks
+        # (the pandas size-estimator warns on zero-row object columns)
+        import pyarrow.compute as pc
+
+        vs = pa.array(_get_broadcast(ids_ref), type=pa.int64())
+        return t.filter(pc.is_in(t.column("doc_id"), value_set=vs))
 
     # candidate texts: the near-dup subset of the corpus, never the
     # full table
-    cdocs = ds.map_batches(keep_candidates, batch_format="pandas")
+    cdocs = ds.map_batches(keep_candidates, batch_format="pyarrow")
     cand_ds = rd.from_pandas(pair_df)
 
     if len(cand_ids) <= _MINHASH_BROADCAST_MAX:
@@ -1406,7 +1406,7 @@ def q_minhash_dedup(sf_dir: str) -> pd.DataFrame:
         tref = ray.put(dict(zip(tdf["doc_id"], tdf["text"])))
 
         def verify_broadcast(b: pd.DataFrame) -> pd.DataFrame:
-            tmap = ray.get(tref)
+            tmap = _get_broadcast(tref)
             keep = [fdedup.jaccard(tmap[a], tmap[bb]) >= 0.8
                     for a, bb in zip(b["id_a"], b["id_b"])]
             return b.loc[keep, ["id_a", "id_b"]]

@@ -301,48 +301,89 @@ def q_retention_cohorts(sf_dir: str) -> pd.DataFrame:
     if n == 0:
         return _empty_typed(cohort_day=object, day_offset="int64",
                             n_users="int64")
-    if n <= _qmod._REDUCE_GATE_ROWS:
+    if n <= min(_qmod._REDUCE_GATE_ROWS, _COHORT_BROADCAST_MAX):
+        # per-user first-day table is driver-bounded: combine + broadcast
+        import ray
+
         first = m.to_pandas().groupby("user_id", as_index=False)["day"].min()
+        first_ref = ray.put(dict(zip(first["user_id"].to_numpy(np.int64),
+                                     first["day"].to_numpy(np.int64))))
+
+        def triples(b: pd.DataFrame) -> pd.DataFrame:
+            lut = _get_broadcast(first_ref)
+            day = b["ts"].to_numpy("datetime64[D]").astype(np.int64)
+            user = b["user_id"].to_numpy(np.int64)
+            cohort = np.fromiter((lut[u] for u in user), dtype=np.int64,
+                                 count=len(user))
+            return pd.DataFrame({"cohort": cohort, "off": day - cohort,
+                                 "user_id": user}).drop_duplicates()
+
+        t = ev.map_batches(triples, batch_format="pandas").materialize()
+        if t.count() <= _qmod._REDUCE_GATE_ROWS:
+            dd = t.to_pandas().drop_duplicates()
+            out = dd.groupby(["cohort", "off"], as_index=False) \
+                .agg(n_users=("user_id", "size"))
+        else:  # distinct triples never reach the driver (cf.
+            # q_distinct_users_per_type's big path)
+            from ray.data.aggregate import Count
+
+            with _scoped_parallelism(64):
+                cells = t.groupby(["cohort", "off", "user_id"]) \
+                    .aggregate(Count()) \
+                    .map_batches(
+                        lambda b: b.groupby(["cohort", "off"],
+                                            as_index=False)
+                        .agg(n_users=("user_id", "size")),
+                        batch_format="pandas")
+                out = _reduce_partials(cells, ["cohort", "off"],
+                                      ["n_users"])
     else:
-        from ray.data.aggregate import Min
+        # bucketed user_id exchange: first-day partials and raw events
+        # co-locate per user bucket; the per-user first day, the
+        # distinct (cohort, offset, user) triples, AND the per-cell
+        # user counts all resolve inside the bucket (a user lives in
+        # exactly ONE bucket, so per-bucket cell counts sum without
+        # double-counting). The driver only ever sees cell partials.
+        from .stages.joins import _bucket_of
 
-        with _scoped_parallelism(64):
-            first = m.groupby("user_id").aggregate(
-                Min("day", alias_name="day")).to_pandas()
-        # NOTE: above _COHORT_BROADCAST_MAX users the broadcast below
-        # must become a bucketed user_id exchange (events x first) —
-        # the sf testdata never crosses it, so that branch is the
-        # documented scale path rather than live code.
-    import ray
+        nb = 64
 
-    first_ref = ray.put(dict(zip(first["user_id"].to_numpy(np.int64),
-                                 first["day"].to_numpy(np.int64))))
+        def tag_first(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["side"] = np.int64(0)
+            return b
 
-    def triples(b: pd.DataFrame) -> pd.DataFrame:
-        lut = _get_broadcast(first_ref)
-        day = b["ts"].to_numpy("datetime64[D]").astype(np.int64)
-        user = b["user_id"].to_numpy(np.int64)
-        cohort = np.fromiter((lut[u] for u in user), dtype=np.int64,
-                             count=len(user))
-        return pd.DataFrame({"cohort": cohort, "off": day - cohort,
-                             "user_id": user}).drop_duplicates()
+        def tag_ev(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({
+                "user_id": b["user_id"].to_numpy(np.int64),
+                "day": b["ts"].to_numpy("datetime64[D]")
+                .astype(np.int64),
+                "side": np.int64(1)})
 
-    t = ev.map_batches(triples, batch_format="pandas").materialize()
-    if t.count() <= _qmod._REDUCE_GATE_ROWS:
-        dd = t.to_pandas().drop_duplicates()
-        out = dd.groupby(["cohort", "off"], as_index=False) \
-            .agg(n_users=("user_id", "size"))
-    else:  # distinct triples never reach the driver (cf.
-        # q_distinct_users_per_type's big path)
-        from ray.data.aggregate import Count
+        def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+            b["__bucket"] = _bucket_of(b["user_id"], nb)
+            return b
 
-        with _scoped_parallelism(64):
-            cells = t.groupby(["cohort", "off", "user_id"]) \
-                .aggregate(Count()) \
-                .map_batches(
-                    lambda b: b.groupby(["cohort", "off"], as_index=False)
-                    .agg(n_users=("user_id", "size")),
-                    batch_format="pandas")
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            side = g["side"].to_numpy(np.int64)
+            first = g[side == 0].groupby("user_id")["day"].min()
+            evb = g[side == 1]
+            cohort = first.reindex(
+                evb["user_id"].to_numpy(np.int64)).to_numpy(np.int64)
+            cells = pd.DataFrame({
+                "cohort": cohort,
+                "off": evb["day"].to_numpy(np.int64) - cohort,
+                "user_id": evb["user_id"].to_numpy(np.int64)}) \
+                .drop_duplicates()
+            return cells.groupby(["cohort", "off"], as_index=False) \
+                .agg(n_users=("user_id", "size"))
+
+        with _scoped_parallelism(nb):
+            cells = m.map_batches(tag_first, batch_format="pandas") \
+                .union(ev.map_batches(tag_ev, batch_format="pandas")) \
+                .map_batches(add_bucket, batch_format="pandas") \
+                .groupby("__bucket").map_groups(per_bucket,
+                                                batch_format="pandas")
             out = _reduce_partials(cells, ["cohort", "off"], ["n_users"])
     out["cohort_day"] = np.datetime_as_string(
         out["cohort"].to_numpy(np.int64).astype("datetime64[D]"), unit="D")
@@ -393,8 +434,9 @@ def q_unigram_logprob(sf_dir: str) -> pd.DataFrame:
                              "logprob": np.nan}) \
             .sort_values("doc_id").reset_index(drop=True)
     total = float(vocab["n"].sum())
-    lp6 = np.round(np.log(vocab["n"].to_numpy(np.float64) / total)
-                   * 1e6).astype(np.int64)
+    raw = np.log(vocab["n"].to_numpy(np.float64) / total) * 1e6
+    # half-AWAY (DuckDB round()) like every round()-twinned quantization
+    lp6 = np.copysign(np.floor(np.abs(raw) + 0.5), raw).astype(np.int64)
     lut_ref = ray.put(dict(zip(vocab["token"], lp6)))
 
     def score(b: pd.DataFrame) -> pd.DataFrame:
@@ -493,20 +535,45 @@ def q_rolling_time_window(sf_dir: str) -> pd.DataFrame:
         g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
         ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
         user = g["user_id"].to_numpy(np.int64)
-        v = np.round(g["value"].to_numpy(np.float64) * 1e6) \
+        raw = g["value"].to_numpy(np.float64) * 1e6
+        # fail loudly on NULL values: SQL window SUM skips them, the
+        # int64 cast would turn them into garbage — the corpus contract
+        # guarantees non-null `value` (see q_table_profile docstring)
+        assert not np.isnan(raw).any(), \
+            "rolling_time_window: NULL value column unsupported"
+        v = np.copysign(np.floor(np.abs(raw) + 0.5), raw) \
             .astype(np.int64)
         if not len(g):
             return pd.DataFrame({"event_id": pd.Series([], dtype="int64"),
                                  "hour_value": pd.Series([],
                                                          dtype="float64")})
         # offset each user's ts into a disjoint band so ONE global
-        # searchsorted respects user boundaries (no per-user loop)
+        # searchsorted respects user boundaries (no per-user loop).
+        # GUARD: with span ~= the corpus time range in microseconds, the
+        # banded key overflows int64 silently once n_users x span
+        # crosses 2^63 (~1e5 users on a 3-year corpus) — exactly the
+        # scale the doctrine targets — so fall back to per-user-segment
+        # searchsorted (still vectorized inside each segment).
         uid_dense = pd.factorize(user)[0].astype(np.int64)
         span = int(ts.max() - ts.min()) + 2 * _RANGE_WINDOW_US + 2
-        key = (ts - ts.min()) + uid_dense * span
+        n_users = int(uid_dense[-1]) + 1
         cs = np.concatenate([[0], np.cumsum(v)])
-        lo = np.searchsorted(key, key - _RANGE_WINDOW_US, side="left")
-        hi = np.searchsorted(key, key, side="right")
+        if n_users * span < (1 << 62):
+            key = (ts - ts.min()) + uid_dense * span
+            lo = np.searchsorted(key, key - _RANGE_WINDOW_US,
+                                 side="left")
+            hi = np.searchsorted(key, key, side="right")
+        else:
+            bounds = np.concatenate(
+                [[0], np.flatnonzero(np.diff(uid_dense)) + 1,
+                 [len(ts)]])
+            lo = np.empty(len(ts), np.int64)
+            hi = np.empty(len(ts), np.int64)
+            for s, e in zip(bounds[:-1], bounds[1:]):
+                seg = ts[s:e]
+                lo[s:e] = s + np.searchsorted(
+                    seg, seg - _RANGE_WINDOW_US, side="left")
+                hi[s:e] = s + np.searchsorted(seg, seg, side="right")
         roll = cs[hi] - cs[lo]
         return pd.DataFrame({
             "event_id": g["event_id"].to_numpy(np.int64),
@@ -555,8 +622,9 @@ def q_source_token_entropy(sf_dir: str) -> pd.DataFrame:
     totals = st.groupby("source")["n"].transform("sum") \
         .to_numpy(np.float64)
     n = st["n"].to_numpy(np.int64)
-    lp6 = np.rint(np.log(n.astype(np.float64) / totals) * 1e6) \
-        .astype(np.int64)
+    raw = np.log(n.astype(np.float64) / totals) * 1e6
+    # half-AWAY (DuckDB round()) like every round()-twinned quantization
+    lp6 = np.copysign(np.floor(np.abs(raw) + 0.5), raw).astype(np.int64)
     st = st.assign(h=n * lp6)
     agg = st.groupby("source", as_index=False).agg(
         n_tokens=("n", "sum"), n_types=("n", "size"), h=("h", "sum"))
@@ -579,7 +647,11 @@ def _typed_hist(sf_dir: str, value_fn) -> pd.DataFrame:
     histogrammed value (identity, or |v - med| for the MAD pass)."""
 
     def hist(b: pd.DataFrame) -> pd.DataFrame:
-        v6 = np.round(b["value"].to_numpy(np.float64) * 1e6) \
+        # NULL values are excluded like SQL round(NULL) (a NaN cast to
+        # int64 would silently histogram as INT64_MIN garbage)
+        b = b.dropna(subset=["value"])
+        raw = b["value"].to_numpy(np.float64) * 1e6
+        v6 = np.copysign(np.floor(np.abs(raw) + 0.5), raw) \
             .astype(np.int64)
         v6 = value_fn(b["event_type"].to_numpy(object), v6)
         g = pd.DataFrame({"event_type": b["event_type"].to_numpy(object),
@@ -896,14 +968,16 @@ def q_cross_source_dups(sf_dir: str) -> pd.DataFrame:
                 for j in range(i + 1, len(src)):
                     k = (src[i], src[j])
                     rows[k] = rows.get(k, 0) + int(cnt[i]) * int(cnt[j])
-        if not rows:
-            return pd.DataFrame({
-                "source_a": pd.Series([], dtype=object),
-                "source_b": pd.Series([], dtype=object),
-                "n_pairs": pd.Series([], dtype="int64")})
-        return pd.DataFrame(
-            [(a, b, n) for (a, b), n in rows.items()],
-            columns=["source_a", "source_b", "n_pairs"])
+        import pyarrow as pa
+
+        # Arrow blocks always: an empty pandas frame with object/string
+        # columns trips Ray's size estimator ("cannot call `vectorize`
+        # on size 0 inputs") once per empty bucket — log spam at high
+        # bucket counts; Arrow sizes are exact for zero rows too.
+        return pa.table({
+            "source_a": pa.array([a for (a, _b) in rows], pa.string()),
+            "source_b": pa.array([b for (_a, b) in rows], pa.string()),
+            "n_pairs": pa.array(list(rows.values()), pa.int64())})
 
     with _scoped_parallelism(32):
         parts = ds.map_batches(tag, batch_format="pandas") \

@@ -276,3 +276,42 @@ def test_fk_audit_bucketed_path_matches_broadcast(ray_session, tmp_path):
                                   bucketed.reset_index(drop=True))
     _assert_equal(bucketed, _oracle(sf_dir, ORACLE_SQL["fk_audit"]),
                   "fk_audit-bucketed")
+
+
+def test_adaptive_join_byte_gate_routes_wide_side_bucketed(ray_session,
+                                                           monkeypatch):
+    """A right side under the ROW gate but over the BYTE gate must route
+    to the bucketed join (never materialize on the driver)."""
+    import ray.data as rd
+
+    import pdf_oxide_ray.stages.joins as J
+
+    left = rd.from_pandas(pd.DataFrame(
+        {"k": np.int64([1, 2, 3]), "x": np.int64([10, 20, 30])}))
+    wide = pd.DataFrame({"rk": np.int64([1, 2]),
+                         "blob": ["y" * 4096, "z" * 4096]})
+    right = rd.from_pandas(wide)
+
+    def boom(*a, **k):
+        raise AssertionError("broadcast path taken for a wide side")
+
+    monkeypatch.setattr(J, "broadcast_join", boom)
+    out = J.adaptive_join(left, right, "k", "rk",
+                          broadcast_max_bytes=100).to_pandas()
+    assert len(out) == 2 and set(out["k"]) == {1, 2}
+
+
+def test_retention_cohorts_bucketed_path_matches(ray_session,
+                                                 monkeypatch):
+    """Above the cohort broadcast gate the bucketed user_id exchange
+    must produce the identical retention matrix."""
+    import pdf_oxide_ray.queries_relational as QR
+
+    sf = "/root/testdata/sf0.001"
+    small = QR.q_retention_cohorts(sf)
+    monkeypatch.setattr(QR, "_COHORT_BROADCAST_MAX", 0)
+    big = QR.q_retention_cohorts(sf)
+    pd.testing.assert_frame_equal(
+        small.reset_index(drop=True),
+        big[small.columns].reset_index(drop=True))
+    assert len(small) > 0
