@@ -95,8 +95,11 @@ _DRIVER_WINDOW_R3 = [
     "event_anomaly_hours", "weighted_sample", "table_profile",
     "value_outliers_by_type", "weekly_active_users", "cross_source_dups",
     "value_hour_correlation",
-    # rows-only -> oracle conversions this round:
-    "kmeans_assign", "feature_census", "doc_metadata", "embedding_near_dups",
+    # kmeans_assign leaves rows-only this round (unrolled-CTE twin);
+    # feature_census / doc_metadata / heading_stats are extraction-bound
+    # (no SQL twin is expressible over the driver's views) and get their
+    # first driver rows-only rows here.
+    "kmeans_assign", "feature_census", "doc_metadata", "heading_stats",
 ]
 
 

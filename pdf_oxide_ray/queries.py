@@ -2185,7 +2185,11 @@ def q_kmeans_assign(sf_dir: str) -> pd.DataFrame:
     differently per run). Init = the K lowest-vec_id vectors (pushed-down
     row filter, partition-order independent). The model (K x 64 floats)
     broadcasts via ray.put; corpus vectors are never materialized on the
-    driver. No SQL twin (iterative) — pinned canonical hash in
+    driver. SQL twin: the iterations UNROLL into chained CTEs
+    (``_kmeans_twin_sql``) — centroids are bit-identical on both sides
+    because updates ride exact BIGINT component sums divided in the same
+    float64 order, and the 2^-20 dyadic grid (round_even = np.rint)
+    makes the quantization itself exact; also pinned in
     tests/test_pinned_rows_only.py."""
     import ray
 
@@ -2246,6 +2250,53 @@ def q_kmeans_assign(sf_dir: str) -> pd.DataFrame:
 
     return ds.map_batches(label, batch_format="pandas").to_pandas() \
         .sort_values("vec_id").reset_index(drop=True)
+
+
+def _kmeans_twin_sql(iters: int = _KMEANS_ITERS, k: int = _KMEANS_K,
+                     dim: int = 64, scale: float = _KMEANS_SCALE) -> str:
+    """DuckDB twin for q_kmeans_assign: Lloyd's iterations UNROLLED into
+    chained CTEs. Exactness chain: round_even == np.rint on the dyadic
+    grid; centroid updates are BIGINT component sums divided as
+    (DOUBLE/n)/scale in the engine's operand order, so centroids are
+    bit-identical each iteration; the assignment argmin breaks exact
+    ties toward the lower cluster id on both sides (ORDER BY d2,
+    cluster vs np.argmin first-min)."""
+    S = repr(scale)
+    parts = [f"""
+dims AS (SELECT unnest(range(0, {dim})) AS j),
+q AS (SELECT vec_id, j,
+             round_even(embedding[j + 1] * {S}, 0) / {S} AS x
+      FROM embeddings, dims),
+c0 AS (SELECT vec_id AS cluster, j, x AS c FROM q WHERE vec_id < {k})"""]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(f"""
+d{t} AS (SELECT q.vec_id, c.cluster,
+              SUM(q.x * q.x) - 2 * SUM(q.x * c.c) + SUM(c.c * c.c) AS d2
+       FROM q JOIN c{p} c USING (j) GROUP BY q.vec_id, c.cluster),
+a{t} AS (SELECT vec_id, cluster FROM (
+         SELECT vec_id, cluster,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY d2, cluster) AS rn
+         FROM d{t}) WHERE rn = 1),
+u{t} AS (SELECT a{t}.cluster, q.j,
+              (CAST(SUM(CAST(round_even(q.x * {S}, 0) AS BIGINT))
+                    AS DOUBLE) / COUNT(*)) / {S} AS c
+       FROM q JOIN a{t} USING (vec_id) GROUP BY a{t}.cluster, q.j),
+c{t} AS (SELECT c{p}.cluster, c{p}.j, COALESCE(u{t}.c, c{p}.c) AS c
+       FROM c{p} LEFT JOIN u{t} ON u{t}.cluster = c{p}.cluster
+                               AND u{t}.j = c{p}.j)""")
+    f = iters + 1
+    parts.append(f"""
+d{f} AS (SELECT q.vec_id, c.cluster,
+              SUM(q.x * q.x) - 2 * SUM(q.x * c.c) + SUM(c.c * c.c) AS d2
+       FROM q JOIN c{iters} c USING (j) GROUP BY q.vec_id, c.cluster)""")
+    return "WITH " + ",".join(parts) + f"""
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM (
+  SELECT vec_id, cluster,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY d2, cluster) AS rn
+  FROM d{f}) WHERE rn = 1 ORDER BY vec_id"""
 
 
 _QUALITY_FILTER_P = 0.75  # keep docs at/above the corpus P75 quality
@@ -3152,6 +3203,10 @@ ORACLE_SQL["embedding_quantize"] = """
              CAST(round(CAST(unnest(embedding) AS DOUBLE) * 127.0 / ma)
                   AS BIGINT) END AS q
     FROM m"""
+
+# Iterative distributed k-means: Lloyd's rounds unrolled into CTEs
+# (exact by the integer-anchored centroid chain — see _kmeans_twin_sql).
+ORACLE_SQL["kmeans_assign"] = _kmeans_twin_sql()
 
 # End-to-end curation chain: score -> median filter -> exact dedup ->
 # token count, mirrored stage-for-stage.
