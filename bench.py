@@ -86,11 +86,12 @@ def run_bench() -> dict:
     import shutil
     import tempfile
 
-    # median of 3 runs (the reference's published numbers average 3 runs;
-    # this box shows +-30% run-to-run noise) — flagship-only mode keeps a
-    # single run for the scaling subprocesses where fresh-process cost
-    # dominates anyway
-    n_runs = 1 if os.environ.get("GRAFT_BENCH_FLAGSHIP_ONLY") == "1" else 3
+    # median of 5 runs (r02 lesson: this box shows up to 1.8-2x
+    # run-to-run spread from background load — median-of-5 keeps one
+    # loaded window from setting the record) — flagship-only mode keeps
+    # a single run for the scaling subprocesses where fresh-process
+    # cost dominates anyway
+    n_runs = 1 if os.environ.get("GRAFT_BENCH_FLAGSHIP_ONLY") == "1" else 5
     walls = []
     summary = None
     for _ in range(n_runs):
@@ -115,10 +116,10 @@ def run_bench() -> dict:
     flagship_only = os.environ.get("GRAFT_BENCH_FLAGSHIP_ONLY") == "1"
     for name in ([] if flagship_only else BENCH_QUERIES):
         try:
-            # best-of-2: this host's load swings single-shot walls by
+            # best-of-3: this host's load swings single-shot walls by
             # 2-4x (measured); the min is the stable capability signal
             walls_q = []
-            for _ in range(2):
+            for _ in range(3):
                 t0 = time.perf_counter()
                 QUERIES[name](SF_DIR)
                 walls_q.append(time.perf_counter() - t0)

@@ -44,6 +44,8 @@ from .spans_post import postprocess_spans
 
 MAX_RESOLVE_DEPTH = 100  # reference document.rs:21
 _OBJ_MARKER = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_XREF_SUBSECTION_RE = re.compile(rb"(\d+)\s+(\d+)")
+_XREF_ENTRY_RE = re.compile(rb"(\d{10})\s+(\d{5})\s+([nf])")
 
 
 class PdfError(ValueError):
@@ -169,20 +171,28 @@ class PdfDocument:
                     prev = tr.get("Prev")
                     return int(prev) if isinstance(prev, (int, float)) else None
                 return None
-            m = re.match(rb"(\d+)\s+(\d+)", data[pos : pos + 32])
+            m = _XREF_SUBSECTION_RE.match(data, pos)
             if not m:
                 return None
             start, count = int(m.group(1)), int(m.group(2))
-            pos += m.end()
+            pos = m.end()
             pos = skip_ws(data, pos)
             for i in range(count):
-                entry = data[pos : pos + 20]
-                em = re.match(rb"(\d{10})\s+(\d{5})\s+([nf])", entry)
-                if not em:
-                    raise ParseError("bad xref entry")
-                if em.group(3) == b"n":
-                    self.xref.setdefault(start + i, int(em.group(1)))
-                pos += em.end()
+                entry = data[pos : pos + 18]
+                # fast path: the spec's fixed 20-byte record
+                # "NNNNNNNNNN GGGGG n\r\n" — plain slicing, no regex
+                if len(entry) == 18 and entry[10] == 0x20 \
+                        and entry[16] == 0x20 and entry[17] in (0x6E, 0x66):
+                    if entry[17] == 0x6E:  # 'n'
+                        self.xref.setdefault(start + i, int(entry[:10]))
+                    pos += 18
+                else:
+                    em = _XREF_ENTRY_RE.match(data, pos)
+                    if not em:
+                        raise ParseError("bad xref entry")
+                    if em.group(3) == b"n":
+                        self.xref.setdefault(start + i, int(em.group(1)))
+                    pos = em.end()
                 pos = skip_ws(data, pos)
 
     def _parse_xref_stream(self, pos: int) -> int | None:

@@ -79,15 +79,23 @@ def should_insert_bold_marker(prev_char: str | None, next_char: str | None) -> b
 
 
 def format_links(text: str) -> str:
-    """reference format_links (markdown.rs:758-793)."""
+    """reference format_links (markdown.rs:758-793). Substring guards
+    ("http"/"@" are REQUIRED by the patterns) skip the regex machinery on
+    the overwhelmingly common linkless run."""
 
-    def url_sub(m: re.Match) -> str:
-        url = m.group(1)
-        if f"[{url}]" in text:
-            return url
-        return f"[{url}]({url})"
+    if "http" in text:
+        def url_sub(m: re.Match) -> str:
+            url = m.group(1)
+            if f"[{url}]" in text:
+                return url
+            return f"[{url}]({url})"
 
-    result = RE_URL.sub(url_sub, text)
+        result = RE_URL.sub(url_sub, text)
+    else:
+        result = text
+
+    if "@" not in result:
+        return result
 
     def email_sub(m: re.Match) -> str:
         email = m.group(1)
@@ -99,7 +107,10 @@ def format_links(text: str) -> str:
 
 
 def clean_reference_spacing(text: str) -> str:
-    """reference clean_reference_spacing (markdown.rs:811-824)."""
+    """reference clean_reference_spacing (markdown.rs:811-824). Guard:
+    both patterns require an en/em dash."""
+    if "–" not in text and "—" not in text:
+        return text
     text = RE_DASH_BEFORE.sub(r"\1\2\3", text)
     return RE_DASH_AFTER.sub(r"\1\2\3", text)
 
