@@ -2191,26 +2191,52 @@ def q_kmeans_assign(sf_dir: str) -> pd.DataFrame:
     float64 order, and the 2^-20 dyadic grid (round_even = np.rint)
     makes the quantization itself exact; also pinned in
     tests/test_pinned_rows_only.py."""
+    cent = _kmeans_centroids(sf_dir)
+    if cent is None:  # empty corpus: nothing to cluster
+        return _empty_typed(vec_id="int64", cluster="int64")
+    import ray
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    final_ref = ray.put(cent)
+
+    def label(b: pd.DataFrame) -> pd.DataFrame:
+        c = _get_broadcast(final_ref)
+        return pd.DataFrame({"vec_id": b["vec_id"].to_numpy(np.int64),
+                             "cluster": _kmeans_argmin(_kmeans_quant(b), c)
+                             .astype(np.int64)})
+
+    return ds.map_batches(label, batch_format="pandas").to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+
+
+def _kmeans_quant(b: pd.DataFrame) -> np.ndarray:
+    return np.rint(np.stack(b["embedding"].to_numpy())
+                   .astype(np.float64) * _KMEANS_SCALE) / _KMEANS_SCALE
+
+
+def _kmeans_argmin(mat: np.ndarray, c: np.ndarray) -> np.ndarray:
+    d2 = (mat * mat).sum(1)[:, None] - 2.0 * (mat @ c.T) \
+        + (c * c).sum(1)[None, :]
+    return np.argmin(d2, axis=1)
+
+
+def _kmeans_centroids(sf_dir: str) -> np.ndarray | None:
+    """Train the shared Lloyd's model (see q_kmeans_assign docstring for
+    the exactness contract); None on an empty corpus. Shared by
+    q_kmeans_assign and q_semantic_dedup so the twins' unrolled CTE
+    chain mirrors exactly one training path."""
     import ray
 
     ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
 
     seed_df = ds.filter(expr=f"vec_id < {_KMEANS_K}").to_pandas()
-    if seed_df.empty:  # empty corpus: nothing to cluster
-        return _empty_typed(vec_id="int64", cluster="int64")
+    if seed_df.empty:
+        return None
     seed_df = seed_df.sort_values("vec_id")
     cent = np.rint(np.stack(seed_df["embedding"].to_numpy())
                    .astype(np.float64) * _KMEANS_SCALE) / _KMEANS_SCALE
-    k, dim = cent.shape
-
-    def _quant(b: pd.DataFrame) -> np.ndarray:
-        return np.rint(np.stack(b["embedding"].to_numpy())
-                       .astype(np.float64) * _KMEANS_SCALE) / _KMEANS_SCALE
-
-    def _assign(mat: np.ndarray, c: np.ndarray) -> np.ndarray:
-        d2 = (mat * mat).sum(1)[:, None] - 2.0 * (mat @ c.T) \
-            + (c * c).sum(1)[None, :]
-        return np.argmin(d2, axis=1)
+    dim = cent.shape[1]
+    _quant, _assign = _kmeans_quant, _kmeans_argmin
 
     for _ in range(_KMEANS_ITERS):
         ref = ray.put(cent)
@@ -2240,22 +2266,15 @@ def q_kmeans_assign(sf_dir: str) -> pd.DataFrame:
             sums[nz] / n[nz, None]) / _KMEANS_SCALE
         cent = upd
 
-    final_ref = ray.put(cent)
-
-    def label(b: pd.DataFrame) -> pd.DataFrame:
-        c = _get_broadcast(final_ref)
-        return pd.DataFrame({"vec_id": b["vec_id"].to_numpy(np.int64),
-                             "cluster": _assign(_quant(b), c)
-                             .astype(np.int64)})
-
-    return ds.map_batches(label, batch_format="pandas").to_pandas() \
-        .sort_values("vec_id").reset_index(drop=True)
+    return cent
 
 
-def _kmeans_twin_sql(iters: int = _KMEANS_ITERS, k: int = _KMEANS_K,
-                     dim: int = 64, scale: float = _KMEANS_SCALE) -> str:
-    """DuckDB twin for q_kmeans_assign: Lloyd's iterations UNROLLED into
-    chained CTEs. Exactness chain: round_even == np.rint on the dyadic
+def _kmeans_cte_chain(iters: int = _KMEANS_ITERS, k: int = _KMEANS_K,
+                      dim: int = 64,
+                      scale: float = _KMEANS_SCALE) -> str:
+    """WITH-chain for the kmeans twins: Lloyd's iterations UNROLLED into
+    chained CTEs ending in ``af(vec_id, cluster)`` — the final
+    assignment. Exactness chain: round_even == np.rint on the dyadic
     grid; centroid updates are BIGINT component sums divided as
     (DOUBLE/n)/scale in the engine's operand order, so centroids are
     bit-identical each iteration; the assignment argmin breaks exact
@@ -2290,13 +2309,97 @@ c{t} AS (SELECT c{p}.cluster, c{p}.j, COALESCE(u{t}.c, c{p}.c) AS c
     parts.append(f"""
 d{f} AS (SELECT q.vec_id, c.cluster,
               SUM(q.x * q.x) - 2 * SUM(q.x * c.c) + SUM(c.c * c.c) AS d2
-       FROM q JOIN c{iters} c USING (j) GROUP BY q.vec_id, c.cluster)""")
-    return "WITH " + ",".join(parts) + f"""
-SELECT vec_id, CAST(cluster AS BIGINT) AS cluster FROM (
+       FROM q JOIN c{iters} c USING (j) GROUP BY q.vec_id, c.cluster),
+af AS (SELECT vec_id, cluster FROM (
   SELECT vec_id, cluster,
          row_number() OVER (PARTITION BY vec_id
                             ORDER BY d2, cluster) AS rn
-  FROM d{f}) WHERE rn = 1 ORDER BY vec_id"""
+  FROM d{f}) WHERE rn = 1)""")
+    return "WITH " + ",".join(parts)
+
+
+def _kmeans_twin_sql(iters: int = _KMEANS_ITERS, k: int = _KMEANS_K,
+                     dim: int = 64, scale: float = _KMEANS_SCALE) -> str:
+    return _kmeans_cte_chain(iters, k, dim, scale) + """
+SELECT vec_id, CAST(cluster AS BIGINT) AS cluster
+FROM af ORDER BY vec_id"""
+
+
+_SEMDEDUP_TAU = 0.9
+
+
+def _semantic_dedup_twin_sql() -> str:
+    """SemDeDup twin: the kmeans CTE chain provides the cluster map
+    (``af``); a within-cluster NOT EXISTS drops every vector with a
+    LOWER-id cosine-neighbor at or above tau. Cosine rides DOUBLE on
+    both sides (list elements cast up; the engine normalizes in
+    float64)."""
+    return _kmeans_cte_chain() + f""",
+emb AS (SELECT e.vec_id, af.cluster,
+               list_transform(e.embedding,
+                              x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings e JOIN af USING (vec_id))
+SELECT a.vec_id FROM emb a WHERE NOT EXISTS (
+  SELECT 1 FROM emb b
+  WHERE b.cluster = a.cluster AND b.vec_id < a.vec_id
+    AND list_cosine_similarity(b.v, a.v) >= {_SEMDEDUP_TAU!r})
+ORDER BY a.vec_id"""
+
+
+def q_semantic_dedup(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup-style embedding-cluster dedup (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the corpus with the shared distributed
+    k-means, then inside each cluster drop every vector that has a
+    LOWER-id cosine-neighbor at or above tau — pairwise cost is paid
+    only within clusters, never across the corpus (the whole point of
+    clustering first). Scale shape: the trained model broadcasts
+    (ray.put); vectors ride ONE groupby(cluster) exchange as compact
+    float32 byte strings (no object-dtype lists through the shuffle);
+    each cluster group runs one normalized matmul; at corpus scale K
+    grows with N so per-cluster cost stays bounded (and a cluster could
+    time-sub-bucket like the salted joins if one collapses). Survivor
+    rule is pairwise ("exists ANY lower-id neighbor"), not greedy, so
+    the SQL NOT EXISTS twin states the same relation directly."""
+    cent = _kmeans_centroids(sf_dir)
+    if cent is None:
+        return _empty_typed(vec_id="int64")
+    import ray
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    ref = ray.put(cent)
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        c = _get_broadcast(ref)
+        a = _kmeans_argmin(_kmeans_quant(b), c).astype(np.int64)
+        raw = np.stack(b["embedding"].to_numpy()).astype(np.float32)
+        return pd.DataFrame({
+            "vec_id": b["vec_id"].to_numpy(np.int64),
+            "cluster": a,
+            "vbytes": [r.tobytes() for r in raw]})
+
+    def per_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id", kind="mergesort")
+        mat = np.frombuffer(b"".join(g["vbytes"]), dtype=np.float32) \
+            .reshape(len(g), -1).astype(np.float64)
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        mat = mat / nrm
+        sim = mat @ mat.T
+        # drop v if ANY u < v (strictly lower triangle) has cos >= tau
+        has_earlier_dup = (np.tril(sim, k=-1)
+                           >= _SEMDEDUP_TAU).any(axis=1)
+        return pd.DataFrame(
+            {"vec_id": g["vec_id"].to_numpy(np.int64)[~has_earlier_dup]})
+
+    with _scoped_parallelism(32):
+        out = ds.map_batches(tag, batch_format="pandas") \
+            .groupby("cluster").map_groups(per_cluster,
+                                           batch_format="pandas") \
+            .to_pandas()
+    if out.empty:
+        return _empty_typed(vec_id="int64")
+    return out.astype({"vec_id": "int64"}) \
+        .sort_values("vec_id").reset_index(drop=True)
 
 
 _QUALITY_FILTER_P = 0.75  # keep docs at/above the corpus P75 quality
@@ -3205,8 +3308,10 @@ ORACLE_SQL["embedding_quantize"] = """
     FROM m"""
 
 # Iterative distributed k-means: Lloyd's rounds unrolled into CTEs
-# (exact by the integer-anchored centroid chain — see _kmeans_twin_sql).
+# (exact by the integer-anchored centroid chain — see _kmeans_cte_chain).
 ORACLE_SQL["kmeans_assign"] = _kmeans_twin_sql()
+QUERIES["semantic_dedup"] = q_semantic_dedup
+ORACLE_SQL["semantic_dedup"] = _semantic_dedup_twin_sql()
 
 # End-to-end curation chain: score -> median filter -> exact dedup ->
 # token count, mirrored stage-for-stage.

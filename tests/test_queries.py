@@ -262,3 +262,37 @@ def test_lsh_near_dups_dense_family_exceeding_bucket_cap(ray_session):
     got = lsh_near_dup_pairs(ds, tau=0.99)
     assert len(got) == 150 * 149 // 2
     assert got["id_a"].max() < 150 and got["id_b"].max() < 150
+
+
+def test_semantic_dedup_drops_planted_cluster_dups(ray_session, tmp_path):
+    """Planted near-identical vectors in the same k-means cluster must
+    dedup to the lowest vec_id; the DuckDB twin must agree."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from pdf_oxide_ray.queries import ORACLE_SQL, QUERIES
+
+    rs = np.random.RandomState(3)
+    base = rs.randn(40, 64).astype(np.float32)
+    # ids 20/21/22 are copies of id 4 (tiny jitter): same cluster,
+    # cosine ~1 -> only id 4 survives of the four
+    for i, jit in ((20, 0.0), (21, 1e-4), (22, 2e-4)):
+        base[i] = base[4] + jit
+    df = pd.DataFrame({
+        "vec_id": np.arange(40, dtype=np.int64),
+        "embedding": [r for r in base],
+        "label": np.int32(0)})
+    d = tmp_path / "semdedup"
+    d.mkdir()
+    df.to_parquet(d / "embeddings.parquet", index=False)
+
+    out = QUERIES["semantic_dedup"](str(d))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{d}/embeddings.parquet')")
+    gold = con.execute(ORACLE_SQL["semantic_dedup"]).df()
+    assert out["vec_id"].tolist() == gold["vec_id"].tolist()
+    kept = set(out["vec_id"])
+    assert 4 in kept and not ({20, 21, 22} & kept)
+    assert len(out) < 40
