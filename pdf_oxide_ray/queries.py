@@ -1872,7 +1872,10 @@ def q_asof_purchase_click(sf_dir: str) -> pd.DataFrame:
     searchsorted (stages/joins.py asof_join)."""
     from .stages.joins import asof_join
 
-    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    # materialize the pruned read ONCE: both filter branches otherwise
+    # re-execute the parquet scan (two full decodes of the events table)
+    ev = _pq(sf_dir, "events",
+             ["event_id", "ts", "user_id", "event_type"]).materialize()
     purchases = ev.filter(expr="event_type == 'purchase'")
     clicks = ev.filter(expr="event_type == 'click'")
     with _scoped_parallelism(32):  # skinny exchange; 200 partitions is
@@ -1895,7 +1898,8 @@ def q_range_purchase_views(sf_dir: str) -> pd.DataFrame:
     purchase (two searchsorted cuts per group; no row explosion)."""
     from .stages.joins import range_count_join
 
-    ev = _pq(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    ev = _pq(sf_dir, "events",
+             ["event_id", "ts", "user_id", "event_type"]).materialize()
     purchases = ev.filter(expr="event_type == 'purchase'")
     views = ev.filter(expr="event_type == 'view'")
     with _scoped_parallelism(32):

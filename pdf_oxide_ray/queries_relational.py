@@ -1011,42 +1011,51 @@ def q_weekly_active_users(sf_dir: str) -> pd.DataFrame:
     ev = _pq(sf_dir, "events", ["user_id", "ts"])
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
-        day = b["ts"].to_numpy("datetime64[D]").astype(np.int64)
-        user = b["user_id"].to_numpy(np.int64)
+        # dedup (day, user) BEFORE the 7x explode — the explode and the
+        # in-batch distinct then run over distinct pairs only. The
+        # day-activity flag does NOT ride this exchange (see days below).
+        pairs = pd.DataFrame({
+            "day": b["ts"].to_numpy("datetime64[D]").astype(np.int64),
+            "user_id": b["user_id"].to_numpy(np.int64)}).drop_duplicates()
+        day = pairs["day"].to_numpy(np.int64)
+        user = pairs["user_id"].to_numpy(np.int64)
         k = _WAU_WINDOW_DAYS
-        out = pd.DataFrame({
-            "wday": np.repeat(day, k) + np.tile(np.arange(k), len(day)),
-            "user_id": np.repeat(user, k),
-            # only the event's own day marks the day as "active" for
-            # the output-day filter
-            "is_event_day": np.tile(
-                np.eye(1, k, 0, dtype=np.int64)[0], len(day))})
-        return out.groupby(["wday", "user_id"], as_index=False).max()
+        return pd.DataFrame({
+            "wday": np.repeat(day, k)
+            + np.tile(np.arange(k, dtype=np.int64), len(day)),
+            "user_id": np.repeat(user, k)}).drop_duplicates()
 
+    def day_partial(b: pd.DataFrame) -> pd.DataFrame:
+        # the output-day filter ("days with >= 1 event") needs only the
+        # DISTINCT event days — a calendar-bounded set, reduced apart
+        # from the wide pair exchange
+        d = np.unique(b["ts"].to_numpy("datetime64[D]").astype(np.int64))
+        return pd.DataFrame({"day": d, "one": np.int64(1)})
+
+    event_days = _reduce_partials(
+        ev.map_batches(day_partial, batch_format="pandas"),
+        ["day"], ["one"])
     t = ev.map_batches(explode, batch_format="pandas").materialize()
     n = t.count()
     if n == 0:
         return _empty_typed(day=object, wau="int64")
     if n <= _qmod._REDUCE_GATE_ROWS:
-        dd = t.to_pandas().groupby(["wday", "user_id"], as_index=False) \
-            .max()
+        dd = t.to_pandas().drop_duplicates()
         out = dd.groupby("wday", as_index=False).agg(
-            wau=("user_id", "size"), has=("is_event_day", "max"))
+            wau=("user_id", "size"))
     else:  # distinct pairs never reach the driver
-        from ray.data.aggregate import Max
+        from ray.data.aggregate import Count
 
         with _scoped_parallelism(64):
-            pairs = t.groupby(["wday", "user_id"]).aggregate(
-                Max("is_event_day", alias_name="is_event_day"))
+            pairs = t.groupby(["wday", "user_id"]).aggregate(Count())
             parts = pairs.map_batches(
                 lambda b: b.groupby("wday", as_index=False).agg(
-                    wau=("user_id", "size"),
-                    has=("is_event_day", "max")),
+                    wau=("user_id", "size")),
                 batch_format="pandas")
             m2 = parts.materialize().to_pandas()
             out = m2.groupby("wday", as_index=False).agg(
-                wau=("wau", "sum"), has=("has", "max"))
-    out = out[out["has"] > 0]
+                wau=("wau", "sum"))
+    out = out[out["wday"].isin(set(event_days["day"]))]
     out["day"] = np.datetime_as_string(
         out["wday"].to_numpy(np.int64).astype("datetime64[D]"), unit="D")
     return out[["day", "wau"]].astype({"wau": "int64"}) \

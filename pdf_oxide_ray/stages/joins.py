@@ -196,18 +196,38 @@ def adaptive_join(left_ds, right_ds, left_on: str, right_on: str,
                               num_buckets=num_buckets, how=how)
 
 
+_TEMPORAL_JOIN_BUCKETS = 64
+
+
+def _banded_bounds(key: np.ndarray, ts: np.ndarray, n_keys: int,
+                   span: int):
+    """Per-key disjoint int64 bands so ONE global searchsorted respects
+    key boundaries (the rolling_time_window trick, overflow-guarded);
+    returns (banded_values, ok) — ok False when n_keys x span would
+    overflow and the caller must loop per key segment."""
+    if n_keys * span >= (1 << 62):
+        return None, False
+    return key * span + ts, True
+
+
 def asof_join(left_ds, right_ds, on: str, left_ts: str, right_ts: str,
               left_cols: list[str], right_cols: list[str],
               suffix: str = "_right"):
     """For each left row, the most recent right row with
     ``right_ts <= left_ts`` for the same key (DuckDB ASOF JOIN
-    semantics; inner — left rows with no prior right row are dropped)."""
+    semantics; inner — left rows with no prior right row are dropped).
+
+    Shuffle shape: ONE groupby over ``hash(key) % 64`` buckets (not one
+    group per key — per-group pandas overhead across 10^4+ keys was the
+    measured cost), with the in-bucket match a single banded searchsorted
+    over all of the bucket's keys at once."""
 
     def tag(side: str, ts_col: str, cols: list[str]):
         def _tag(batch: pd.DataFrame) -> pd.DataFrame:
             out = batch[[on, ts_col] + cols].copy()
             out.columns = [on, "__ts"] + [f"__{side}_{c}" for c in cols]
             out["__side"] = side
+            out["__bucket"] = _bucket_of(out[on], _TEMPORAL_JOIN_BUCKETS)
             return out
         return _tag
 
@@ -217,7 +237,7 @@ def asof_join(left_ds, right_ds, on: str, left_ts: str, right_ts: str,
                               batch_format="pandas")
     l_out = [f"__l_{c}" for c in left_cols]
     r_out = [f"__r_{c}" for c in right_cols]
-    all_cols = [on, "__ts", "__side"] + l_out + r_out
+    all_cols = [on, "__ts", "__side", "__bucket"] + l_out + r_out
 
     def align(batch: pd.DataFrame) -> pd.DataFrame:
         return batch.reindex(columns=all_cols)
@@ -228,17 +248,47 @@ def asof_join(left_ds, right_ds, on: str, left_ts: str, right_ts: str,
     # same-named timestamp columns get the suffix on the right side
     right_ts_out = right_ts + suffix if right_ts == left_ts else right_ts
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == "l"].sort_values("__ts", kind="mergesort")
-        rg = g[g["__side"] == "r"].sort_values("__ts", kind="mergesort")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lmask = (g["__side"] == "l").to_numpy()
+        lg = g[lmask]
+        rg = g[~lmask]
         if lg.empty or rg.empty:
             return pd.DataFrame(columns=[on, left_ts, right_ts_out]
-                                + left_cols + [c + suffix for c in right_cols])
-        idx = np.searchsorted(rg["__ts"].to_numpy(), lg["__ts"].to_numpy(),
-                              side="right") - 1
-        keep = idx >= 0
+                                + left_cols
+                                + [c + suffix for c in right_cols])
+        uid_all, _ = pd.factorize(g[on], sort=False)
+        uid_l = uid_all[lmask].astype(np.int64)
+        uid_r = uid_all[~lmask].astype(np.int64)
+        ts_all = _ts_int(g["__ts"].to_numpy())
+        tmin = int(ts_all.min())
+        lts = ts_all[lmask] - tmin
+        rts = ts_all[~lmask] - tmin
+        span = int(ts_all.max()) - tmin + 2
+        n_keys = int(uid_all.max()) + 1
+        rkey, ok = _banded_bounds(uid_r, rts, n_keys, span)
+        if ok:
+            lkey = uid_l * span + lts
+            order = np.argsort(rkey, kind="stable")
+            idx = np.searchsorted(rkey[order], lkey, side="right") - 1
+            keep = idx >= 0
+            cand = order[np.maximum(idx, 0)]
+            keep &= uid_r[cand] == uid_l  # band check: same key
+            ridx = cand[keep]
+        else:
+            # overflow fallback: per-key segments on the sorted right
+            order = np.lexsort((rts, uid_r))
+            ru, rt_s = uid_r[order], rts[order]
+            seg_start = np.searchsorted(ru, uid_l, side="left")
+            seg_end = np.searchsorted(ru, uid_l, side="right")
+            pos = np.empty(len(uid_l), np.int64)
+            for i in range(len(uid_l)):
+                s, e = seg_start[i], seg_end[i]
+                pos[i] = s + np.searchsorted(rt_s[s:e], lts[i],
+                                             side="right") - 1
+            keep = pos >= seg_start  # a match exists within the segment
+            ridx = order[pos[keep]]
         lg = lg[keep]
-        matched = rg.iloc[idx[keep]]
+        matched = rg.iloc[ridx]
         out = pd.DataFrame({on: lg[on].to_numpy(),
                             left_ts: lg["__ts"].to_numpy(),
                             right_ts_out: matched["__ts"].to_numpy()})
@@ -248,7 +298,8 @@ def asof_join(left_ds, right_ds, on: str, left_ts: str, right_ts: str,
             out[c + suffix] = matched[f"__r_{c}"].to_numpy()
         return out
 
-    return both.groupby(on).map_groups(per_key, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(per_bucket,
+                                               batch_format="pandas")
 
 
 def range_count_join(left_ds, right_ds, on: str, left_ts: str,
@@ -256,14 +307,26 @@ def range_count_join(left_ds, right_ds, on: str, left_ts: str,
                      count_name: str = "n_in_range"):
     """For each left row, COUNT right rows of the same key with
     ``left_ts + lower <= right_ts < left_ts + upper`` (a band/interval
-    join realized as two searchsorted cuts per group)."""
+    join realized as two searchsorted cuts). Same 64-bucket shuffle
+    shape as ``asof_join`` — one banded searchsorted per bucket, not
+    one pandas group per key."""
+
+    def _dur_us(x) -> int:
+        if isinstance(x, pd.Timedelta):
+            return int(x / pd.Timedelta(microseconds=1))
+        return int(x)
+
+    lower_i, upper_i = _dur_us(lower), _dur_us(upper)
 
     def tag(side: str, ts_col: str, idc: str | None):
         def _tag(batch: pd.DataFrame) -> pd.DataFrame:
             cols = {on: batch[on], "__ts": batch[ts_col],
                     "__side": side}
             cols["__id"] = batch[idc] if idc else -1
-            return pd.DataFrame(cols)
+            out = pd.DataFrame(cols)
+            out["__bucket"] = _bucket_of(out[on],
+                                         _TEMPORAL_JOIN_BUCKETS)
+            return out
         return _tag
 
     lt = left_ds.map_batches(tag("l", left_ts, left_id),
@@ -272,17 +335,49 @@ def range_count_join(left_ds, right_ds, on: str, left_ts: str,
                               batch_format="pandas")
     both = lt.union(rt)
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        lg = g[g["__side"] == "l"]
-        rts = np.sort(g.loc[g["__side"] == "r", "__ts"].to_numpy())
-        ts = lg["__ts"].to_numpy()
-        lo = np.searchsorted(rts, ts + lower, side="left")
-        hi = np.searchsorted(rts, ts + upper, side="left")
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        lmask = (g["__side"] == "l").to_numpy()
+        lg = g[lmask]
+        if lg.empty:
+            return pd.DataFrame({on: lg[on], left_id: lg["__id"],
+                                 count_name: pd.Series([],
+                                                       dtype="int64")})
+        uid_all, _ = pd.factorize(g[on], sort=False)
+        uid_l = uid_all[lmask].astype(np.int64)
+        uid_r = uid_all[~lmask].astype(np.int64)
+        ts_all = _ts_int(g["__ts"].to_numpy())
+        tmin = int(ts_all.min())
+        lts = ts_all[lmask] - tmin
+        rts = ts_all[~lmask] - tmin
+        # margin so lts+lower / lts+upper stay inside the key's band
+        margin = abs(lower_i) + abs(upper_i) + 2
+        span = int(ts_all.max()) - tmin + 2 * margin
+        n_keys = int(uid_all.max()) + 1 if len(uid_all) else 1
+        rkey, ok = _banded_bounds(uid_r, rts + margin, n_keys, span)
+        if ok:
+            rkey = np.sort(rkey)
+            base = uid_l * span + (lts + margin)
+            lo = np.searchsorted(rkey, base + lower_i, side="left")
+            hi = np.searchsorted(rkey, base + upper_i, side="left")
+            cnt = (hi - lo).astype(np.int64)
+        else:  # overflow fallback: per-key segments
+            order = np.lexsort((rts, uid_r))
+            ru, rt_s = uid_r[order], rts[order]
+            cnt = np.empty(len(uid_l), np.int64)
+            seg_start = np.searchsorted(ru, uid_l, side="left")
+            seg_end = np.searchsorted(ru, uid_l, side="right")
+            for i in range(len(uid_l)):
+                s, e = seg_start[i], seg_end[i]
+                seg = rt_s[s:e]
+                cnt[i] = (np.searchsorted(seg, lts[i] + upper_i, "left")
+                          - np.searchsorted(seg, lts[i] + lower_i,
+                                            "left"))
         return pd.DataFrame({on: lg[on].to_numpy(),
                              left_id: lg["__id"].to_numpy(),
-                             count_name: (hi - lo).astype(np.int64)})
+                             count_name: cnt})
 
-    return both.groupby(on).map_groups(per_key, batch_format="pandas")
+    return both.groupby("__bucket").map_groups(per_bucket,
+                                               batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------
