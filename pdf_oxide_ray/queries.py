@@ -312,23 +312,43 @@ def q_ordered_assembly(sf_dir: str) -> pd.DataFrame:
 
 
 def q_user_sessions(sf_dir: str) -> pd.DataFrame:
-    """Session windows: per-user session count with a 30-minute inactivity
-    gap (groupby user + in-group ts sort; the streaming-window shape on a
-    keyed, ordered log)."""
+    """Session windows: per-user session count with a 30-minute
+    inactivity gap — the streaming-window shape on a keyed, ordered
+    log. Shuffle: ONE groupby over ``user_id % 64`` buckets (per-user
+    map_groups paid pandas overhead per tiny group); inside a bucket
+    the gap scan is a single vectorized diff over the (user, ts)-sorted
+    rows with user-boundary masking."""
     ds = _pq(sf_dir, "events", ["user_id", "ts", "event_id"])
-    gap = pd.Timedelta(minutes=30)
+    gap_us = 30 * 60 * 1_000_000
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
-        new_sessions = (g["ts"].diff() > gap).sum()
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]],
-                             "n_sessions": [int(new_sessions) + 1]})
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__bucket"] = (b["user_id"] % 64).astype(np.int64)
+        return b
 
-    out = ds.groupby("user_id").map_groups(
-        per_user, batch_format="pandas").to_pandas()
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        if not len(u):
+            return pd.DataFrame({"user_id": pd.Series([], dtype="int64"),
+                                 "brk": pd.Series([], dtype="int64")})
+        same = np.concatenate([[False], u[1:] == u[:-1]])
+        brk = same & (np.concatenate([[0], np.diff(ts)]) > gap_us)
+        return pd.DataFrame({"user_id": u, "brk": brk.astype(np.int64)}) \
+            .groupby("user_id", as_index=False)["brk"].sum()
+
+    with _scoped_parallelism(64):
+        out = ds.map_batches(add_bucket, batch_format="pandas") \
+            .groupby("__bucket").map_groups(per_bucket,
+                                            batch_format="pandas") \
+            .to_pandas()
     if out.empty:
         return _empty_typed(user_id="int64", n_sessions="int64")
-    return out.astype({"n_sessions": "int64"})
+    out["n_sessions"] = out.pop("brk") + 1
+    return out.astype({"user_id": "int64", "n_sessions": "int64"}) \
+        .sort_values("user_id").reset_index(drop=True)
 
 
 # ---------------------------------------------------------------------------

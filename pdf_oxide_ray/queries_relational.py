@@ -184,10 +184,13 @@ def q_large_orders(sf_dir: str) -> pd.DataFrame:
                              batch_format="pandas").to_pandas()
     if hot.empty:
         return empty
-    hot_ref = ray.put(set(hot["l_orderkey"].tolist()))
+    from .stages.joins import isin_sorted
+
+    hot_ref = ray.put(np.sort(hot["l_orderkey"].to_numpy(np.int64)))
 
     def pick(b: pd.DataFrame) -> pd.DataFrame:
-        return b[b["o_orderkey"].isin(_get_broadcast(hot_ref))]
+        return b[isin_sorted(b["o_orderkey"].to_numpy(),
+                             _get_broadcast(hot_ref))]
 
     ords = _pq(sf_dir, "orders",
                ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]) \
@@ -1133,12 +1136,9 @@ _FK_BUCKETS = 32
 def _orphan_count(vals: np.ndarray, keys: np.ndarray) -> int:
     """Rows of ``vals`` absent from the SORTED UNIQUE int64 ``keys``
     (vectorized searchsorted — no per-call set re-hash)."""
-    v = vals.astype(np.int64, copy=False)
-    if keys.size == 0:
-        return int(v.size)
-    idx = np.searchsorted(keys, v)
-    hit = (idx < keys.size) & (keys[np.minimum(idx, keys.size - 1)] == v)
-    return int((~hit).sum())
+    from .stages.joins import isin_sorted
+
+    return int((~isin_sorted(vals, keys)).sum())
 
 
 def q_fk_audit(sf_dir: str, *,

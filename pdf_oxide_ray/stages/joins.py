@@ -63,6 +63,17 @@ def broadcast_join(ds, right: pd.DataFrame, on: str,
     return ds.map_batches(merge, batch_format="pandas", **kwargs)
 
 
+def isin_sorted(vals: np.ndarray, keys: np.ndarray) -> np.ndarray:
+    """Vectorized membership of int64 ``vals`` in a SORTED unique int64
+    ``keys`` (searchsorted — no per-call Python-set re-hash; the
+    broadcast-membership idiom for fk_audit / hot-set semi-joins)."""
+    v = vals.astype(np.int64, copy=False)
+    if keys.size == 0:
+        return np.zeros(v.size, dtype=bool)
+    idx = np.searchsorted(keys, v)
+    return (idx < keys.size) & (keys[np.minimum(idx, keys.size - 1)] == v)
+
+
 def _bucket_of(keys: pd.Series, num_buckets: int) -> np.ndarray:
     arr = keys.to_numpy()
     if arr.dtype.kind == "f":
