@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "unigram_logprob", "event_transitions", "rolling_time_window",
     "source_token_entropy", "value_mad_by_type", "weighted_sample",
     "fk_audit", "weekly_active_users", "value_hour_correlation",
+    "kmeans_assign", "semantic_dedup",
 ]
 
 

@@ -364,9 +364,9 @@ def q_shipping_priority(sf_dir: str) -> pd.DataFrame:
     cutoff = np.datetime64(_Q3_CUTOFF)
     cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
                          columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    seg_keys = frozenset(
+    seg_keys = np.sort(
         cust.loc[cust["c_mktsegment"] == _Q3_SEGMENT, "c_custkey"]
-        .astype(np.int64))
+        .to_numpy(np.int64))
     ref = ray.put(seg_keys)
 
     lineitem = _pq(sf_dir, "lineitem",
@@ -388,10 +388,12 @@ def q_shipping_priority(sf_dir: str) -> pd.DataFrame:
         return g
 
     def order_tag(b: pd.DataFrame) -> pd.DataFrame:
+        from .stages.joins import isin_sorted
+
         keys = _get_broadcast(ref)
         dt = b["o_orderdate"].to_numpy("datetime64[us]")
         keep = (dt < np.datetime64(cutoff, "us")) \
-            & b["o_custkey"].isin(keys).to_numpy(bool)
+            & isin_sorted(b["o_custkey"].to_numpy(), keys)
         b = b[keep]
         return pd.DataFrame({
             "k": b["o_orderkey"].to_numpy(np.int64),
