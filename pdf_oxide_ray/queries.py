@@ -2134,7 +2134,9 @@ def q_chunk_dedup(sf_dir: str) -> pd.DataFrame:
     the bit-exact SQL twin)."""
     import ray
 
-    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+    # materialized once: both the count pass and the strip pass consume
+    # it (lazy lineage would re-decode the parquet text column twice)
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"]).materialize()
 
     def partial(b: pd.DataFrame) -> pd.DataFrame:
         _, _, chunks = _word_chunks(b["text"])
