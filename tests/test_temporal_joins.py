@@ -148,3 +148,48 @@ def test_salted_range_count_matches_unsalted(ray_session):
         .reset_index(drop=True),
         salted[cols].sort_values(["user_id", "event_id"])
         .reset_index(drop=True))
+
+
+def test_temporal_join_overflow_fallback_paths(ray_session, monkeypatch):
+    """Force the banded-key overflow guard so the per-key-segment
+    fallback runs; results must equal the banded path."""
+    import numpy as np
+
+    import pdf_oxide_ray.stages.joins as J
+
+    rs = np.random.RandomState(9)
+    n = 5000
+    base = pd.Timestamp("2024-01-01").value // 1000
+    lpd = pd.DataFrame({
+        "user_id": rs.randint(0, 40, n).astype(np.int64),
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime(
+            base + rs.randint(0, 86_400_000_000, n), unit="us")})
+    rpd = pd.DataFrame({
+        "user_id": rs.randint(0, 40, n).astype(np.int64),
+        "event_id": 10_000_000 + np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime(
+            base + rs.randint(0, 86_400_000_000, n), unit="us")})
+
+    kw_asof = dict(on="user_id", left_ts="ts", right_ts="ts",
+                   left_cols=["event_id"], right_cols=["event_id"])
+    kw_rng = dict(on="user_id", left_ts="ts", right_ts="ts",
+                  left_id="event_id", lower=-pd.Timedelta(hours=1),
+                  upper=pd.Timedelta(0))
+
+    def run_all():
+        a = J.asof_join(rd.from_pandas(lpd), rd.from_pandas(rpd),
+                        **kw_asof).to_pandas()
+        r = J.range_count_join(rd.from_pandas(lpd), rd.from_pandas(rpd),
+                               **kw_rng).to_pandas()
+        ca = sorted(a.columns)
+        cr = sorted(r.columns)
+        return (a[ca].sort_values(ca).reset_index(drop=True),
+                r[cr].sort_values(cr).reset_index(drop=True))
+
+    a_fast, r_fast = run_all()
+    monkeypatch.setattr(J, "_banded_bounds", lambda *a_: (None, False))
+    a_slow, r_slow = run_all()
+    pd.testing.assert_frame_equal(a_fast, a_slow)
+    pd.testing.assert_frame_equal(r_fast, r_slow)
+    assert len(a_fast) > 0 and len(r_fast) > 0
