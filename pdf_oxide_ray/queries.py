@@ -2216,7 +2216,20 @@ def q_kmeans_assign(sf_dir: str) -> pd.DataFrame:
     because updates ride exact BIGINT component sums divided in the same
     float64 order, and the 2^-20 dyadic grid (round_even = np.rint)
     makes the quantization itself exact; also pinned in
-    tests/test_pinned_rows_only.py."""
+    tests/test_pinned_rows_only.py. Below ``_KMEANS_LOCAL_MAX`` rows
+    (parquet metadata) the identical math runs driver-local — 6
+    streamed passes of scheduling fixed cost dominate a kilorow table;
+    outputs are bit-identical (order-invariant int64 sums)."""
+    local = _embeddings_local(sf_dir)
+    if local is not None:
+        cent = _kmeans_centroids_from_df(local)
+        if cent is None:
+            return _empty_typed(vec_id="int64", cluster="int64")
+        return pd.DataFrame({
+            "vec_id": local["vec_id"].to_numpy(np.int64),
+            "cluster": _kmeans_argmin(_kmeans_quant(local), cent)
+            .astype(np.int64)}).sort_values("vec_id") \
+            .reset_index(drop=True)
     cent = _kmeans_centroids(sf_dir)
     if cent is None:  # empty corpus: nothing to cluster
         return _empty_typed(vec_id="int64", cluster="int64")
@@ -2233,6 +2246,50 @@ def q_kmeans_assign(sf_dir: str) -> pd.DataFrame:
 
     return ds.map_batches(label, batch_format="pandas").to_pandas() \
         .sort_values("vec_id").reset_index(drop=True)
+
+
+_KMEANS_LOCAL_MAX = 200_000  # rows; ~100 MB of float64 at dim 64
+
+
+def _embeddings_local(sf_dir: str) -> pd.DataFrame | None:
+    """The (vec_id, embedding) table when it is driver-sized (parquet
+    METADATA row count vs the gate — no data read above it), else None.
+    Below the gate the k-means family runs its identical integer-exact
+    math locally: at sf scales the table is a few thousand rows and the
+    distributed path's ~1 s/pass of scheduling fixed cost dominates 6+
+    passes; above the gate the streamed path takes over. Outputs are
+    bit-identical either way (order-invariant int64 component sums —
+    the same argument that makes the distributed reduce CI-pinnable)."""
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    if pq.ParquetFile(path).metadata.num_rows > _KMEANS_LOCAL_MAX:
+        return None
+    return pq.read_table(path, columns=["vec_id", "embedding"]) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+
+
+def _kmeans_centroids_from_df(df: pd.DataFrame) -> np.ndarray | None:
+    """Local twin of the distributed trainer: same quantize / assign /
+    int64-sum / update chain over the whole matrix at once."""
+    seed = df[df["vec_id"] < _KMEANS_K]
+    if seed.empty:
+        return None
+    cent = np.rint(np.stack(seed.sort_values("vec_id")["embedding"]
+                            .to_numpy())
+                   .astype(np.float64) * _KMEANS_SCALE) / _KMEANS_SCALE
+    mat = _kmeans_quant(df)
+    ints = np.rint(mat * _KMEANS_SCALE).astype(np.int64)
+    for _ in range(_KMEANS_ITERS):
+        a = _kmeans_argmin(mat, cent)
+        n = np.bincount(a, minlength=len(cent)).astype(np.int64)
+        sums = np.zeros((len(cent), mat.shape[1]), dtype=np.int64)
+        np.add.at(sums, a, ints)
+        nz = n > 0
+        upd = cent.copy()
+        upd[nz] = (sums[nz] / n[nz, None]) / _KMEANS_SCALE
+        cent = upd
+    return cent
 
 
 def _kmeans_quant(b: pd.DataFrame) -> np.ndarray:
@@ -2385,7 +2442,33 @@ def q_semantic_dedup(sf_dir: str) -> pd.DataFrame:
     grows with N so per-cluster cost stays bounded (and a cluster could
     time-sub-bucket like the salted joins if one collapses). Survivor
     rule is pairwise ("exists ANY lower-id neighbor"), not greedy, so
-    the SQL NOT EXISTS twin states the same relation directly."""
+    the SQL NOT EXISTS twin states the same relation directly. Below
+    ``_KMEANS_LOCAL_MAX`` rows the whole chain runs driver-local (same
+    gate + same bit-exactness argument as q_kmeans_assign)."""
+    local = _embeddings_local(sf_dir)
+    if local is not None:
+        cent = _kmeans_centroids_from_df(local)
+        if cent is None:
+            return _empty_typed(vec_id="int64")
+        a = _kmeans_argmin(_kmeans_quant(local), cent)
+        mat = np.stack(local["embedding"].to_numpy()).astype(np.float64)
+        nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        mat = mat / nrm
+        ids = local["vec_id"].to_numpy(np.int64)
+        keep_ids = []
+        for c in range(len(cent)):
+            sel = np.flatnonzero(a == c)
+            if not sel.size:
+                continue
+            order = np.argsort(ids[sel], kind="stable")
+            sel = sel[order]
+            sim = mat[sel] @ mat[sel].T
+            dup = (np.tril(sim, k=-1) >= _SEMDEDUP_TAU).any(axis=1)
+            keep_ids.append(ids[sel][~dup])
+        out = np.sort(np.concatenate(keep_ids)) if keep_ids else \
+            np.empty(0, np.int64)
+        return pd.DataFrame({"vec_id": out.astype(np.int64)})
     cent = _kmeans_centroids(sf_dir)
     if cent is None:
         return _empty_typed(vec_id="int64")

@@ -296,3 +296,23 @@ def test_semantic_dedup_drops_planted_cluster_dups(ray_session, tmp_path):
     kept = set(out["vec_id"])
     assert 4 in kept and not ({20, 21, 22} & kept)
     assert len(out) < 40
+
+
+def test_kmeans_family_local_and_distributed_paths_agree(ray_session,
+                                                         monkeypatch):
+    """The driver-local fast path (below _KMEANS_LOCAL_MAX) and the
+    streamed path must produce bit-identical assignments and survivors
+    (order-invariant int64 component sums make this provable; this
+    pins it)."""
+    import pdf_oxide_ray.queries as Q
+
+    sf = "/root/testdata/sf0.01"
+    local_k = Q.QUERIES["kmeans_assign"](sf)
+    local_s = Q.QUERIES["semantic_dedup"](sf)
+    monkeypatch.setattr(Q, "_KMEANS_LOCAL_MAX", 0)
+    dist_k = Q.QUERIES["kmeans_assign"](sf)
+    dist_s = Q.QUERIES["semantic_dedup"](sf)
+    pd.testing.assert_frame_equal(local_k.reset_index(drop=True),
+                                  dist_k.reset_index(drop=True))
+    pd.testing.assert_frame_equal(local_s.reset_index(drop=True),
+                                  dist_s.reset_index(drop=True))
