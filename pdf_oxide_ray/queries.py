@@ -1934,21 +1934,19 @@ def q_range_purchase_views(sf_dir: str) -> pd.DataFrame:
         {"purchase_id": "int64", "n_views_1h": "int64"})
 
 
-def q_pdf_images(sf_dir: str) -> pd.DataFrame:
-    """S8 image extraction bridged into the multimodal actor stage:
-    map_batches pulls Image XObjects out of corpus PDFs as opaque binary +
-    typed metadata rows, then the MediaFeatures actor pool decodes the raw
-    samples to RGB pixels for real (pure numpy — bit expansion, gray/CMYK
-    conversion; only DCT/JPX would need a codec lib) and featurizes."""
-    import ray.data as rd_
-
+def _pdf_media_dataset(sf_dir: str):
+    """Corpus PDFs -> multimodal media table (Image XObjects as opaque
+    binary + typed metadata), shared by q_pdf_images and
+    q_image_thumbnails."""
     from .gen.cache import tag_for_sf_dir, transcripts_path
     from .pipelines.flagship import read_transcripts
-    from .stages.multimodal import MEDIA_SCHEMA, MediaFeatures
+    from .stages.multimodal import MEDIA_SCHEMA
 
     path = transcripts_path(tag_for_sf_dir(sf_dir), with_golden=False)
 
     def pull_images(b: pa.Table) -> pa.Table:
+        import zlib
+
         from .core.document import PdfDocument
         from .core.images import extract_images_all
 
@@ -1976,10 +1974,19 @@ def q_pdf_images(sf_dir: str) -> pd.DataFrame:
                 })
         return pa.Table.from_pylist(rows, schema=MEDIA_SCHEMA)
 
-    import zlib
-
     ds = read_transcripts(path, columns=["conv_id", "turn_idx", "text"])
-    media = ds.map_batches(pull_images, batch_format="pyarrow")
+    return ds.map_batches(pull_images, batch_format="pyarrow")
+
+
+def q_pdf_images(sf_dir: str) -> pd.DataFrame:
+    """S8 image extraction bridged into the multimodal actor stage:
+    map_batches pulls Image XObjects out of corpus PDFs as opaque binary +
+    typed metadata rows, then the MediaFeatures actor pool decodes the raw
+    samples to RGB pixels for real (pure numpy — bit expansion, gray/CMYK
+    conversion; only DCT/JPX would need a codec lib) and featurizes."""
+    from .stages.multimodal import MediaFeatures
+
+    media = _pdf_media_dataset(sf_dir)
     # REAL decoder: the generator's XObjects are Flate raw-RGB, decoded
     # to pixels in pure numpy (codec-less); jpeg would yield error rows
     feats = media.map_batches(
@@ -1991,6 +1998,29 @@ def q_pdf_images(sf_dir: str) -> pd.DataFrame:
         "n_images": [len(feats)],
         "n_ok": [int((feats["status"] == "ok").sum())],
     })
+
+
+def q_image_thumbnails(sf_dir: str) -> pd.DataFrame:
+    """Multimodal RESIZE stage end-to-end for real: corpus PDF images
+    decode to RGB in pure numpy and bilinear-resize to 32x32 thumbnails
+    in the ImageResize actor pool. Output is one row per image with a
+    deterministic luma scalar (pure per-row map, so the result is
+    parallelism-invariant and pinned in tests); the thumbnail bytes
+    themselves stay distributed — only (id, status, luma) reach the
+    driver."""
+    from .stages.multimodal import ImageResize
+
+    media = _pdf_media_dataset(sf_dir)
+    out = media.map_batches(
+        ImageResize, batch_format="pyarrow", batch_size=16, concurrency=2,
+        fn_constructor_kwargs={"use_fake_decoder": False}) \
+        .select_columns(["media_id", "status", "thumb_h", "thumb_w",
+                         "mean_luma_q6"]).to_pandas()
+    if out.empty:
+        return _empty_typed(media_id="int64", status=object,
+                            thumb_h="int32", thumb_w="int32",
+                            mean_luma_q6="int64")
+    return out.sort_values("media_id").reset_index(drop=True)
 
 
 def q_feature_census(sf_dir: str) -> pd.DataFrame:
@@ -2681,6 +2711,7 @@ QUERIES = {
     "doc_metadata": q_doc_metadata,
     "feature_census": q_feature_census,
     "pdf_images": q_pdf_images,
+    "image_thumbnails": q_image_thumbnails,
     "asof_purchase_click": q_asof_purchase_click,
     "range_purchase_views": q_range_purchase_views,
 }

@@ -35,6 +35,9 @@ PINNED = {
     "kmeans_assign": "98c73c18eeeb7ea0e10e8b11a9b7ac18",
     # integer feature counts; confirmed at num_cpus=4/8 in fresh sessions
     "feature_census": "07979ecfe3b6684e9e036ad8a2544986",
+    # pure per-row decode+bilinear map (raw CSV hash confirmed identical
+    # at num_cpus=4/8/16 in fresh sessions before pinning)
+    "image_thumbnails": "910537db083f67329d1f0feea21dccd0",
 }
 
 

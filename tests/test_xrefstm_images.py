@@ -118,3 +118,38 @@ def test_media_features_real_decoder_on_raw():
     assert out[0]["decoded_h"] == 2 and out[0]["decoded_w"] == 2
     assert abs(out[0]["feature"][0]) > 0  # real pixels, non-zero features
     assert out[1]["status"] == "error"  # jpeg needs a codec lib
+
+
+def test_image_resize_bilinear_known_values():
+    """2x2 checkerboard -> 4x4 bilinear: corners keep source values,
+    interior interpolates; identity resize is exact."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pdf_oxide_ray.stages.multimodal import ImageResize
+
+    src = np.array([[0, 255], [255, 0]], dtype=np.uint8)
+    r = ImageResize(out_h=4, out_w=4)
+    th = r._resize(src)
+    assert th.shape == (4, 4, 3)
+    assert th[0, 0, 0] == 0 and th[0, 3, 0] == 255
+    assert th[3, 0, 0] == 255 and th[3, 3, 0] == 0
+    # center pixels average toward 127/128
+    assert 63 < th[1, 1, 0] < 192
+    # identity: 2x2 -> 2x2 returns the source exactly (gray -> 3ch)
+    r2 = ImageResize(out_h=2, out_w=2)
+    same = r2._resize(src)
+    assert (same[:, :, 0] == src).all()
+
+    # stage call: raw gray payload decodes and resizes end-to-end
+    batch = pa.table({
+        "media_id": pa.array([1], pa.int64()),
+        "payload": pa.array([src.tobytes()], pa.large_binary()),
+        "meta": pa.array([{"media_type": "image", "format": "raw",
+                           "width": 2, "height": 2,
+                           "color_space": "DeviceGray", "bits": 8,
+                           "duration_ms": 0}]),
+    })
+    out = r(batch)
+    assert out.column("status").to_pylist() == ["ok"]
+    assert len(out.column("thumb")[0].as_py()) == 4 * 4 * 3
