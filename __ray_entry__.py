@@ -96,10 +96,11 @@ _DRIVER_WINDOW_R3 = [
     "value_outliers_by_type", "weekly_active_users", "cross_source_dups",
     "value_hour_correlation",
     # kmeans_assign leaves rows-only this round (unrolled-CTE twin);
-    # feature_census / doc_metadata / heading_stats are extraction-bound
-    # (no SQL twin is expressible over the driver's views) and get their
-    # first driver rows-only rows here.
-    "kmeans_assign", "feature_census", "doc_metadata", "heading_stats",
+    # semantic_dedup is new THIS round and oracle-backed (kmeans CTE
+    # chain + within-cluster NOT EXISTS); feature_census / doc_metadata
+    # are extraction-bound (no SQL twin is expressible over the
+    # driver's views) and get their first driver rows-only rows here.
+    "kmeans_assign", "semantic_dedup", "feature_census", "doc_metadata",
 ]
 
 
