@@ -642,12 +642,11 @@ def q_source_token_entropy(sf_dir: str) -> pd.DataFrame:
 # grouped robust statistics: exact median + MAD, exact mode
 # ---------------------------------------------------------------------------
 
-def _typed_hist(sf_dir: str, value_fn) -> pd.DataFrame:
+def _typed_hist(sf_dir: str) -> pd.DataFrame:
     """(event_type, v6) count histogram over events.value micro-units
-    — the bounded-value-histogram plan shared by MAD and mode (one
-    skinny reduce, rows bounded by #types x #distinct values, never by
-    #events). ``value_fn`` maps raw int64 micro-units to the
-    histogrammed value (identity, or |v - med| for the MAD pass)."""
+    — the bounded-value-histogram plan shared by MAD / mode / outliers
+    (one skinny reduce, rows bounded by #types x #distinct values,
+    never by #events)."""
 
     def hist(b: pd.DataFrame) -> pd.DataFrame:
         # NULL values are excluded like SQL round(NULL) (a NaN cast to
@@ -656,7 +655,6 @@ def _typed_hist(sf_dir: str, value_fn) -> pd.DataFrame:
         raw = b["value"].to_numpy(np.float64) * 1e6
         v6 = np.copysign(np.floor(np.abs(raw) + 0.5), raw) \
             .astype(np.int64)
-        v6 = value_fn(b["event_type"].to_numpy(object), v6)
         g = pd.DataFrame({"event_type": b["event_type"].to_numpy(object),
                           "v6": v6})
         return g.groupby(["event_type", "v6"], as_index=False) \
@@ -687,22 +685,24 @@ def q_value_mad_by_type(sf_dir: str) -> pd.DataFrame:
     deviation of ``value`` per event type — outlier-robust telemetry
     at corpus scale WITHOUT a global sort. Two histogram passes: (1)
     value histogram -> per-type median by the percentile_disc index
-    rule, (2) |v - median| histogram (median broadcast in the closure)
-    -> per-type MAD by the same rule. Each pass's reduce is bounded by
-    #types x #distinct values; micro-unit int64 values make both
-    passes exact."""
-    h1 = _typed_hist(sf_dir, lambda types, v6: v6)
+    rule, (2) the |v - median| histogram derived ON THE DRIVER from the
+    value histogram itself (identical counts under the deviation map —
+    a pure re-key of bounded histogram rows, so the second corpus scan
+    the naive plan would make simply disappears) -> per-type MAD by the
+    same rule. The one distributed reduce is bounded by #types x
+    #distinct values; micro-unit int64 values make both stages exact."""
+    h1 = _typed_hist(sf_dir)
     if h1.empty:
         return _empty_typed(event_type=object, median="float64",
                             mad="float64")
     med = _disc_quantile_per_group(h1, 0.5)
-
-    def dev(types: np.ndarray, v6: np.ndarray) -> np.ndarray:
-        m = np.fromiter((med[t] for t in types), dtype=np.int64,
-                        count=len(types))
-        return np.abs(v6 - m)
-
-    mad = _disc_quantile_per_group(_typed_hist(sf_dir, dev), 0.5)
+    h2 = pd.DataFrame({
+        "event_type": h1["event_type"].to_numpy(object),
+        "v6": np.abs(h1["v6"].to_numpy(np.int64)
+                     - h1["event_type"].map(med).to_numpy(np.int64)),
+        "cnt": h1["cnt"].to_numpy(np.int64)}) \
+        .groupby(["event_type", "v6"], as_index=False)["cnt"].sum()
+    mad = _disc_quantile_per_group(h2, 0.5)
     types = sorted(med)
     return pd.DataFrame({
         "event_type": types,
@@ -719,7 +719,7 @@ def q_value_outliers_by_type(sf_dir: str) -> pd.DataFrame:
     containment test ``4·v < 4·lo`` is pure int64 — no float compare
     anywhere. Pass 2 re-reads ONLY the histogram (no second corpus
     pass): outlier counts sum straight off the (value, count) rows."""
-    h = _typed_hist(sf_dir, lambda types, v6: v6)
+    h = _typed_hist(sf_dir)
     if h.empty:
         return _empty_typed(event_type=object, n_low="int64",
                             n_high="int64", n_total="int64")
@@ -744,7 +744,7 @@ def q_value_mode_by_type(sf_dir: str) -> pd.DataFrame:
     """Grouped exact MODE: most frequent value per event type, ties to
     the smallest value — read directly off the same bounded value
     histogram (one skinny reduce, no sort of the raw events)."""
-    h = _typed_hist(sf_dir, lambda types, v6: v6)
+    h = _typed_hist(sf_dir)
     if h.empty:
         return _empty_typed(event_type=object, mode_value="float64",
                             n="int64")
