@@ -193,3 +193,46 @@ def test_temporal_join_overflow_fallback_paths(ray_session, monkeypatch):
     pd.testing.assert_frame_equal(a_fast, a_slow)
     pd.testing.assert_frame_equal(r_fast, r_slow)
     assert len(a_fast) > 0 and len(r_fast) > 0
+
+
+def test_asof_join_matches_pandas_merge_asof_property(ray_session):
+    """Independent reference: the bucketed banded asof must agree with
+    pandas.merge_asof (by=key, backward, exact matches allowed) on
+    randomized inputs across several seeds."""
+    import numpy as np
+
+    from pdf_oxide_ray.stages.joins import asof_join
+
+    base = pd.Timestamp("2024-01-01").value // 1000
+    for seed in range(6):
+        rs = np.random.RandomState(seed)
+        nl, nr = rs.randint(1, 400), rs.randint(1, 400)
+        lpd = pd.DataFrame({
+            "user_id": rs.randint(0, 12, nl).astype(np.int64),
+            "event_id": np.arange(nl, dtype=np.int64),
+            "ts": pd.to_datetime(
+                base + rs.randint(0, 10**9, nl) * 1000, unit="us")})
+        rpd = pd.DataFrame({
+            "user_id": rs.randint(0, 12, nr).astype(np.int64),
+            "event_id": 10**6 + np.arange(nr, dtype=np.int64),
+            "ts": pd.to_datetime(
+                base + rs.randint(0, 10**9, nr) * 1000, unit="us")})
+        out = asof_join(rd.from_pandas(lpd), rd.from_pandas(rpd),
+                        on="user_id", left_ts="ts", right_ts="ts",
+                        left_cols=["event_id"],
+                        right_cols=["event_id"]).to_pandas()
+        ref = pd.merge_asof(
+            lpd.sort_values("ts", kind="mergesort"),
+            rpd.sort_values("ts", kind="mergesort")
+            .rename(columns={"event_id": "r_event_id", "ts": "r_ts"}),
+            left_on="ts", right_on="r_ts", by="user_id",
+            direction="backward").dropna(subset=["r_ts"])
+        a = out[["user_id", "event_id", "ts", "ts_right"]] \
+            .sort_values("event_id").reset_index(drop=True)
+        b = ref[["user_id", "event_id", "ts", "r_ts"]] \
+            .rename(columns={"r_ts": "ts_right"}) \
+            .sort_values("event_id").reset_index(drop=True)
+        # matched TS must agree everywhere (payload ties can differ in
+        # which equal-ts right row is chosen; the timestamp cannot)
+        pd.testing.assert_frame_equal(a, b.astype(a.dtypes.to_dict()),
+                                      check_dtype=False)
