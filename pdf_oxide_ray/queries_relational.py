@@ -759,6 +759,86 @@ def q_value_mode_by_type(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# mergeable eps-approximate quantile summary (unbounded value domains)
+# ---------------------------------------------------------------------------
+
+_QSK_EPS = 0.01
+_QSK_BUCKETS = 64
+_QSK_PS = (0.5, 0.9, 0.99)
+
+
+def q_value_quantile_sketch(sf_dir: str) -> pd.DataFrame:
+    """Mergeable deterministic eps-approximate quantiles of ``value``
+    per event type — the UNBOUNDED-domain scale path that the exact
+    bounded-value histograms (q_value_mad_by_type et al.) cannot take
+    (cf. the retrieved "Relative Error Streaming Quantiles", PODS
+    2021: sublinear summaries when the value domain is too wide to
+    histogram). Plan: skinny (type, bucket = hash(event_id) % 64,
+    value) rows ride ONE groupby exchange; each (type, bucket) group
+    sorts and keeps every floor(eps*n_b)-th element WITH its exact
+    in-bucket rank (a Munro–Paterson-style sorted coreset — no
+    sampling, no randomness); the driver folds #types x #buckets x
+    ~1/eps rows. For the answer v returned at target rank r, the true
+    rank lies in [cum_g(v), cum_g(v) + sum_b(s_b - 1)] with
+    sum_b(s_b - 1) < eps*N — the bound the property test asserts.
+    Bucketing by a hash of the ROW ID makes each bucket's multiset —
+    hence the whole summary — invariant to batching/parallelism, so
+    the result is pinnable. No SQL twin (the coreset fold is
+    iterative); pinned in tests/test_pinned_rows_only.py plus the
+    error-bound property test in tests/test_queries.py."""
+    from .stages.joins import _bucket_of
+
+    ds = _pq(sf_dir, "events", ["event_id", "event_type", "value"])
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["value"])
+        return pd.DataFrame({
+            "event_type": b["event_type"].to_numpy(object),
+            "bucket": _bucket_of(b["event_id"], _QSK_BUCKETS),
+            "value": b["value"].to_numpy(np.float64)})
+
+    def coreset(g: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(g["value"].to_numpy(np.float64))
+        n_b = v.size
+        s = max(1, int(np.floor(_QSK_EPS * n_b)))
+        idx = np.arange(s - 1, n_b, s, dtype=np.int64)
+        if idx.size == 0 or idx[-1] != n_b - 1:
+            idx = np.concatenate([idx, [np.int64(n_b - 1)]])
+        return pd.DataFrame({
+            "event_type": [g["event_type"].iloc[0]] * idx.size,
+            "bucket": np.int64(g["bucket"].iloc[0]),
+            "value": v[idx],
+            "rank_in_bucket": idx + 1,
+            "prev_rank": np.concatenate([[np.int64(0)], idx[:-1] + 1]),
+            "n_b": np.int64(n_b)})
+
+    with _scoped_parallelism(_QSK_BUCKETS):
+        summ = ds.map_batches(tag, batch_format="pandas") \
+            .groupby(["event_type", "bucket"]) \
+            .map_groups(coreset, batch_format="pandas").to_pandas()
+    empty = _empty_typed(event_type=object, p="float64",
+                         value="float64")
+    if summ.empty:
+        return empty
+    rows = []
+    for etype, g in summ.groupby("event_type", sort=True):
+        n = int(g.groupby("bucket")["n_b"].first().sum())
+        g = g.sort_values(["value", "bucket", "rank_in_bucket"],
+                          kind="mergesort")
+        w = (g["rank_in_bucket"] - g["prev_rank"]).to_numpy(np.int64)
+        cum = np.cumsum(w)
+        vals = g["value"].to_numpy(np.float64)
+        for p in _QSK_PS:
+            r = max(int(np.ceil(n * p)), 1)
+            i = min(int(np.searchsorted(cum, r, side="left")),
+                    len(vals) - 1)
+            rows.append((etype, p, vals[i]))
+    return pd.DataFrame(rows, columns=["event_type", "p", "value"]) \
+        .astype({"p": "float64", "value": "float64"}) \
+        .sort_values(["event_type", "p"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # grouped linear trend (exact least-squares slope from combiner partials)
 # ---------------------------------------------------------------------------
 
@@ -1557,6 +1637,7 @@ RELATIONAL_QUERIES = {
     "source_token_entropy": q_source_token_entropy,
     "value_mad_by_type": q_value_mad_by_type,
     "value_mode_by_type": q_value_mode_by_type,
+    "value_quantile_sketch": q_value_quantile_sketch,
     "incremental_dedup": q_incremental_dedup,
     "value_trend_by_type": q_value_trend_by_type,
     "dup_pagerank": q_dup_pagerank,

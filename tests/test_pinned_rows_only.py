@@ -38,6 +38,9 @@ PINNED = {
     # pure per-row decode+bilinear map (raw CSV hash confirmed identical
     # at num_cpus=4/8/16 in fresh sessions before pinning)
     "image_thumbnails": "910537db083f67329d1f0feea21dccd0",
+    # row-id-hash bucketing makes the coreset batching-invariant
+    # (confirmed at num_cpus=4/16 in fresh sessions before pinning)
+    "value_quantile_sketch": "52af4f7ffd7cad5c9af350a3136a344e",
 }
 
 
