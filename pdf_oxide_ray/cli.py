@@ -74,6 +74,16 @@ def main(argv: list[str] | None = None) -> int:
     p_ana.add_argument("--input", required=True,
                        help="transcripts parquet dir/file")
 
+    p_ing = sub.add_parser("ingest", help="incremental day-2 ingestion: "
+                           "extract a new shard, dedup against the "
+                           "existing output, append a partition")
+    p_ing.add_argument("--input", required=True,
+                       help="NEW transcripts parquet dir/file")
+    p_ing.add_argument("--output", required=True,
+                       help="existing (or fresh) extracted corpus dir")
+    p_ing.add_argument("--no-markdown", action="store_true")
+    p_ing.add_argument("--no-spans", action="store_true")
+
     args = parser.parse_args(argv)
     _ensure_ray()
     import ray
@@ -114,6 +124,13 @@ def main(argv: list[str] | None = None) -> int:
 
             print(json.dumps(
                 feature_census_over(args.input).to_dict("records")[0]))
+        elif args.cmd == "ingest":
+            from .pipelines.ingest import run_incremental_ingest
+
+            print(json.dumps(run_incremental_ingest(
+                args.input, args.output,
+                want_markdown=not args.no_markdown,
+                keep_spans=not args.no_spans)))
         elif args.cmd == "metrics":
             import ray.data as rd
 

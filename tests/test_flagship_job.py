@@ -95,3 +95,57 @@ def test_parallel_generation_byte_identical():
     b, gb = generate_transcripts_parallel(520, seed=5, processes=4)
     assert a.equals(b)
     assert ga.equals(gb)
+
+
+def test_incremental_ingest_day2(ray_session, tmp_path):
+    """Day-2 ingestion: first ingest keeps everything; re-ingesting the
+    SAME corpus drops every non-error turn as a duplicate; a corpus
+    with fresh content appends only the new turns."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from pdf_oxide_ray.gen.transcripts import write_corpus
+    from pdf_oxide_ray.pipelines.ingest import run_incremental_ingest
+
+    c1 = tmp_path / "c1"
+    write_corpus(str(c1), n_convs=12, seed=101)
+    out = str(tmp_path / "corpus_out")
+
+    s1 = run_incremental_ingest(str(c1 / "transcripts.parquet"), out,
+                                keep_spans=False)
+    assert s1["part_id"] == 0
+    # the increment self-dedups too, so kept <= seen (identical plain
+    # payloads can repeat within one corpus)
+    assert 0 < s1["rows_kept"] <= s1["rows_seen"]
+    assert s1["rows_dropped"] == s1["rows_seen"] - s1["rows_kept"]
+    m0 = json.load(open(os.path.join(out, "part_id=0",
+                                     "_manifest.json")))
+    assert m0["status"] == "complete" and m0["rows"] == s1["rows_kept"]
+
+    # identical shard again: everything non-error is a duplicate
+    s2 = run_incremental_ingest(str(c1 / "transcripts.parquet"), out,
+                                keep_spans=False)
+    assert s2["part_id"] == 1
+    t1 = pq.read_table(os.path.join(out, "part_id=0"),
+                       columns=["status"])
+    n_err = sum(1 for s in t1.column("status").to_pylist()
+                if s == "error")
+    assert s2["rows_kept"] == n_err  # only error rows re-enter
+    assert s2["rows_dropped"] == s2["rows_seen"] - n_err
+
+    # a different seed brings genuinely new content
+    c2 = tmp_path / "c2"
+    write_corpus(str(c2), n_convs=6, seed=202)
+    s3 = run_incremental_ingest(str(c2 / "transcripts.parquet"), out,
+                                keep_spans=False)
+    assert s3["part_id"] == 2
+    assert s3["rows_kept"] > 0
+    total = 0
+    for i in range(3):
+        m = json.load(open(os.path.join(out, f"part_id={i}",
+                                        "_manifest.json")))
+        assert m["status"] == "complete"
+        total += m["rows"]
+    assert total == s1["rows_kept"] + s2["rows_kept"] + s3["rows_kept"]
