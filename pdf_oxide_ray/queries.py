@@ -2541,6 +2541,88 @@ def q_semantic_dedup(sf_dir: str) -> pd.DataFrame:
         .sort_values("vec_id").reset_index(drop=True)
 
 
+_CLUSTER_TOPICS_K = 5
+
+
+def q_cluster_topics(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cluster topic report: the top-5 tokens (by count, ties
+    to the lexicographically smaller token) of the documents in each
+    k-means cluster — the corpus-exploration readout a curator runs
+    after clustering ("what IS cluster 3?"). Scale shape: the cluster
+    LABEL array (one small int per vector, dense vec_id index)
+    broadcasts once — ~1 byte/vector, fine at 10^8 vectors; per-batch
+    (cluster, token, n) partials ride the one vocab-bounded reduce
+    (the tfidf_keywords df-table shape); top-k per cluster folds on the
+    driver over #clusters x vocab rows. Twin: the kmeans CTE chain +
+    whitespace tokenization + a windowed top-k."""
+    cent = None
+    local = _embeddings_local(sf_dir)
+    if local is not None:
+        cent = _kmeans_centroids_from_df(local)
+        if cent is None:
+            return _empty_typed(cluster="int64", token=object, n="int64")
+        labels = np.full(int(local["vec_id"].max()) + 1, -1, np.int64)
+        labels[local["vec_id"].to_numpy(np.int64)] = \
+            _kmeans_argmin(_kmeans_quant(local), cent)
+    else:
+        cent = _kmeans_centroids(sf_dir)
+        if cent is None:
+            return _empty_typed(cluster="int64", token=object, n="int64")
+        assign = q_kmeans_assign(sf_dir)
+        labels = np.full(int(assign["vec_id"].max()) + 1, -1, np.int64)
+        labels[assign["vec_id"].to_numpy(np.int64)] = \
+            assign["cluster"].to_numpy(np.int64)
+    import ray
+
+    lab_ref = ray.put(labels)
+
+    def tok_counts(b: pd.DataFrame) -> pd.DataFrame:
+        lab = _get_broadcast(lab_ref)
+        ids = b["doc_id"].to_numpy(np.int64)
+        in_range = ids < lab.size
+        cl = np.full(len(ids), -1, np.int64)
+        cl[in_range] = lab[ids[in_range]]
+        b = b[cl >= 0]
+        cl = cl[cl >= 0]
+        toks = b["text"].fillna("").str.split()
+        pairs = pd.DataFrame({
+            "cluster": np.repeat(cl, toks.str.len().to_numpy(np.int64)),
+            "token": [t for row in toks for t in row]})
+        return pairs.groupby(["cluster", "token"], as_index=False) \
+            .size().rename(columns={"size": "n"})
+
+    counts = _reduce_partials(
+        _pq(sf_dir, "documents", ["doc_id", "text"])
+        .map_batches(tok_counts, batch_format="pandas"),
+        ["cluster", "token"], ["n"])
+    if counts.empty:
+        return _empty_typed(cluster="int64", token=object, n="int64")
+    top = counts.sort_values(["cluster", "n", "token"],
+                             ascending=[True, False, True],
+                             kind="mergesort") \
+        .groupby("cluster", as_index=False).head(_CLUSTER_TOPICS_K)
+    return top.astype({"cluster": "int64", "n": "int64"}) \
+        .sort_values(["cluster", "n", "token"],
+                     ascending=[True, False, True]) \
+        .reset_index(drop=True)
+
+
+def _cluster_topics_twin_sql() -> str:
+    return _kmeans_cte_chain() + rf""",
+toks AS (
+  SELECT af.cluster,
+         unnest(list_filter(regexp_split_to_array(
+             coalesce(d.text, ''), '\s+'), x -> x <> '')) AS token
+  FROM documents d JOIN af ON af.vec_id = d.doc_id),
+tc AS (SELECT cluster, token, CAST(COUNT(*) AS BIGINT) AS n
+       FROM toks GROUP BY cluster, token)
+SELECT CAST(cluster AS BIGINT) AS cluster, token, n FROM (
+  SELECT *, row_number() OVER (PARTITION BY cluster
+                               ORDER BY n DESC, token) AS rn
+  FROM tc) WHERE rn <= {_CLUSTER_TOPICS_K}
+ORDER BY cluster, n DESC, token"""
+
+
 _QUALITY_FILTER_P = 0.75  # keep docs at/above the corpus P75 quality
 
 
@@ -3452,6 +3534,8 @@ ORACLE_SQL["embedding_quantize"] = """
 ORACLE_SQL["kmeans_assign"] = _kmeans_twin_sql()
 QUERIES["semantic_dedup"] = q_semantic_dedup
 ORACLE_SQL["semantic_dedup"] = _semantic_dedup_twin_sql()
+QUERIES["cluster_topics"] = q_cluster_topics
+ORACLE_SQL["cluster_topics"] = _cluster_topics_twin_sql()
 
 # End-to-end curation chain: score -> median filter -> exact dedup ->
 # token count, mirrored stage-for-stage.
