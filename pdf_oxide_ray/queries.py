@@ -2607,6 +2607,78 @@ def q_cluster_topics(sf_dir: str) -> pd.DataFrame:
         .reset_index(drop=True)
 
 
+def q_cluster_purity(sf_dir: str) -> pd.DataFrame:
+    """Clustering-quality readout: per-cluster purity of the k-means
+    assignment against the corpus's ground-truth ``label`` column —
+    the evaluation loop a curator runs on the clustering that drives
+    semantic_dedup / cluster_topics. Per-batch (cluster, label, n)
+    partials ride one reduce bounded by #clusters x #labels; purity =
+    majority/total divides the identical ints on both sides (identical
+    doubles). Twin reuses the kmeans CTE chain."""
+    local = _embeddings_local(sf_dir)
+    if local is not None:
+        cent = _kmeans_centroids_from_df(local)
+        if cent is None:
+            return _empty_typed(cluster="int64", n="int64",
+                                n_majority="int64", purity="float64")
+        cl = pd.DataFrame({
+            "cluster": _kmeans_argmin(_kmeans_quant(local), cent),
+            "label": _pq_labels_local(sf_dir)})
+        counts = cl.groupby(["cluster", "label"], as_index=False) \
+            .size().rename(columns={"size": "n"})
+    else:
+        cent = _kmeans_centroids(sf_dir)
+        if cent is None:
+            return _empty_typed(cluster="int64", n="int64",
+                                n_majority="int64", purity="float64")
+        import ray
+
+        ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+        ref = ray.put(cent)
+
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            c = _get_broadcast(ref)
+            return pd.DataFrame({
+                "cluster": _kmeans_argmin(_kmeans_quant(b), c),
+                "label": b["label"].to_numpy()}) \
+                .groupby(["cluster", "label"], as_index=False) \
+                .size().rename(columns={"size": "n"})
+
+        counts = _reduce_partials(
+            ds.map_batches(partial, batch_format="pandas"),
+            ["cluster", "label"], ["n"])
+    agg = counts.groupby("cluster", as_index=False).agg(
+        n=("n", "sum"), n_majority=("n", "max"))
+    agg["purity"] = agg["n_majority"].astype(np.float64) \
+        / agg["n"].astype(np.int64)
+    return agg.astype({"cluster": "int64", "n": "int64",
+                       "n_majority": "int64"}) \
+        .sort_values("cluster").reset_index(drop=True)
+
+
+def _pq_labels_local(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                      columns=["vec_id", "label"]).to_pandas() \
+        .sort_values("vec_id")
+    return t["label"].to_numpy()
+
+
+def _cluster_purity_twin_sql() -> str:
+    return _kmeans_cte_chain() + """,
+j AS (SELECT af.cluster, e.label
+      FROM embeddings e JOIN af USING (vec_id)),
+cl AS (SELECT cluster, label, COUNT(*) AS n
+       FROM j GROUP BY cluster, label),
+t AS (SELECT cluster, CAST(SUM(n) AS BIGINT) AS n,
+             CAST(MAX(n) AS BIGINT) AS n_majority
+      FROM cl GROUP BY cluster)
+SELECT CAST(cluster AS BIGINT) AS cluster, n, n_majority,
+       CAST(n_majority AS DOUBLE) / n AS purity
+FROM t ORDER BY cluster"""
+
+
 def _cluster_topics_twin_sql() -> str:
     return _kmeans_cte_chain() + rf""",
 toks AS (
@@ -3536,6 +3608,8 @@ QUERIES["semantic_dedup"] = q_semantic_dedup
 ORACLE_SQL["semantic_dedup"] = _semantic_dedup_twin_sql()
 QUERIES["cluster_topics"] = q_cluster_topics
 ORACLE_SQL["cluster_topics"] = _cluster_topics_twin_sql()
+QUERIES["cluster_purity"] = q_cluster_purity
+ORACLE_SQL["cluster_purity"] = _cluster_purity_twin_sql()
 
 # End-to-end curation chain: score -> median filter -> exact dedup ->
 # token count, mirrored stage-for-stage.
