@@ -361,3 +361,21 @@ def test_value_quantile_sketch_error_bound_and_determinism(ray_session,
     out2 = QUERIES["value_quantile_sketch"](str(d))
     pd.testing.assert_frame_equal(out.reset_index(drop=True),
                                   out2.reset_index(drop=True))
+
+
+def test_cluster_family_distributed_paths_agree(ray_session,
+                                                monkeypatch):
+    """cluster_topics / cluster_purity must match their local fast
+    paths when forced through the distributed assignment."""
+    import pdf_oxide_ray.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    local_t = Q.QUERIES["cluster_topics"](sf)
+    local_p = Q.QUERIES["cluster_purity"](sf)
+    monkeypatch.setattr(Q, "_KMEANS_LOCAL_MAX", 0)
+    dist_t = Q.QUERIES["cluster_topics"](sf)
+    dist_p = Q.QUERIES["cluster_purity"](sf)
+    pd.testing.assert_frame_equal(local_t.reset_index(drop=True),
+                                  dist_t.reset_index(drop=True))
+    pd.testing.assert_frame_equal(local_p.reset_index(drop=True),
+                                  dist_p.reset_index(drop=True))
