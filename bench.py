@@ -40,7 +40,8 @@ BENCH_QUERIES = [
     "unigram_logprob", "event_transitions", "rolling_time_window",
     "source_token_entropy", "value_mad_by_type", "weighted_sample",
     "fk_audit", "weekly_active_users", "value_hour_correlation",
-    "kmeans_assign", "semantic_dedup",
+    "kmeans_assign", "semantic_dedup", "cluster_topics",
+    "cluster_purity", "value_quantile_sketch",
 ]
 
 
@@ -57,6 +58,23 @@ def ensure_bench_corpus(tag: str) -> str:
     with open(marker, "w") as f:
         f.write("ok\n")
     return path
+
+
+def _memcpy_gb_s(budget_sec: float = 1.5) -> float:
+    """Host memory-bandwidth probe (single-proc 50 MB numpy copies for
+    ~budget_sec). This box's co-tenants saturate the memory BUS while
+    every CPU metric reads idle (measured 0.09-1.4 GB/s swings against
+    a healthy >10 GB/s); the flagship kernel is memory-bound, so this
+    one number contextualizes any wall-time in this report."""
+    import numpy as np
+
+    a = np.empty(50_000_000, dtype=np.uint8)
+    n = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < budget_sec:
+        _ = a.copy()
+        n += 1
+    return round(n * 0.05 / (time.perf_counter() - t0), 3)
 
 
 def run_bench() -> dict:
@@ -93,6 +111,7 @@ def run_bench() -> dict:
     # a single run for the scaling subprocesses where fresh-process
     # cost dominates anyway
     n_runs = 1 if os.environ.get("GRAFT_BENCH_FLAGSHIP_ONLY") == "1" else 5
+    bw_before = _memcpy_gb_s()
     walls = []
     summary = None
     for _ in range(n_runs):
@@ -103,6 +122,7 @@ def run_bench() -> dict:
         walls.append(time.perf_counter() - t0)
         shutil.rmtree(out_dir, ignore_errors=True)
     headline = sorted(walls)[len(walls) // 2]
+    bw_after = _memcpy_gb_s()
     rows = summary["rows"]
 
     timings: dict[str, float] = {
@@ -141,6 +161,10 @@ def run_bench() -> dict:
         "turns_per_sec": round(rows / headline, 1),
         "flagship_runs_sec": [round(w, 3) for w in walls],
         "input_turns": n_turns,
+        # host memory-bus state around the flagship runs (healthy > 10;
+        # see BASELINE.md "decisive host-noise measurement")
+        "host_memcpy_gb_s_before": bw_before,
+        "host_memcpy_gb_s_after": bw_after,
     }
     ray.shutdown()
     return result
