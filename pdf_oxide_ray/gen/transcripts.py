@@ -766,7 +766,11 @@ def generate_transcripts_parallel(n_convs: int, seed: int = 42,
     bounds = np.linspace(0, n_convs, procs + 1).astype(int)
     jobs = [(int(lo), int(hi), seed, median_turns, with_golden)
             for lo, hi in zip(bounds[:-1], bounds[1:]) if hi > lo]
-    with mp.Pool(procs) as pool:
+    # SPAWN, not fork: callers may hold a live Ray session (pytest's
+    # session fixture), and forking a process with grpc/plasma threads
+    # mid-lock deadlocks intermittently (observed hanging the full
+    # suite once in round 3 — pytest futex-parked, zero CPU)
+    with mp.get_context("spawn").Pool(procs) as pool:
         parts = pool.map(_gen_conv_range, jobs)
     conv_ids: list[str] = []
     turn_idxs: list[int] = []
