@@ -3658,3 +3658,6 @@ ORACLE_SQL["curate_corpus"] = r"""
 # second relational/corpus family (Q13/Q15/Q18/Q22 shapes + retention
 # cohorts) self-registers the same way
 from . import queries_relational  # noqa: E402,F401
+# third family (TPC-H tail shapes Q6/Q8/Q9/Q12/Q16/Q17/Q19/Q21 adapted
+# to the star schema) self-registers the same way
+from . import queries_relational2  # noqa: E402,F401

@@ -1,0 +1,659 @@
+"""Third relational operator family: the TPC-H tail shapes the first two
+sessions left uncovered, adapted to the testdata star schema (which has
+no partsupp table and no l_shipmode/l_commitdate/l_receiptdate columns —
+each adaptation keeps the QUERY SHAPE and swaps only the predicate
+columns, documented per query):
+
+* Q6  `forecast_revenue`    — pure filter + global sum (no join at all)
+* Q8  `market_share`        — 6-table plan with a share-of-group final
+* Q9  `product_profit`      — part-name filter x nation x year rollup
+* Q12 `late_shipments`      — big-big join with conditional CASE counts
+* Q16 `supplier_part_census`— grouped exact COUNT DISTINCT over a join
+* Q17 `small_qty_revenue`   — correlated per-part average subquery
+* Q19 `disjunctive_revenue` — OR-of-conjunctions predicate pushdown
+* Q21 `waiting_suppliers`   — per-order exists/not-exists self-analysis
+
+Shuffle budget (SCALE.md doctrine): every query broadcasts its
+dimension/catalog sides once (``ray.put`` + per-worker cache), runs at
+most ONE bucketed fact x fact exchange (via ``adaptive_join`` /
+``_bucket_of`` buckets), and pre-aggregates per batch so the wide
+exchange carries (key, partial) rows, never raw lineitems. Money and
+quantity rollups ride int64 cents end-to-end; correlated-average
+comparisons are integer cross-multiplies (``5 * qty_c * n < sum_qty_c``)
+so neither side ever divides — the DuckDB twins mirror the identical
+integer chains, making both sides bit-exact doubles.
+
+Reference parity note: the reference's cross-document surface is its
+sequential bins' corpus folds (`/root/reference/src/bin/
+benchmark_all_pdfs.rs:84-230`); these queries are the distributed
+generalizations of those fold shapes over the driver's star schema.
+Self-registers into ``queries.QUERIES`` / ``queries.ORACLE_SQL`` on
+import, like ``queries_relational``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from . import queries as _qmod
+from .queries import (_cents, _empty_typed, _pq, _reduce_partials,
+                      _scoped_parallelism)
+from .stages.joins import (_bucket_of, _get_broadcast, adaptive_join,
+                           broadcast_join, isin_sorted)
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6: forecast revenue change (filter + global sum, zero joins)
+# ---------------------------------------------------------------------------
+
+_Q6_LO, _Q6_HI = "1996-01-01", "1997-01-01"
+
+
+def q_forecast_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q6 shape: revenue delta from discount-band lineitems —
+    ``SUM(extendedprice * discount)`` under a shipdate-year window,
+    a discount band and a quantity cap. The discount-band test rides
+    integer cents (``disc_c BETWEEN 5 AND 7``) because 0.05/0.07 are
+    not exact doubles. NO shuffle at all: per-batch scalar partials,
+    one global sum. Empty window: SQL SUM is NULL -> one NaN row."""
+    li = _pq(sf_dir, "lineitem",
+             ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"])
+    lo, hi = pd.Timestamp(_Q6_LO), pd.Timestamp(_Q6_HI)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        disc_c = _cents(b["l_discount"]).to_numpy()
+        keep = ((b["l_shipdate"] >= lo) & (b["l_shipdate"] < hi)).to_numpy() \
+            & (disc_c >= 5) & (disc_c <= 7) \
+            & (b["l_quantity"].to_numpy(np.float64) < 24)
+        rev_i = _cents(b["l_extendedprice"]).to_numpy()[keep] \
+            * disc_c[keep]
+        return pd.DataFrame({"n": [int(keep.sum())],
+                             "rev_i": [int(rev_i.sum())]})
+
+    agg = li.map_batches(partial, batch_format="pandas").sum(["n", "rev_i"])
+    if not agg or not agg.get("sum(n)"):
+        return pd.DataFrame({"revenue": [np.nan]})
+    return pd.DataFrame(
+        {"revenue": [float(agg["sum(rev_i)"]) / 10000.0]})
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8: national market share within a region (share-of-group final)
+# ---------------------------------------------------------------------------
+
+_Q8_REGION = "ASIA"
+_Q8_NATION = "NATION_7"
+_Q8_TYPE = "ECONOMY"
+
+
+def q_market_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q8 shape: the target nation's share of ECONOMY-part revenue
+    sold to customers of one region, per order year. part/supplier/
+    customer/nation/region collapse to THREE broadcast key structures
+    (an ECONOMY-part key array, an in-region customer key array, a
+    target-nation supplier key array — sorted int64, ``isin_sorted``
+    membership); lineitem x orders is the one adaptive exchange. The
+    share divides two identical int64 sums on both sides (no rounding
+    needed: x/y of equal integers is IEEE-deterministic)."""
+    import pyarrow.parquet as pq
+    import ray
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_type"]).to_pandas()
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_nationkey"]).to_pandas()
+    region_keys = set(region.loc[region["r_name"] == _Q8_REGION,
+                                 "r_regionkey"])
+    region_nations = set(nation.loc[nation["n_regionkey"].isin(region_keys),
+                                    "n_nationkey"])
+    target_nations = set(nation.loc[nation["n_name"] == _Q8_NATION,
+                                    "n_nationkey"])
+    lookup = {
+        "econ_parts": np.sort(part.loc[part["p_type"] == _Q8_TYPE,
+                                       "p_partkey"].to_numpy(np.int64)),
+        "region_cust": np.sort(
+            cust.loc[cust["c_nationkey"].isin(region_nations),
+                     "c_custkey"].to_numpy(np.int64)),
+        "target_supp": np.sort(
+            supp.loc[supp["s_nationkey"].isin(target_nations),
+                     "s_suppkey"].to_numpy(np.int64)),
+    }
+    ref = ray.put(lookup)
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_partkey", "l_suppkey",
+              "l_extendedprice", "l_discount"])
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey",
+                                    "o_orderdate"])
+    joined = adaptive_join(li, orders, left_on="l_orderkey",
+                           right_on="o_orderkey", num_buckets=32)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        lk = _get_broadcast(ref)
+        keep = isin_sorted(b["l_partkey"].to_numpy(np.int64),
+                           lk["econ_parts"]) \
+            & isin_sorted(b["o_custkey"].to_numpy(np.int64),
+                          lk["region_cust"])
+        b = b[keep]
+        vol = _cents(b["l_extendedprice"]).to_numpy() \
+            * (100 - _cents(b["l_discount"]).to_numpy())
+        is_target = isin_sorted(b["l_suppkey"].to_numpy(np.int64),
+                                lk["target_supp"])
+        year = pd.to_datetime(b["o_orderdate"]).dt.year.to_numpy(np.int64)
+        return pd.DataFrame({"o_year": year,
+                             "num_i": np.where(is_target, vol, 0),
+                             "den_i": vol}) \
+            .groupby("o_year", as_index=False).sum()
+
+    agg = _reduce_partials(joined.map_batches(partial,
+                                              batch_format="pandas"),
+                           ["o_year"], ["num_i", "den_i"])
+    if agg.empty:
+        return _empty_typed(o_year="int64", mkt_share="float64")
+    agg["mkt_share"] = agg["num_i"].astype(np.float64) \
+        / agg["den_i"].astype(np.float64)
+    return agg.drop(columns=["num_i", "den_i"]) \
+        .astype({"o_year": "int64", "mkt_share": "float64"}) \
+        .sort_values("o_year").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 (adapted — schema has no partsupp/supplycost): product profit
+# ---------------------------------------------------------------------------
+
+_Q9_NAME_SUBSTR = "widget"
+
+
+def q_product_profit(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q9 shape: per (supplier nation, order year) revenue for
+    parts whose name contains a substring. Adaptation: the schema has
+    no partsupp, so profit = ``price * (1 - discount)`` without the
+    supplycost term — the plan shape (part-name filter broadcast,
+    supplier->nation broadcast, lineitem x orders exchange, two-key
+    rollup) is Q9's. Revenue rides int64 cents."""
+    import pyarrow.parquet as pq
+    import ray
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_name"]).to_pandas()
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nat_name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    lookup = {
+        "keys": np.sort(part.loc[part["p_name"].str
+                                 .contains(_Q9_NAME_SUBSTR, regex=False),
+                                 "p_partkey"].to_numpy(np.int64)),
+        "supp_nat": {int(k): nat_name[v] for k, v in
+                     zip(supp["s_suppkey"], supp["s_nationkey"])},
+    }
+    ref = ray.put(lookup)
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_partkey", "l_suppkey",
+              "l_extendedprice", "l_discount"])
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    joined = adaptive_join(li, orders, left_on="l_orderkey",
+                           right_on="o_orderkey", num_buckets=32)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        lk = _get_broadcast(ref)
+        keep = isin_sorted(b["l_partkey"].to_numpy(np.int64), lk["keys"])
+        b = b[keep]
+        rev_i = _cents(b["l_extendedprice"]).to_numpy() \
+            * (100 - _cents(b["l_discount"]).to_numpy())
+        year = pd.to_datetime(b["o_orderdate"]).dt.year.to_numpy(np.int64)
+        return pd.DataFrame({
+            "nation": b["l_suppkey"].map(lk["supp_nat"]).to_numpy(),
+            "o_year": year, "rev_i": rev_i}) \
+            .groupby(["nation", "o_year"], as_index=False).sum()
+
+    out = _reduce_partials(joined.map_batches(partial,
+                                              batch_format="pandas"),
+                           ["nation", "o_year"], ["rev_i"])
+    if out.empty:
+        return _empty_typed(nation=object, o_year="int64",
+                            profit="float64")
+    out["profit"] = out["rev_i"].astype(np.float64) / 10000.0
+    return out.drop(columns=["rev_i"]) \
+        .astype({"o_year": "int64", "profit": "float64"}) \
+        .sort_values(["nation", "o_year"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 (adapted — no shipmode/commit/receipt dates): late shipments
+# ---------------------------------------------------------------------------
+
+_Q12_LATE_DAYS = 90
+
+
+def q_late_shipments(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q12 shape: conditional CASE counts over a big-big join.
+    Adaptation: the schema has no l_shipmode/l_commitdate/l_receiptdate,
+    so "late" = shipped >= 90 days after the order date, grouped by
+    ``l_returnflag`` with Q12's urgent/non-urgent CASE split on
+    ``o_orderpriority``. One adaptive lineitem x orders exchange;
+    per-batch partial counts (3 groups x 2 ints) are the only rows
+    that leave the join."""
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_shipdate", "l_returnflag"])
+    orders = _pq(sf_dir, "orders",
+                 ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    joined = adaptive_join(li, orders, left_on="l_orderkey",
+                           right_on="o_orderkey", num_buckets=32)
+    lag = pd.Timedelta(days=_Q12_LATE_DAYS)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        late = (b["l_shipdate"] >= b["o_orderdate"] + lag).to_numpy()
+        b = b[late]
+        high = b["o_orderpriority"] \
+            .isin(["1-URGENT", "2-HIGH"]).to_numpy(np.int64)
+        return pd.DataFrame({"l_returnflag": b["l_returnflag"].to_numpy(),
+                             "high_line_count": high,
+                             "low_line_count": 1 - high}) \
+            .groupby("l_returnflag", as_index=False).sum()
+
+    out = _reduce_partials(joined.map_batches(partial,
+                                              batch_format="pandas"),
+                           ["l_returnflag"],
+                           ["high_line_count", "low_line_count"])
+    if out.empty:
+        return _empty_typed(l_returnflag=object, high_line_count="int64",
+                            low_line_count="int64")
+    return out.astype({"high_line_count": "int64",
+                       "low_line_count": "int64"}) \
+        .sort_values("l_returnflag").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 (adapted — supplier set via lineitem, not partsupp)
+# ---------------------------------------------------------------------------
+
+_Q16_EXCL_BRAND = "Brand#13"
+_Q16_SIZES = (1, 3, 9, 14, 19, 23, 36, 45)
+
+
+def q_supplier_part_census(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per (brand, type, size)
+    bucket for qualifying parts. Adaptation: supplier-part pairs come
+    from lineitem (no partsupp table). The qualifying part catalog
+    broadcasts once (dimension); per-batch ``drop_duplicates`` is the
+    distinct combiner (the exchange carries distinct 4-tuples per
+    batch, never raw lineitems), a second distinct above the gate runs
+    as a distributed keyed count (same two-level shape as
+    ``q_distinct_users_per_type``)."""
+    import pyarrow.parquet as pq
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand", "p_type",
+                                  "p_size"]).to_pandas()
+    qual = part[(part["p_brand"] != _Q16_EXCL_BRAND)
+                & part["p_size"].isin(_Q16_SIZES)].copy()
+    qual["p_size"] = qual["p_size"].astype(np.int64)
+
+    li = _pq(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+    joined = broadcast_join(li, qual, on="l_partkey",
+                            right_on="p_partkey")
+    keys = ["p_brand", "p_type", "p_size"]
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        return b[keys + ["l_suppkey"]].drop_duplicates()
+
+    m = joined.map_batches(pairs, batch_format="pandas").materialize()
+    n = m.count()
+    if n == 0:
+        return _empty_typed(p_brand=object, p_type=object, p_size="int64",
+                            supplier_cnt="int64")
+    if n <= _qmod._REDUCE_GATE_ROWS:
+        dd = m.to_pandas().drop_duplicates()
+        out = dd.groupby(keys, as_index=False) \
+            .agg(supplier_cnt=("l_suppkey", "size"))
+    else:  # distinct 4-tuples stay distributed: keyed dedup via a
+        # vectorized groupby().aggregate, then tiny per-bucket counts
+        from ray.data.aggregate import Count
+
+        with _scoped_parallelism(32):
+            counts = m.groupby(keys + ["l_suppkey"]).aggregate(Count()) \
+                .map_batches(
+                    lambda b: b.groupby(keys, as_index=False)
+                    .agg(supplier_cnt=("l_suppkey", "size")),
+                    batch_format="pandas")
+            out = _reduce_partials(counts, keys, ["supplier_cnt"])
+    return out.astype({"p_size": "int64", "supplier_cnt": "int64"}) \
+        .sort_values(keys).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17: small-quantity revenue vs a correlated per-part average
+# ---------------------------------------------------------------------------
+
+_Q17_BRAND = "Brand#23"
+
+
+def q_small_qty_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17 shape: average yearly revenue lost to small-quantity
+    orders of one brand's parts — lines with ``quantity < 0.2 * the
+    part's average quantity``. Two streamed passes over lineitem (both
+    pruned to 2-3 columns): pass 1 reduces per-part (n, sum_qty_c)
+    partials (bounded by the brand's catalog slice); pass 2 broadcasts
+    those as aligned sorted arrays and tests the correlated predicate
+    as the integer cross-multiply ``5 * qty_c * n < sum_qty_c`` — the
+    twin mirrors it, so neither side ever divides. Empty result: SQL
+    SUM is NULL -> one NaN row."""
+    import pyarrow.parquet as pq
+    import ray
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand"]).to_pandas()
+    brand_keys = np.sort(part.loc[part["p_brand"] == _Q17_BRAND,
+                                  "p_partkey"].to_numpy(np.int64))
+    kref = ray.put(brand_keys)
+
+    li1 = _pq(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+
+    def qty_partial(b: pd.DataFrame) -> pd.DataFrame:
+        keep = isin_sorted(b["l_partkey"].to_numpy(np.int64),
+                           _get_broadcast(kref))
+        b = b[keep]
+        return pd.DataFrame({"l_partkey": b["l_partkey"]
+                             .to_numpy(np.int64),
+                             "n": np.int64(1),
+                             "sq_c": _cents(b["l_quantity"]).to_numpy()}) \
+            .groupby("l_partkey", as_index=False).sum()
+
+    per_part = _reduce_partials(li1.map_batches(qty_partial,
+                                                batch_format="pandas"),
+                                ["l_partkey"], ["n", "sq_c"])
+    if per_part.empty:
+        return pd.DataFrame({"avg_yearly": [np.nan]})
+    per_part = per_part.sort_values("l_partkey")
+    stats = ray.put({"pk": per_part["l_partkey"].to_numpy(np.int64),
+                     "n": per_part["n"].to_numpy(np.int64),
+                     "sq": per_part["sq_c"].to_numpy(np.int64)})
+
+    li2 = _pq(sf_dir, "lineitem",
+              ["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def rev_partial(b: pd.DataFrame) -> pd.DataFrame:
+        st = _get_broadcast(stats)
+        pk = b["l_partkey"].to_numpy(np.int64)
+        keep = isin_sorted(pk, st["pk"])
+        b, pk = b[keep], pk[keep]
+        idx = np.searchsorted(st["pk"], pk)
+        qty_c = _cents(b["l_quantity"]).to_numpy()
+        small = 5 * qty_c * st["n"][idx] < st["sq"][idx]
+        price = _cents(b["l_extendedprice"]).to_numpy()[small]
+        return pd.DataFrame({"n": [int(small.sum())],
+                             "price_c": [int(price.sum())]})
+
+    agg = li2.map_batches(rev_partial, batch_format="pandas") \
+        .sum(["n", "price_c"])
+    if not agg or not agg.get("sum(n)"):
+        return pd.DataFrame({"avg_yearly": [np.nan]})
+    return pd.DataFrame(
+        {"avg_yearly": [float(agg["sum(price_c)"]) / 100.0 / 7.0]})
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 (adapted — no containers): disjunctive predicate revenue
+# ---------------------------------------------------------------------------
+
+_Q19_BRANCHES = (  # (brand, size_hi, qty_lo, qty_hi) — sizes from 1
+    ("Brand#12", 5, 1, 11),
+    ("Brand#23", 10, 10, 20),
+    ("Brand#34", 15, 20, 30),
+)
+
+
+def q_disjunctive_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of three (brand, size-range,
+    quantity-range) conjunctions. Adaptation: the schema has no
+    p_container, so each branch constrains (p_brand, p_size, quantity).
+    The part catalog broadcasts once as three aligned arrays; the
+    disjunction evaluates vectorized per batch; only scalar partials
+    leave the map. Quantity bounds compare integer cents."""
+    import pyarrow.parquet as pq
+    import ray
+
+    part = pq.read_table(os.path.join(sf_dir, "part.parquet"),
+                         columns=["p_partkey", "p_brand",
+                                  "p_size"]).to_pandas() \
+        .sort_values("p_partkey")
+    cat = ray.put({"pk": part["p_partkey"].to_numpy(np.int64),
+                   "brand": part["p_brand"].to_numpy(object),
+                   "size": part["p_size"].to_numpy(np.int64)})
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        st = _get_broadcast(cat)
+        pk = b["l_partkey"].to_numpy(np.int64)
+        known = isin_sorted(pk, st["pk"])
+        b, pk = b[known], pk[known]
+        idx = np.searchsorted(st["pk"], pk)
+        brand, size = st["brand"][idx], st["size"][idx]
+        qty_c = _cents(b["l_quantity"]).to_numpy()
+        keep = np.zeros(len(b), dtype=bool)
+        for br, size_hi, qlo, qhi in _Q19_BRANCHES:
+            keep |= ((brand == br) & (size >= 1) & (size <= size_hi)
+                     & (qty_c >= qlo * 100) & (qty_c <= qhi * 100))
+        rev_i = _cents(b["l_extendedprice"]).to_numpy()[keep] \
+            * (100 - _cents(b["l_discount"]).to_numpy()[keep])
+        return pd.DataFrame({"n": [int(keep.sum())],
+                             "rev_i": [int(rev_i.sum())]})
+
+    agg = li.map_batches(partial, batch_format="pandas").sum(["n", "rev_i"])
+    if not agg or not agg.get("sum(n)"):
+        return pd.DataFrame({"revenue": [np.nan]})
+    return pd.DataFrame(
+        {"revenue": [float(agg["sum(rev_i)"]) / 10000.0]})
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 (adapted — lateness from shipdate vs orderdate): waiting
+# suppliers
+# ---------------------------------------------------------------------------
+
+_Q21_LATE_DAYS = 60
+_Q21_BUCKETS = 32
+
+
+def q_waiting_suppliers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    finished multi-supplier order. Adaptation: "late" = shipped more
+    than 60 days after the order date (no commit/receipt dates in the
+    schema). Plan: orders filtered to status 'F' join lineitem through
+    ``adaptive_join`` (exchange #1); per-batch partials collapse to
+    distinct (orderkey, suppkey, late) rows; ONE bucketed groupby on
+    ``hash(orderkey) % 32`` (exchange #2 — the per-order exists /
+    not-exists logic needs an order's suppliers co-located, the
+    fact-vs-fact shape) evaluates the sole-late rule vectorized per
+    bucket and emits per-supplier partial counts; the driver reduces
+    supplier-dimension-sized partials and merges names."""
+    import pyarrow.parquet as pq
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_orderkey", "l_suppkey", "l_shipdate"])
+    orders = _pq(sf_dir, "orders",
+                 ["o_orderkey", "o_orderstatus", "o_orderdate"]) \
+        .map_batches(lambda b: b[b["o_orderstatus"] == "F"]
+                     [["o_orderkey", "o_orderdate"]],
+                     batch_format="pandas")
+    joined = adaptive_join(li, orders, left_on="l_orderkey",
+                           right_on="o_orderkey",
+                           num_buckets=_Q21_BUCKETS)
+    lag = pd.Timedelta(days=_Q21_LATE_DAYS)
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        late = (b["l_shipdate"] > b["o_orderdate"] + lag) \
+            .to_numpy(np.int64)
+        out = pd.DataFrame({"k": b["l_orderkey"].to_numpy(np.int64),
+                            "s": b["l_suppkey"].to_numpy(np.int64),
+                            "late": late}) \
+            .groupby(["k", "s"], as_index=False)["late"].max()
+        out["__bucket"] = _bucket_of(out["k"], _Q21_BUCKETS)
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # combine cross-batch partials, then the sole-late rule
+        g = g.groupby(["k", "s"], as_index=False)["late"].max()
+        grp = g.groupby("k")
+        n_supp = grp["s"].transform("size").to_numpy()
+        n_late = grp["late"].transform("sum").to_numpy()
+        hit = g[(g["late"].to_numpy() == 1) & (n_supp > 1) & (n_late == 1)]
+        return hit.groupby("s", as_index=False) \
+            .agg(numwait=("s", "size"))
+
+    with _scoped_parallelism(_Q21_BUCKETS):
+        parts = joined.map_batches(partial, batch_format="pandas") \
+            .groupby("__bucket").map_groups(per_bucket,
+                                            batch_format="pandas")
+        out = _reduce_partials(parts, ["s"], ["numwait"])
+    if out.empty:
+        return _empty_typed(s_name=object, numwait="int64")
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_name"]).to_pandas()
+    out = out.merge(supp, left_on="s", right_on="s_suppkey") \
+        .groupby("s_name", as_index=False)["numwait"].sum()
+    return out.astype({"numwait": "int64"}) \
+        .sort_values("s_name").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# registration
+# ---------------------------------------------------------------------------
+
+RELATIONAL2_QUERIES = {
+    "forecast_revenue": q_forecast_revenue,
+    "market_share": q_market_share,
+    "product_profit": q_product_profit,
+    "late_shipments": q_late_shipments,
+    "supplier_part_census": q_supplier_part_census,
+    "small_qty_revenue": q_small_qty_revenue,
+    "disjunctive_revenue": q_disjunctive_revenue,
+    "waiting_suppliers": q_waiting_suppliers,
+}
+
+_C = "CAST(round({} * 100) AS BIGINT)"
+_PRICE_C = _C.format("l_extendedprice")
+_DISC_C = _C.format("l_discount")
+_QTY_C = _C.format("l_quantity")
+
+RELATIONAL2_ORACLES = {
+    "forecast_revenue": f"""
+        SELECT CAST(SUM({_PRICE_C} * {_DISC_C}) AS DOUBLE) / 10000.0
+               AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '{_Q6_LO}'
+          AND l_shipdate < TIMESTAMP '{_Q6_HI}'
+          AND {_DISC_C} BETWEEN 5 AND 7
+          AND l_quantity < 24""",
+    "market_share": f"""
+        WITH v AS (
+          SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                 {_PRICE_C} * (100 - {_DISC_C}) AS vol,
+                 sn.n_name AS supp_nation
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN part ON l_partkey = p_partkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation cn ON c_nationkey = cn.n_nationkey
+          JOIN region ON cn.n_regionkey = r_regionkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation sn ON s_nationkey = sn.n_nationkey
+          WHERE r_name = '{_Q8_REGION}' AND p_type = '{_Q8_TYPE}')
+        SELECT o_year,
+               CAST(SUM(CASE WHEN supp_nation = '{_Q8_NATION}'
+                             THEN vol ELSE 0 END) AS DOUBLE)
+               / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+        FROM v GROUP BY o_year""",
+    "product_profit": f"""
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(SUM({_PRICE_C} * (100 - {_DISC_C})) AS DOUBLE)
+               / 10000.0 AS profit
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%{_Q9_NAME_SUBSTR}%'
+        GROUP BY n_name, o_year""",
+    "late_shipments": f"""
+        SELECT l_returnflag,
+               CAST(SUM(CASE WHEN o_orderpriority IN
+                             ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN
+                             ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT)
+                   AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= o_orderdate
+              + INTERVAL {_Q12_LATE_DAYS} DAY
+        GROUP BY l_returnflag""",
+    "supplier_part_census": f"""
+        SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM part JOIN lineitem ON p_partkey = l_partkey
+        WHERE p_brand <> '{_Q16_EXCL_BRAND}'
+          AND p_size IN {_Q16_SIZES}
+        GROUP BY p_brand, p_type, p_size""",
+    "small_qty_revenue": f"""
+        WITH pa AS (
+          SELECT l_partkey AS pk, CAST(COUNT(*) AS BIGINT) AS n,
+                 SUM({_QTY_C}) AS sq_c
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = '{_Q17_BRAND}'
+          GROUP BY l_partkey)
+        SELECT CAST(SUM({_PRICE_C}) AS DOUBLE) / 100.0 / 7.0
+               AS avg_yearly
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN pa ON pa.pk = l_partkey
+        WHERE p_brand = '{_Q17_BRAND}'
+          AND 5 * {_QTY_C} * pa.n < pa.sq_c""",
+    "disjunctive_revenue": f"""
+        SELECT CAST(SUM({_PRICE_C} * (100 - {_DISC_C})) AS DOUBLE)
+               / 10000.0 AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE {" OR ".join(
+            f"(p_brand = '{br}' AND p_size BETWEEN 1 AND {sz} "
+            f"AND {_QTY_C} BETWEEN {qlo * 100} AND {qhi * 100})"
+            for br, sz, qlo, qhi in _Q19_BRANCHES)}""",
+    "waiting_suppliers": f"""
+        WITH f AS (
+          SELECT l_orderkey AS k, l_suppkey AS s,
+                 MAX(CASE WHEN l_shipdate > o_orderdate
+                          + INTERVAL {_Q21_LATE_DAYS} DAY
+                          THEN 1 ELSE 0 END) AS late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+          GROUP BY 1, 2),
+        w AS (
+          SELECT k FROM f
+          GROUP BY k HAVING COUNT(*) > 1 AND SUM(late) = 1)
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM f JOIN w USING (k)
+        JOIN supplier ON f.s = s_suppkey
+        WHERE f.late = 1
+        GROUP BY s_name""",
+}
+
+
+def _register() -> None:
+    from . import queries as _q
+
+    _q.QUERIES.update(RELATIONAL2_QUERIES)
+    _q.ORACLE_SQL.update(RELATIONAL2_ORACLES)
+
+
+_register()
