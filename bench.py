@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "fk_audit", "weekly_active_users", "value_hour_correlation",
     "kmeans_assign", "semantic_dedup", "cluster_topics",
     "cluster_purity", "value_quantile_sketch",
+    "market_share", "late_shipments", "waiting_suppliers",
 ]
 
 
