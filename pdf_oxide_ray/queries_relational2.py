@@ -13,6 +13,13 @@ columns, documented per query):
 * Q19 `disjunctive_revenue` — OR-of-conjunctions predicate pushdown
 * Q21 `waiting_suppliers`   — per-order exists/not-exists self-analysis
 
+plus two operator kinds no earlier family covered:
+
+* `customer_order_ranks` — DENSE_RANK + NTILE window functions per
+  partition key (bucketed exchange, vectorized in-bucket ranking)
+* `bigram_pmi` — collocation mining by pointwise mutual information
+  (the LM-corpus phrase-discovery op; quantized-ln exactness)
+
 Shuffle budget (SCALE.md doctrine): every query broadcasts its
 dimension/catalog sides once (``ray.put`` + per-worker cache), runs at
 most ONE bucketed fact x fact exchange (via ``adaptive_join`` /
@@ -527,6 +534,137 @@ def q_waiting_suppliers(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# window functions: DENSE_RANK + NTILE within a partition key
+# ---------------------------------------------------------------------------
+
+_RANK_BUCKETS = 32
+_NTILE_K = 4
+
+
+def q_customer_order_ranks(sf_dir: str) -> pd.DataFrame:
+    """Per-customer order ranking: DENSE_RANK of order value (desc) and
+    the NTILE(4) value quartile — the two window-function kinds
+    (gapless rank, equal-height binning) no earlier query exercised.
+    Shuffle shape: ONE bucketed ``hash(custkey) % 32`` groupby (a
+    customer lives in exactly one bucket; NEVER one group per customer
+    — per-key map_groups overhead at 10^8 customers was the measured
+    killer in the temporal joins); ranking inside a bucket is one
+    vectorized sort + groupby-cumcount over all of the bucket's
+    customers at once. Rank keys ride int64 cents (no float-order
+    ambiguity); NTILE tie order is pinned by (value desc, orderkey) so
+    both sides bin identically. Output is orders-sized, streamed out
+    of the buckets."""
+    ds = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def tag(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({
+            "c": b["o_custkey"].to_numpy(np.int64),
+            "k": b["o_orderkey"].to_numpy(np.int64),
+            "p_c": _cents(b["o_totalprice"]).to_numpy()})
+        out["__bucket"] = _bucket_of(out["c"], _RANK_BUCKETS)
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["c", "p_c", "k"],
+                          ascending=[True, False, True],
+                          kind="mergesort").reset_index(drop=True)
+        grp = g.groupby("c")
+        rank = grp["p_c"].rank(method="dense", ascending=False) \
+            .to_numpy(np.int64)
+        pos = grp.cumcount().to_numpy(np.int64)
+        n = grp["k"].transform("size").to_numpy(np.int64)
+        base, rem = n // _NTILE_K, n % _NTILE_K
+        big_span = rem * (base + 1)
+        tile = np.where(
+            pos < big_span,
+            pos // np.maximum(base + 1, 1),
+            rem + np.where(base > 0, (pos - big_span)
+                           // np.maximum(base, 1), 0))
+        return pd.DataFrame({"o_orderkey": g["k"].to_numpy(np.int64),
+                             "price_rank": rank,
+                             "price_quartile": tile + 1})
+
+    with _scoped_parallelism(_RANK_BUCKETS):
+        out = ds.map_batches(tag, batch_format="pandas") \
+            .groupby("__bucket").map_groups(per_bucket,
+                                            batch_format="pandas") \
+            .to_pandas()
+    if out.empty:
+        return _empty_typed(o_orderkey="int64", price_rank="int64",
+                            price_quartile="int64")
+    return out.astype({"o_orderkey": "int64", "price_rank": "int64",
+                       "price_quartile": "int64"}) \
+        .sort_values("o_orderkey").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# collocation mining: bigram pointwise mutual information
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOPK = 30
+
+
+def q_bigram_pmi(sf_dir: str) -> pd.DataFrame:
+    """Top-30 word bigrams by pointwise mutual information with count
+    >= 5 — the phrase-discovery op run over an LM corpus before
+    tokenizer training. ONE streamed pass emits per-batch unigram AND
+    bigram partial counts (the ``ngram_topk`` combiner: explode +
+    in-doc shift, one row per distinct gram per batch); the reduce is
+    vocab-bounded (Heaps-law small; above the gate it stays a
+    distributed groupby and the >=5-count filter runs distributed-side
+    BEFORE any rows reach the driver, so the driver holds heavy
+    hitters, never the bigram vocabulary). Exactness: both sides
+    compute ``ln((n_xy/N_bi) / ((n_x/N_tok) * (n_y/N_tok)))`` with the
+    identical operand order, quantized to the shared half-away 1e-6
+    grid (the ``unigram_logprob`` technique), and rank on the
+    quantized integer."""
+    ds = _pq(sf_dir, "documents", ["text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["text"].fillna("").str.split().explode().dropna()
+        uni = s.value_counts()
+        nxt = s.groupby(level=0).shift(-1)
+        grams = (s + " " + nxt).dropna()
+        bi = grams.value_counts()
+        return pd.DataFrame({
+            "kind": np.concatenate([np.zeros(len(uni), np.int64),
+                                    np.ones(len(bi), np.int64)]),
+            "gram": np.concatenate([uni.index.to_numpy(object),
+                                    bi.index.to_numpy(object)]),
+            "n": np.concatenate([uni.to_numpy(np.int64),
+                                 bi.to_numpy(np.int64)])})
+
+    counts = _reduce_partials(ds.map_batches(partial,
+                                             batch_format="pandas"),
+                              ["kind", "gram"], ["n"])
+    empty = _empty_typed(gram=object, n="int64", pmi="float64")
+    if counts.empty:
+        return empty
+    uni = counts[counts["kind"] == 0]
+    bi = counts[(counts["kind"] == 1) & (counts["n"] >= _PMI_MIN_COUNT)]
+    if bi.empty:
+        return empty
+    n_tok = float(uni["n"].sum())
+    n_bi = float(counts.loc[counts["kind"] == 1, "n"].sum())
+    lut = dict(zip(uni["gram"], uni["n"].astype(np.int64)))
+    parts = bi["gram"].str.split(" ", n=1, expand=True)
+    nx = parts[0].map(lut).to_numpy(np.float64)
+    ny = parts[1].map(lut).to_numpy(np.float64)
+    nxy = bi["n"].to_numpy(np.float64)
+    v = np.log((nxy / n_bi) / ((nx / n_tok) * (ny / n_tok))) * 1e6
+    pmi6 = np.copysign(np.floor(np.abs(v) + 0.5), v).astype(np.int64)
+    out = pd.DataFrame({"gram": bi["gram"].to_numpy(object),
+                        "n": bi["n"].to_numpy(np.int64),
+                        "pmi6": pmi6}) \
+        .sort_values(["pmi6", "gram"], ascending=[False, True],
+                     kind="mergesort").head(_PMI_TOPK)
+    out["pmi"] = out["pmi6"].astype(np.float64) / 1e6
+    return out.drop(columns=["pmi6"]) \
+        .astype({"n": "int64", "pmi": "float64"}).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -539,6 +677,8 @@ RELATIONAL2_QUERIES = {
     "small_qty_revenue": q_small_qty_revenue,
     "disjunctive_revenue": q_disjunctive_revenue,
     "waiting_suppliers": q_waiting_suppliers,
+    "customer_order_ranks": q_customer_order_ranks,
+    "bigram_pmi": q_bigram_pmi,
 }
 
 _C = "CAST(round({} * 100) AS BIGINT)"
@@ -646,6 +786,47 @@ RELATIONAL2_ORACLES = {
         JOIN supplier ON f.s = s_suppkey
         WHERE f.late = 1
         GROUP BY s_name""",
+    "customer_order_ranks": f"""
+        SELECT o_orderkey,
+               CAST(dense_rank() OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
+                             DESC) AS BIGINT) AS price_rank,
+               CAST(ntile({_NTILE_K}) OVER (
+                    PARTITION BY o_custkey
+                    ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
+                             DESC, o_orderkey) AS BIGINT)
+                   AS price_quartile
+        FROM orders""",
+    "bigram_pmi": rf"""
+        WITH arr AS (
+          SELECT list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                   '\s+'),
+                             x -> x <> '') AS a
+          FROM documents),
+        u AS (
+          SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+          FROM (SELECT unnest(a) AS tok FROM arr) GROUP BY tok),
+        nt AS (SELECT CAST(SUM(n) AS DOUBLE) AS nt FROM u),
+        allbi AS (
+          SELECT unnest(list_transform(range(1, len(a)),
+                        i -> a[i] || ' ' || a[i + 1])) AS gram
+          FROM arr),
+        nb AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nb FROM allbi),
+        bg AS (
+          SELECT gram, CAST(COUNT(*) AS BIGINT) AS n FROM allbi
+          GROUP BY gram HAVING COUNT(*) >= {_PMI_MIN_COUNT}),
+        scored AS (
+          SELECT bg.gram, bg.n,
+                 ROUND(ln((CAST(bg.n AS DOUBLE) / nb.nb)
+                          / ((CAST(ux.n AS DOUBLE) / nt.nt)
+                             * (CAST(uy.n AS DOUBLE) / nt.nt)))
+                       * 1000000, 0) AS pmi6
+          FROM bg, nt, nb
+          JOIN u ux ON ux.tok = split_part(bg.gram, ' ', 1)
+          JOIN u uy ON uy.tok = split_part(bg.gram, ' ', 2))
+        SELECT gram, n, pmi6 / 1000000.0 AS pmi
+        FROM scored ORDER BY pmi6 DESC, gram LIMIT {_PMI_TOPK}""",
 }
 
 

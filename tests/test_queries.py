@@ -43,7 +43,11 @@ def _compare(ray_df: pd.DataFrame, sql_df: pd.DataFrame, name: str):
         if a[c].dtype.kind == "f" or b[c].dtype.kind == "f":
             av = a[c].astype(float).to_numpy()
             bv = b[c].astype(float).to_numpy()
-            ok = all(math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9)
+            # NaN==NaN is a MATCH: engine NaN mirrors SQL NULL (e.g. a
+            # SUM over an all-filtered slice), and the driver's hash
+            # formats both sides identically
+            ok = all((math.isnan(x) and math.isnan(y))
+                     or math.isclose(x, y, rel_tol=1e-9, abs_tol=1e-9)
                      for x, y in zip(av, bv))
             assert ok, f"{name}: float col {c} differs"
         else:
