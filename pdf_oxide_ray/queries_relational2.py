@@ -552,8 +552,10 @@ def q_customer_order_ranks(sf_dir: str) -> pd.DataFrame:
     vectorized sort + groupby-cumcount over all of the bucket's
     customers at once. Rank keys ride int64 cents (no float-order
     ambiguity); NTILE tie order is pinned by (value desc, orderkey) so
-    both sides bin identically. Output is orders-sized, streamed out
-    of the buckets."""
+    both sides bin identically. Output is orders-sized: the final
+    ``to_pandas()`` exists only for the driver-contract compare — the
+    production form of this stage keeps the ranked Dataset streaming
+    into ``write_parquet`` (same caveat as ``running_revenue``)."""
     ds = _pq(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
 
     def tag(b: pd.DataFrame) -> pd.DataFrame:
@@ -635,19 +637,55 @@ def q_bigram_pmi(sf_dir: str) -> pd.DataFrame:
             "n": np.concatenate([uni.to_numpy(np.int64),
                                  bi.to_numpy(np.int64)])})
 
-    counts = _reduce_partials(ds.map_batches(partial,
-                                             batch_format="pandas"),
-                              ["kind", "gram"], ["n"])
+    import ray
+
     empty = _empty_typed(gram=object, n="int64", pmi="float64")
-    if counts.empty:
+    m = ds.map_batches(partial, batch_format="pandas").materialize()
+    npart = m.count()
+    if npart == 0:
         return empty
-    uni = counts[counts["kind"] == 0]
-    bi = counts[(counts["kind"] == 1) & (counts["n"] >= _PMI_MIN_COUNT)]
+    if npart <= _qmod._REDUCE_GATE_ROWS:
+        counts = m.to_pandas().groupby(["kind", "gram"],
+                                       as_index=False)["n"].sum()
+        uni = counts[counts["kind"] == 0]
+        bi = counts[(counts["kind"] == 1)
+                    & (counts["n"] >= _PMI_MIN_COUNT)]
+        n_tok = float(uni["n"].sum())
+        n_bi = float(counts.loc[counts["kind"] == 1, "n"].sum())
+        lut = dict(zip(uni["gram"], uni["n"].astype(np.int64)))
+    else:  # vocab too big for the driver: reduce stays distributed,
+        # the >=min-count filter runs distributed-side, and the driver
+        # receives (a) two scalar totals, (b) the heavy-hitter bigrams,
+        # (c) ONLY the unigrams occurring inside those heavy hitters
+        # (<= 2x survivors — never the vocabulary)
+        from ray.data.aggregate import Sum
+
+        with _scoped_parallelism(32):
+            red = m.groupby(["kind", "gram"]) \
+                .aggregate(Sum("n", alias_name="n")).materialize()
+            totals = red.map_batches(
+                lambda b: b.groupby("kind", as_index=False)["n"].sum(),
+                batch_format="pandas") \
+                .to_pandas().groupby("kind")["n"].sum()
+            n_tok = float(totals.get(0, 0))
+            n_bi = float(totals.get(1, 0))
+            bi = red.map_batches(
+                lambda b: b[(b["kind"] == 1)
+                            & (b["n"] >= _PMI_MIN_COUNT)],
+                batch_format="pandas").to_pandas()
+            need = set()
+            for g in bi["gram"]:
+                x, _, y = g.partition(" ")
+                need.add(x)
+                need.add(y)
+            need_ref = ray.put(need)
+            uni = red.map_batches(
+                lambda b: b[(b["kind"] == 0)
+                            & b["gram"].isin(_get_broadcast(need_ref))],
+                batch_format="pandas").to_pandas()
+            lut = dict(zip(uni["gram"], uni["n"].astype(np.int64)))
     if bi.empty:
         return empty
-    n_tok = float(uni["n"].sum())
-    n_bi = float(counts.loc[counts["kind"] == 1, "n"].sum())
-    lut = dict(zip(uni["gram"], uni["n"].astype(np.int64)))
     parts = bi["gram"].str.split(" ", n=1, expand=True)
     nx = parts[0].map(lut).to_numpy(np.float64)
     ny = parts[1].map(lut).to_numpy(np.float64)

@@ -315,3 +315,23 @@ def test_retention_cohorts_bucketed_path_matches(ray_session,
         small.reset_index(drop=True),
         big[small.columns].reset_index(drop=True))
     assert len(small) > 0
+
+
+@pytest.mark.parametrize("name", ["bigram_pmi", "supplier_part_census",
+                                  "customer_order_ranks"])
+def test_relational2_above_gate_path(ray_session, monkeypatch, name):
+    """TPC-H-tail family: force the distributed branch (gate=1) and
+    require the identical result as the driver-combine path — for
+    bigram_pmi this exercises the distributed >=min-count filter and
+    the needed-unigrams-only driver collection."""
+    import pdf_oxide_ray.queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    small = QUERIES[name](sf)
+    monkeypatch.setattr(Q, "_REDUCE_GATE_ROWS", 1)
+    big = QUERIES[name](sf)
+    pd.testing.assert_frame_equal(
+        small.sort_values(list(small.columns)).reset_index(drop=True),
+        big[small.columns].sort_values(list(small.columns))
+        .reset_index(drop=True))
+    assert len(small) > 0
