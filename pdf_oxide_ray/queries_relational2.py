@@ -600,6 +600,46 @@ def q_customer_order_ranks(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# time-series resampling: dense hourly grid with zero-fill
+# ---------------------------------------------------------------------------
+
+def q_hourly_gapfill(sf_dir: str) -> pd.DataFrame:
+    """Per-type hourly event counts resampled onto a DENSE hour grid —
+    hours with no events appear with n=0 (the gap-filling/resampling
+    op every time-series monitoring pipeline needs; ``events_hourly``
+    reports only observed hours). Distributed part: per-batch
+    (type, hour) count partials ride the usual bounded reduce (grid
+    cardinality = #types x corpus-span hours — dimension-scale at any
+    corpus size: 3 years = 26k hours). The dense grid is then
+    generated DRIVER-side from each type's [min, max] hour span and
+    left-joined against the reduced counts — generation is O(grid),
+    touches no event rows, and ships nothing."""
+    ds = _pq(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"event_type": b["event_type"].to_numpy(object),
+                             "hour": b["ts"].dt.floor("h").to_numpy(),
+                             "n": np.int64(1)}) \
+            .groupby(["event_type", "hour"], as_index=False).sum()
+
+    agg = _reduce_partials(ds.map_batches(partial, batch_format="pandas"),
+                           ["event_type", "hour"], ["n"])
+    if agg.empty:
+        return _empty_typed(event_type=object,
+                            hour="datetime64[us]", n="int64")
+    grids = []
+    for et, g in agg.groupby("event_type"):
+        hours = pd.date_range(g["hour"].min(), g["hour"].max(),
+                              freq="h")
+        grids.append(pd.DataFrame({"event_type": et, "hour": hours}))
+    grid = pd.concat(grids, ignore_index=True)
+    out = grid.merge(agg, on=["event_type", "hour"], how="left")
+    out["n"] = out["n"].fillna(0).astype(np.int64)
+    return out.astype({"n": "int64"}) \
+        .sort_values(["event_type", "hour"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # collocation mining: bigram pointwise mutual information
 # ---------------------------------------------------------------------------
 
@@ -716,6 +756,7 @@ RELATIONAL2_QUERIES = {
     "disjunctive_revenue": q_disjunctive_revenue,
     "waiting_suppliers": q_waiting_suppliers,
     "customer_order_ranks": q_customer_order_ranks,
+    "hourly_gapfill": q_hourly_gapfill,
     "bigram_pmi": q_bigram_pmi,
 }
 
@@ -824,6 +865,21 @@ RELATIONAL2_ORACLES = {
         JOIN supplier ON f.s = s_suppkey
         WHERE f.late = 1
         GROUP BY s_name""",
+    "hourly_gapfill": """
+        WITH b AS (
+          SELECT event_type, date_trunc('hour', ts) AS hour,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        span AS (
+          SELECT event_type, min(hour) AS lo, max(hour) AS hi
+          FROM b GROUP BY event_type),
+        grid AS (
+          SELECT event_type,
+                 unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+          FROM span)
+        SELECT g.event_type, g.hour, coalesce(b.n, 0) AS n
+        FROM grid g LEFT JOIN b
+          ON g.event_type = b.event_type AND g.hour = b.hour""",
     "customer_order_ranks": f"""
         SELECT o_orderkey,
                CAST(dense_rank() OVER (
