@@ -76,7 +76,14 @@ def _flagship_queries() -> dict[str, Callable[[str], Any]]:
 # front-loads the 45 oracle-backed queries that have never had a driver row,
 # plus pack_blocks (red in r02 on an oracle-twin dtype bug, fixed — must
 # re-prove inside the window) and the newly-oracled rows-only conversions.
-# Rotate again next round so every family keeps a recent green row.
+# ROUND-4 ROTATION TODO: front-load the still-never-certified oracles —
+# the whole queries_relational2 family (forecast_revenue market_share
+# product_profit late_shipments supplier_part_census small_qty_revenue
+# disjunctive_revenue waiting_suppliers customer_order_ranks bigram_pmi
+# hourly_gapfill), the r2-era tail outside this window (incremental_dedup
+# was windowed; check CORRECTNESS_r03 for any red/missing rows first),
+# and top the list up with round-1 families that then have the OLDEST
+# green row.
 _DRIVER_WINDOW_R3 = [
     "pack_blocks", "fk_audit",
     # relational / analytic session-2+3 families, never driver-checked:

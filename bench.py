@@ -273,8 +273,30 @@ def run_scaling() -> dict:
     }
 
 
+def run_stats() -> None:
+    """--stats: one flagship pass, then dump Ray Data's per-operator
+    stats (wall, blocks, memory) — the evidence loop the scale doctrine
+    asks for ('read ds.stats() for the stage and iterate')."""
+    import ray
+
+    cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=cpus,
+                 include_dashboard=False)
+    from pdf_oxide_ray.gen.cache import tag_for_sf_dir
+    from pdf_oxide_ray.pipelines.flagship import run_flagship
+
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    path = ensure_bench_corpus(tag_for_sf_dir(sf_dir))
+    ds = run_flagship(path, keep_spans=False).materialize()
+    print(ds.stats())
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--stats" in sys.argv:
+        run_stats()
     else:
         print(json.dumps(run_bench()))
