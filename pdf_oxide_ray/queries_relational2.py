@@ -743,6 +743,97 @@ def q_bigram_pmi(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# market-basket association: event-type co-occurrence with support + lift
+# ---------------------------------------------------------------------------
+
+def q_event_cooccurrence(sf_dir: str) -> pd.DataFrame:
+    """Association mining over user event baskets: for every unordered
+    event-type pair, the number of users exhibiting both (support) and
+    the lift ``n_ab * N / (n_a * n_b)`` — the market-basket op behind
+    feature co-occurrence audits. Combiner discipline: per-batch
+    distinct (user, type) pairs (the ``distinct_users_per_type``
+    combiner) ride a bounded reduce — the item vocabulary is the event-
+    type dimension, so the distinct exchange carries at most
+    #users x #types rows and pair expansion happens AFTER the per-user
+    dedup, bounded by C(#types, 2) per user. Lift divides identical
+    int64 counts on both sides, rounded to the shared half-away 1e-6
+    grid."""
+    ds = _pq(sf_dir, "events", ["user_id", "event_type"])
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        return b.drop_duplicates()
+
+    m = ds.map_batches(pairs, batch_format="pandas").materialize()
+    empty = _empty_typed(type_a=object, type_b=object, n_ab="int64",
+                         lift="float64")
+    if m.count() == 0:
+        return empty
+
+    def expand(ut: pd.DataFrame) -> pd.DataFrame:
+        j = ut.merge(ut, on="user_id")
+        j = j[j["event_type_x"] < j["event_type_y"]]
+        return j.groupby(["event_type_x", "event_type_y"],
+                         as_index=False) \
+            .agg(n_ab=("user_id", "size")) \
+            .rename(columns={"event_type_x": "type_a",
+                             "event_type_y": "type_b"})
+
+    if m.count() <= _qmod._REDUCE_GATE_ROWS:
+        ut = m.to_pandas().drop_duplicates()
+        n_users = int(ut["user_id"].nunique())
+        per_type = ut.groupby("event_type")["user_id"].size()
+        ab = expand(ut)
+    else:  # the (user, type) distinct table is corpus-scale: every
+        # per-user computation stays distributed — ONE bucketed
+        # hash(user_id) groupby co-locates a user's basket (a user
+        # lives in exactly one bucket, so pair/type/user partials sum
+        # exactly); the driver folds C(#types,2)-, #types- and
+        # scalar-sized partials only
+        _CO_BUCKETS = 32
+
+        def tag(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.drop_duplicates()
+            b = b.assign(__bucket=_bucket_of(b["user_id"], _CO_BUCKETS))
+            return b
+
+        def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+            ut = g[["user_id", "event_type"]].drop_duplicates()
+            p = expand(ut)
+            t = ut.groupby("event_type", as_index=False) \
+                .agg(n=("user_id", "size")) \
+                .rename(columns={"event_type": "type_a"})
+            t["type_b"] = "\x00type"  # sentinel kind: per-type counts
+            u = pd.DataFrame({"type_a": ["\x00users"],
+                              "type_b": ["\x00users"],
+                              "n": [ut["user_id"].nunique()]})
+            p = p.rename(columns={"n_ab": "n"})
+            return pd.concat([p, t, u], ignore_index=True)
+
+        with _scoped_parallelism(_CO_BUCKETS):
+            partials = m.map_batches(tag, batch_format="pandas") \
+                .groupby("__bucket").map_groups(per_bucket,
+                                                batch_format="pandas")
+            red = _reduce_partials(partials, ["type_a", "type_b"], ["n"])
+        n_users = int(red.loc[red["type_a"] == "\x00users", "n"].sum())
+        tc = red[red["type_b"] == "\x00type"]
+        per_type = pd.Series(tc["n"].to_numpy(np.int64),
+                             index=tc["type_a"])
+        ab = red[~red["type_b"].str.startswith("\x00")
+                 & ~red["type_a"].str.startswith("\x00")] \
+            .rename(columns={"n": "n_ab"}).copy()
+    if ab.empty:
+        return empty
+    na = ab["type_a"].map(per_type).to_numpy(np.float64)
+    nb = ab["type_b"].map(per_type).to_numpy(np.float64)
+    v = (ab["n_ab"].to_numpy(np.float64) * float(n_users)
+         / (na * nb)) * 1e6
+    lift6 = np.copysign(np.floor(np.abs(v) + 0.5), v)
+    ab["lift"] = lift6 / 1e6
+    return ab.astype({"n_ab": "int64", "lift": "float64"}) \
+        .sort_values(["type_a", "type_b"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -757,6 +848,7 @@ RELATIONAL2_QUERIES = {
     "waiting_suppliers": q_waiting_suppliers,
     "customer_order_ranks": q_customer_order_ranks,
     "hourly_gapfill": q_hourly_gapfill,
+    "event_cooccurrence": q_event_cooccurrence,
     "bigram_pmi": q_bigram_pmi,
 }
 
@@ -865,6 +957,24 @@ RELATIONAL2_ORACLES = {
         JOIN supplier ON f.s = s_suppkey
         WHERE f.late = 1
         GROUP BY s_name""",
+    "event_cooccurrence": """
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu
+              FROM ut),
+        t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+              FROM ut GROUP BY 1),
+        ab AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_ab
+          FROM ut a JOIN ut b
+            ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+        SELECT type_a, type_b, n_ab,
+               ROUND(CAST(n_ab AS DOUBLE) * nu.nu / (ta.n * tb.n)
+                     * 1000000, 0) / 1000000.0 AS lift
+        FROM ab, n nu
+        JOIN t ta ON ta.event_type = ab.type_a
+        JOIN t tb ON tb.event_type = ab.type_b""",
     "hourly_gapfill": """
         WITH b AS (
           SELECT event_type, date_trunc('hour', ts) AS hour,
