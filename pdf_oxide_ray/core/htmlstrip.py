@@ -147,7 +147,13 @@ def _render(node: _Node, out: list[str], markdown: bool) -> None:
 
     for child in node.children:
         if isinstance(child, str):
-            out.append(_WS.sub(" ", child))
+            # fast path: isprintable() rules out every \s char except
+            # the ASCII space (Zs separators and controls are not
+            # printable), so without a double space the sub is identity
+            if child.isprintable() and "  " not in child:
+                out.append(child)
+            else:
+                out.append(_WS.sub(" ", child))
         else:
             _render(child, out, markdown)
 
@@ -161,7 +167,10 @@ def _render(node: _Node, out: list[str], markdown: bool) -> None:
 def _render_inline(node: _Node, out: list[str]) -> None:
     for child in node.children:
         if isinstance(child, str):
-            out.append(_WS.sub(" ", child))
+            if child.isprintable() and "  " not in child:  # see _render
+                out.append(child)
+            else:
+                out.append(_WS.sub(" ", child))
         else:
             _render_inline(child, out)
 
