@@ -103,7 +103,11 @@ def q_market_share(sf_dir: str) -> pd.DataFrame:
     target-nation supplier key array — sorted int64, ``isin_sorted``
     membership); lineitem x orders is the one adaptive exchange. The
     share divides two identical int64 sums on both sides (no rounding
-    needed: x/y of equal integers is IEEE-deterministic)."""
+    needed: x/y of equal integers is IEEE-deterministic). 100 TB note:
+    part/supplier stay broadcast (catalog-sized); the customer key
+    array graduates to a second bucketed membership join when the
+    customer dimension outgrows the broadcast gate (same swap as
+    ``region_revenue``/``fk_audit``'s fact-edge path)."""
     import pyarrow.parquet as pq
     import ray
 
@@ -743,6 +747,63 @@ def q_bigram_pmi(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q20-ish: dominant suppliers (two-level aggregate join)
+# ---------------------------------------------------------------------------
+
+_DOM_BUCKETS = 32
+
+
+def q_dominant_suppliers(sf_dir: str) -> pd.DataFrame:
+    """Suppliers who shipped more than an EIGHTH of some part's total
+    quantity, with how many parts each dominates (TPC-H Q20's
+    share-of-part shape without the partsupp availability term; the
+    1/8 share keeps the result non-degenerate on this corpus's
+    ~100-supplier-per-part mixing). The
+    aggregate-join-aggregate plan: per-batch (partkey, suppkey, qty_c)
+    partials collapse lineitems batch-side; ONE bucketed
+    ``hash(partkey) % 32`` groupby co-locates a part's suppliers, and
+    BOTH aggregate levels — per-(part, supp) quantity and the per-part
+    total — compute inside the bucket (a part lives in exactly one
+    bucket, so the dominance test ``8 * supp_qty > part_qty`` is an
+    exact integer cross-multiply on final sums). Only per-supplier
+    dominated-part counts leave the buckets; the driver folds a
+    supplier-dimension-sized frame and merges names."""
+    import pyarrow.parquet as pq
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_partkey", "l_suppkey", "l_quantity"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"p": b["l_partkey"].to_numpy(np.int64),
+                            "s": b["l_suppkey"].to_numpy(np.int64),
+                            "q": _cents(b["l_quantity"]).to_numpy()}) \
+            .groupby(["p", "s"], as_index=False)["q"].sum()
+        out["__bucket"] = _bucket_of(out["p"], _DOM_BUCKETS)
+        return out
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.groupby(["p", "s"], as_index=False)["q"].sum()
+        tot = g.groupby("p")["q"].transform("sum").to_numpy()
+        hit = g[8 * g["q"].to_numpy() > tot]
+        return hit.groupby("s", as_index=False) \
+            .agg(n_parts=("p", "size"))
+
+    with _scoped_parallelism(_DOM_BUCKETS):
+        parts = li.map_batches(partial, batch_format="pandas") \
+            .groupby("__bucket").map_groups(per_bucket,
+                                            batch_format="pandas")
+        out = _reduce_partials(parts, ["s"], ["n_parts"])
+    if out.empty:
+        return _empty_typed(s_name=object, n_parts="int64")
+    supp = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                         columns=["s_suppkey", "s_name"]).to_pandas()
+    out = out.merge(supp, left_on="s", right_on="s_suppkey") \
+        .groupby("s_name", as_index=False)["n_parts"].sum()
+    return out.astype({"n_parts": "int64"}) \
+        .sort_values("s_name").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # market-basket association: event-type co-occurrence with support + lift
 # ---------------------------------------------------------------------------
 
@@ -849,6 +910,7 @@ RELATIONAL2_QUERIES = {
     "customer_order_ranks": q_customer_order_ranks,
     "hourly_gapfill": q_hourly_gapfill,
     "event_cooccurrence": q_event_cooccurrence,
+    "dominant_suppliers": q_dominant_suppliers,
     "bigram_pmi": q_bigram_pmi,
 }
 
@@ -956,6 +1018,18 @@ RELATIONAL2_ORACLES = {
         FROM f JOIN w USING (k)
         JOIN supplier ON f.s = s_suppkey
         WHERE f.late = 1
+        GROUP BY s_name""",
+    "dominant_suppliers": """
+        WITH ps AS (
+          SELECT l_partkey AS p, l_suppkey AS s,
+                 SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS q
+          FROM lineitem GROUP BY 1, 2),
+        tot AS (SELECT p, SUM(q) AS tq FROM ps GROUP BY p),
+        hit AS (
+          SELECT ps.s FROM ps JOIN tot USING (p)
+          WHERE 8 * ps.q > tot.tq)
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM hit JOIN supplier ON s = s_suppkey
         GROUP BY s_name""",
     "event_cooccurrence": """
         WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),

@@ -319,7 +319,8 @@ def test_retention_cohorts_bucketed_path_matches(ray_session,
 
 @pytest.mark.parametrize("name", ["bigram_pmi", "supplier_part_census",
                                   "customer_order_ranks",
-                                  "event_cooccurrence"])
+                                  "event_cooccurrence",
+                                  "dominant_suppliers"])
 def test_relational2_above_gate_path(ray_session, monkeypatch, name):
     """TPC-H-tail family: force the distributed branch (gate=1) and
     require the identical result as the driver-combine path — for
