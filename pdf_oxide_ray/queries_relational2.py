@@ -497,6 +497,9 @@ def q_waiting_suppliers(sf_dir: str) -> pd.DataFrame:
         .map_batches(lambda b: b[b["o_orderstatus"] == "F"]
                      [["o_orderkey", "o_orderdate"]],
                      batch_format="pandas")
+    if orders.count() == 0:  # all-filtered slice: Ray's to_pandas() on
+        # zero-row blocks drops the schema, so guard before the join
+        return _empty_typed(s_name=object, numwait="int64")
     joined = adaptive_join(li, orders, left_on="l_orderkey",
                            right_on="o_orderkey",
                            num_buckets=_Q21_BUCKETS)

@@ -23,7 +23,14 @@ _NAMES = ["order_count_distribution", "top_supplier_revenue",
           "event_anomaly_hours", "weighted_sample", "fk_audit",
           "table_profile", "value_outliers_by_type",
           "weekly_active_users", "cross_source_dups",
-          "value_hour_correlation"]
+          "value_hour_correlation",
+          # TPC-H tail family (market_share excluded: the random corpus
+          # writes no region table)
+          "forecast_revenue", "product_profit", "late_shipments",
+          "supplier_part_census", "small_qty_revenue",
+          "disjunctive_revenue", "waiting_suppliers",
+          "customer_order_ranks", "bigram_pmi", "event_cooccurrence",
+          "dominant_suppliers", "hourly_gapfill"]
 
 _WORDS = ["alpha", "beta", "gamma", "the", "a", "of", "scan", "merge",
           "sort", "hash"]
