@@ -24,9 +24,8 @@ _NAMES = ["order_count_distribution", "top_supplier_revenue",
           "table_profile", "value_outliers_by_type",
           "weekly_active_users", "cross_source_dups",
           "value_hour_correlation",
-          # TPC-H tail family (market_share excluded: the random corpus
-          # writes no region table)
-          "forecast_revenue", "product_profit", "late_shipments",
+          # TPC-H tail family
+          "forecast_revenue", "market_share", "product_profit", "late_shipments",
           "supplier_part_census", "small_qty_revenue",
           "disjunctive_revenue", "waiting_suppliers",
           "customer_order_ranks", "bigram_pmi", "event_cooccurrence",
@@ -108,15 +107,19 @@ def _write_tables(tmp_path, seed: int) -> str:
         "p_partkey": np.arange(n_part, dtype=np.int64),
         "p_name": "widget", "p_brand": "B", "p_type": "PROMO X",
         "p_size": np.int32(1), "p_retailprice": 1.0})
+    n_nat = int(rs.randint(1, 4))
     nation = pd.DataFrame({
-        "n_nationkey": np.arange(int(rs.randint(1, 4)), dtype=np.int32),
-        "n_name": "N", "n_regionkey": np.int32(0)})
+        "n_nationkey": np.arange(n_nat, dtype=np.int32),
+        "n_name": [f"NATION_{i}" for i in range(n_nat)],
+        "n_regionkey": np.int32(0)})
+    region = pd.DataFrame({"r_regionkey": np.int32([0]),
+                           "r_name": ["ASIA"]})
     d = tmp_path / f"rel-{seed}"
     os.makedirs(d, exist_ok=True)
     for name, df in (("customer", cust), ("supplier", sup),
                      ("orders", orders), ("lineitem", li), ("events", ev),
                      ("documents", docs), ("part", part),
-                     ("nation", nation)):
+                     ("nation", nation), ("region", region)):
         df.to_parquet(d / f"{name}.parquet", index=False)
     return str(d)
 
@@ -124,7 +127,7 @@ def _write_tables(tmp_path, seed: int) -> str:
 def _oracle(sf_dir: str, sql: str) -> pd.DataFrame:
     con = duckdb.connect()
     for t in ("customer", "supplier", "orders", "lineitem", "events",
-              "documents", "part", "nation"):
+              "documents", "part", "nation", "region"):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
     return con.execute(sql).fetchdf()
