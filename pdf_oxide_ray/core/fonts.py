@@ -22,6 +22,9 @@ Re-implements the computation of ``/root/reference/src/fonts/font_dict.rs``:
 
 The static tables in this module are intended as **actor-init state**: built
 once at import, shared by every payload an extraction worker processes.
+The bounded ``_CMAP_CACHE`` extends the same idea to parsed ToUnicode
+CMaps (keyed by raw stream bytes + filter chain — a pure function of
+both), since real corpora draw fonts from a small shared family.
 """
 
 from __future__ import annotations
@@ -29,6 +32,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 
 from .cmap import parse_tounicode_cmap
+from .objects import Stream as _Stream
 
 # ---------------------------------------------------------------------------
 # Static encoding tables (built once per worker process)
@@ -210,6 +214,13 @@ STANDARD_ENCODING_NAMES = ("StandardEncoding", "WinAnsiEncoding", "MacRomanEncod
                            "MacExpertEncoding", "PDFDocEncoding")
 
 
+# worker-global parsed-CMap cache (see module docstring): key =
+# (raw post-decrypt stream bytes, filter chain, decode parms) — the
+# decoded CMap is a pure function of exactly that tuple
+_CMAP_CACHE: dict = {}
+_CMAP_CACHE_MAX = 1024
+
+
 @dataclass
 class FontInfo:
     """Per-font decode state (reference FontInfo, font_dict.rs:19-54)."""
@@ -287,9 +298,30 @@ class FontInfo:
 
         tu = font_dict.get("ToUnicode")
         if tu is not None:
-            data = get_stream_data(tu)
-            if data is not None:
-                fi.to_unicode = parse_tounicode_cmap(data)
+            st = resolve(tu)
+            if isinstance(st, _Stream):
+                # worker-global CMap cache: corpora reuse a small font
+                # family, so the same ToUnicode stream recurs across
+                # payloads. Keyed on (raw post-decrypt bytes, filter
+                # chain) — decode_stream is a pure function of exactly
+                # those inputs — and the parsed dict is read-only, so
+                # sharing across documents is safe. Decompression
+                # (often ASCII85+Flate) and the regex CMap parse are
+                # both skipped on a hit.
+                key = (st.data, str(st.dict.get("Filter")),
+                       str(st.dict.get("DecodeParms")))
+                cm = _CMAP_CACHE.get(key)
+                if cm is None:
+                    data = get_stream_data(st)
+                    if data is not None:
+                        cm = parse_tounicode_cmap(data)
+                        if len(_CMAP_CACHE) < _CMAP_CACHE_MAX:
+                            _CMAP_CACHE[key] = cm
+                fi.to_unicode = cm
+            else:
+                data = get_stream_data(tu)
+                if data is not None:
+                    fi.to_unicode = parse_tounicode_cmap(data)
 
         widths = resolve(font_dict.get("Widths"))
         if isinstance(widths, list):
