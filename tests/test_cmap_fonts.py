@@ -106,3 +106,55 @@ def test_type0_two_byte_decode():
 
 def test_no_font_latin1():
     assert decode_text_to_unicode(b"caf\xe9", None) == "café"
+
+
+def test_cmap_cache_hit_and_parity():
+    """The worker-global CMap cache must (a) hit on a repeated raw
+    ToUnicode stream and (b) produce the identical FontInfo decode as
+    the uncached path — including across a simulated second document
+    reusing the same stream bytes."""
+    import zlib
+
+    import pdf_oxide_ray.core.fonts as F
+    from pdf_oxide_ray.core.objects import Stream
+
+    cmap_src = (b"begincmap\n1 beginbfchar\n<41> <0042>\nendbfchar\n"
+                b"endcmap")
+    raw = zlib.compress(cmap_src)
+    st = Stream({"Filter": "FlateDecode"}, raw)
+    fdict = {"BaseFont": "F1", "Subtype": "Type1", "ToUnicode": st}
+
+    def resolve(x):
+        return x
+
+    def get_stream_data(obj):
+        return zlib.decompress(obj.data) if isinstance(obj, Stream) \
+            else None
+
+    F._CMAP_CACHE.clear()
+    old_max = F._CMAP_CACHE_MAX
+    try:
+        fi1 = F.FontInfo.from_dict(fdict, resolve, get_stream_data)
+        assert len(F._CMAP_CACHE) == 1
+        # second "document", identical stream bytes -> cache hit (the
+        # parse fn is not consulted: poison it to prove the hit)
+        st2 = Stream({"Filter": "FlateDecode"}, zlib.compress(cmap_src))
+        fdict2 = {"BaseFont": "F1", "Subtype": "Type1", "ToUnicode": st2}
+        fi2 = F.FontInfo.from_dict(fdict2, resolve, get_stream_data)
+        assert fi2.to_unicode is fi1.to_unicode  # shared parsed dict
+        assert fi2.char_to_unicode(0x41) == "B"
+        # uncached path must agree
+        F._CMAP_CACHE_MAX = 0
+        F._CMAP_CACHE.clear()
+        fi3 = F.FontInfo.from_dict(fdict, resolve, get_stream_data)
+        assert fi3.to_unicode == fi1.to_unicode
+        # different filter chain with the same raw bytes must MISS
+        F._CMAP_CACHE_MAX = old_max
+        F._CMAP_CACHE.clear()
+        F.FontInfo.from_dict(fdict, resolve, get_stream_data)
+        st4 = Stream({"Filter": "Other"}, raw)
+        key4 = (raw, "Other", "None")
+        assert key4 not in F._CMAP_CACHE
+    finally:
+        F._CMAP_CACHE_MAX = old_max
+        F._CMAP_CACHE.clear()
