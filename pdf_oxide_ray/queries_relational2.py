@@ -201,8 +201,12 @@ def q_product_profit(sf_dir: str) -> pd.DataFrame:
         "keys": np.sort(part.loc[part["p_name"].str
                                  .contains(_Q9_NAME_SUBSTR, regex=False),
                                  "p_partkey"].to_numpy(np.int64)),
+        # inner-join semantics: a supplier with an orphan nationkey has
+        # no nation row, so it must vanish from the rollup (its lines
+        # map to NaN and pandas groupby drops NaN keys) — not raise
         "supp_nat": {int(k): nat_name[v] for k, v in
-                     zip(supp["s_suppkey"], supp["s_nationkey"])},
+                     zip(supp["s_suppkey"], supp["s_nationkey"])
+                     if v in nat_name},
     }
     ref = ray.put(lookup)
 
@@ -898,6 +902,195 @@ def q_event_cooccurrence(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# CUBE grouping sets: all 2^k rollup levels from ONE finest-grain pass
+# ---------------------------------------------------------------------------
+
+
+def q_revenue_cube(sf_dir: str) -> pd.DataFrame:
+    """``GROUP BY CUBE(status, priority)`` over orders — count + revenue
+    at all four grouping levels. The distributed pass computes ONLY the
+    finest grain (status x priority partials inside ``map_batches``, one
+    small reduce); the three coarser levels are DERIVED from that tiny
+    grid on the driver by re-summing int64 cells — integer addition is
+    associative, so every level is bit-identical to a direct SQL CUBE.
+    100 TB note: the exchange carries one row per (status, priority,
+    block) regardless of corpus size; the cube fan-out never touches
+    the fact table again (the naive plan scans it 2^k times).
+    Rolled-up dimensions surface as the literal 'ALL' (the twin
+    COALESCEs its NULLs the same way). Empty input: SQL's empty
+    grouping set still emits one global row -> (ALL, ALL, 0, NaN)."""
+    orders = _pq(sf_dir, "orders",
+                 ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"status": b["o_orderstatus"],
+                          "priority": b["o_orderpriority"],
+                          "n": np.int64(1),
+                          "rev_c": _cents(b["o_totalprice"])})
+        return g.groupby(["status", "priority"], as_index=False).sum()
+
+    fine = _reduce_partials(orders.map_batches(partial,
+                                               batch_format="pandas"),
+                            by=["status", "priority"],
+                            sum_cols=["n", "rev_c"])
+    if not len(fine):
+        return pd.DataFrame({"status": ["ALL"], "priority": ["ALL"],
+                             "n": np.int64([0]),
+                             "revenue": [np.nan]})
+    levels = []
+    for dims in ((["status", "priority"]), (["status"]), (["priority"]),
+                 ([])):
+        if dims:
+            cell = fine.groupby(dims, as_index=False)[["n", "rev_c"]].sum()
+        else:
+            cell = pd.DataFrame({"n": [fine["n"].sum()],
+                                 "rev_c": [fine["rev_c"].sum()]})
+        for missing in ("status", "priority"):
+            if missing not in dims:
+                cell[missing] = "ALL"
+        levels.append(cell[["status", "priority", "n", "rev_c"]])
+    out = pd.concat(levels, ignore_index=True)
+    out["n"] = out["n"].astype(np.int64)
+    out["revenue"] = out.pop("rev_c").astype(np.float64) / 100.0
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Distributed 2-D skyline (Pareto frontier): mergeable local skylines
+# ---------------------------------------------------------------------------
+
+
+def _skyline_2d(b: pd.DataFrame) -> pd.DataFrame:
+    """Rows not dominated on (p_c max, d_us max): survivor iff
+    d == dmax(p) and dmax(p) > max(dmax(p') for all p' > p). Both-tied
+    rows all survive (neither strictly dominates). Vectorized: group
+    p -> dmax, prefix-cummax over p-descending order."""
+    if not len(b):
+        return b
+    g = b.groupby("p_c")["d_us"].max().sort_index(ascending=False)
+    prev = g.cummax().shift(1)
+    keep = g[(prev.isna().to_numpy()) | (g.to_numpy() > prev.to_numpy())]
+    m = b.merge(keep.rename("dmax").reset_index(), on="p_c")
+    return m[m["d_us"] == m["dmax"]].drop(columns="dmax")
+
+
+def q_pareto_orders(sf_dir: str) -> pd.DataFrame:
+    """Skyline query: orders on the Pareto frontier of
+    (o_totalprice max, o_orderdate max) — no other order is >= on both
+    and > on one. Skylines are MERGEABLE (skyline(A U B) =
+    skyline(skyline(A) U skyline(B))), so each block emits its local
+    skyline inside ``map_batches`` and the driver finishes on the tiny
+    union — the classic distributed-skyline plan; no shuffle at all.
+    100 TB note: a 2-D local skyline of a random block is expected
+    O(log B) rows, so the driver holds O(#blocks * log B + |answer|);
+    the twin's window-over-grouped-prices formulation is the O(n log n)
+    sequential equivalent (a NOT EXISTS self-join twin was verified
+    equal but is quadratic). Price rides int64 cents so engine and
+    twin group on identical keys."""
+    orders = _pq(sf_dir, "orders",
+                 ["o_orderkey", "o_totalprice", "o_orderdate"])
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.assign(p_c=_cents(b["o_totalprice"]).to_numpy(),
+                     d_us=b["o_orderdate"].to_numpy("datetime64[us]")
+                     .astype(np.int64))
+        return _skyline_2d(b)
+
+    parts = orders.map_batches(local, batch_format="pandas").to_pandas()
+    if not len(parts):
+        return _empty_typed(o_orderkey="int64", o_totalprice="float64",
+                            o_orderdate="datetime64[us]")
+    final = _skyline_2d(parts)
+    return final[["o_orderkey", "o_totalprice", "o_orderdate"]] \
+        .reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy self-join on a bounded string domain (edit distance)
+# ---------------------------------------------------------------------------
+
+_FUZZY_MAX_DIST = 2
+_FUZZY_VOCAB_MAX = 100_000
+
+
+def _levenshtein(a: str, b: str, cap: int) -> int:
+    """Unit-cost edit distance, same semantics as DuckDB levenshtein();
+    returns cap+1 early when the length gap alone exceeds cap."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return cap + 1
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        ca = a[i - 1]
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (ca != b[j - 1]))
+        prev = cur
+    return prev[lb]
+
+
+def q_fuzzy_part_pairs(sf_dir: str) -> pd.DataFrame:
+    """Fuzzy-duplicate part names: pairs of DISTINCT catalog names
+    within Levenshtein distance 2, with their combined row support.
+    The fuzzy match runs on the distinct-name DOMAIN, not the rows:
+    per-batch (name -> count) partials reduce to the vocabulary (a
+    catalog property, bounded regardless of corpus size — same
+    bounded-domain argument as the exact quantile histograms), and the
+    driver pairs it with a length-band block (|len(a)-len(b)| <= 2 is
+    necessary for dist <= 2, pruning the quadratic candidate set).
+    Gated at {vocab_max} distinct names with a pointer at the
+    LSH/blocked route (cf. minhash_dedup) — the honest guard for a
+    name domain that grows with the data instead of the catalog.
+    Empty/singleton vocabulary yields the twin's empty frame."""
+    part = _pq(sf_dir, "part", ["p_name"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return b.groupby("p_name", as_index=False) \
+            .agg(c=("p_name", "size"))
+
+    vocab = _reduce_partials(part.map_batches(partial,
+                                              batch_format="pandas"),
+                             by=["p_name"], sum_cols=["c"])
+    empty = _empty_typed(name_a="object", name_b="object",
+                         dist="int64", support="int64")
+    if not len(vocab):
+        return empty
+    if len(vocab) > _FUZZY_VOCAB_MAX:
+        raise ValueError(
+            f"fuzzy_part_pairs: {len(vocab)} distinct names exceeds the "
+            f"{_FUZZY_VOCAB_MAX} driver gate; an unbounded name domain "
+            "needs the LSH/blocked route (cf. minhash_dedup)")
+    vocab = vocab.sort_values("p_name").reset_index(drop=True)
+    names = vocab["p_name"].to_list()
+    counts = vocab["c"].to_numpy(np.int64)
+    lens = np.fromiter((len(s) for s in names), dtype=np.int64,
+                       count=len(names))
+    order = np.argsort(lens, kind="stable")
+    rows = []
+    for ii, i in enumerate(order):
+        for j in order[ii + 1:]:
+            if lens[j] - lens[i] > _FUZZY_MAX_DIST:
+                break  # length-banded: later js only get longer
+            d = _levenshtein(names[i], names[j], _FUZZY_MAX_DIST)
+            if d <= _FUZZY_MAX_DIST:
+                a, b = (i, j) if names[i] < names[j] else (j, i)
+                rows.append((names[a], names[b], d,
+                             int(counts[a] + counts[b])))
+    if not rows:
+        return empty
+    out = pd.DataFrame(rows, columns=["name_a", "name_b", "dist",
+                                      "support"])
+    out["dist"] = out["dist"].astype(np.int64)
+    out["support"] = out["support"].astype(np.int64)
+    return out.sort_values(["name_a", "name_b"]).reset_index(drop=True)
+
+
+q_fuzzy_part_pairs.__doc__ = q_fuzzy_part_pairs.__doc__.format(
+    vocab_max=_FUZZY_VOCAB_MAX)
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -915,6 +1108,9 @@ RELATIONAL2_QUERIES = {
     "event_cooccurrence": q_event_cooccurrence,
     "dominant_suppliers": q_dominant_suppliers,
     "bigram_pmi": q_bigram_pmi,
+    "revenue_cube": q_revenue_cube,
+    "pareto_orders": q_pareto_orders,
+    "fuzzy_part_pairs": q_fuzzy_part_pairs,
 }
 
 _C = "CAST(round({} * 100) AS BIGINT)"
@@ -1108,6 +1304,37 @@ RELATIONAL2_ORACLES = {
           JOIN u uy ON uy.tok = split_part(bg.gram, ' ', 2))
         SELECT gram, n, pmi6 / 1000000.0 AS pmi
         FROM scored ORDER BY pmi6 DESC, gram LIMIT {_PMI_TOPK}""",
+    "revenue_cube": """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS DOUBLE) / 100.0 AS revenue
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""",
+    "pareto_orders": """
+        WITH pc AS (
+          SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS p_c,
+                 MAX(o_orderdate) AS dmax
+          FROM orders GROUP BY 1),
+        sky AS (
+          SELECT p_c, dmax,
+                 MAX(dmax) OVER (ORDER BY p_c DESC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS dprev
+          FROM pc)
+        SELECT o_orderkey, o_totalprice, o_orderdate
+        FROM orders
+        JOIN sky ON CAST(round(o_totalprice * 100) AS BIGINT) = sky.p_c
+                AND o_orderdate = sky.dmax
+        WHERE sky.dprev IS NULL OR sky.dmax > sky.dprev""",
+    "fuzzy_part_pairs": f"""
+        WITH d AS (SELECT p_name, CAST(COUNT(*) AS BIGINT) AS c
+                   FROM part GROUP BY p_name)
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+               a.c + b.c AS support
+        FROM d a JOIN d b ON a.p_name < b.p_name
+        WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}""",
 }
 
 

@@ -29,7 +29,8 @@ _NAMES = ["order_count_distribution", "top_supplier_revenue",
           "supplier_part_census", "small_qty_revenue",
           "disjunctive_revenue", "waiting_suppliers",
           "customer_order_ranks", "bigram_pmi", "event_cooccurrence",
-          "dominant_suppliers", "hourly_gapfill"]
+          "dominant_suppliers", "hourly_gapfill",
+          "revenue_cube", "pareto_orders", "fuzzy_part_pairs"]
 
 _WORDS = ["alpha", "beta", "gamma", "the", "a", "of", "scan", "merge",
           "sort", "hash"]
@@ -103,9 +104,14 @@ def _write_tables(tmp_path, seed: int) -> str:
     # part UNDER-covers l_partkey (0..19) and nation UNDER-covers the
     # nationkeys, so the fk_audit finds real orphans on most seeds
     n_part = int(rs.randint(5, 20))
+    # near-collision name pool: pairwise Levenshtein spans 1..>2 so the
+    # fuzzy self-join sees hits AND misses; 'widget' variants keep the
+    # Q9 LIKE-filter exercised on both matching and non-matching rows
     part = pd.DataFrame({
         "p_partkey": np.arange(n_part, dtype=np.int64),
-        "p_name": "widget", "p_brand": "B", "p_type": "PROMO X",
+        "p_name": rs.choice(["widget", "widgit", "wadget", "gadget",
+                             "small widget", "sprocket"], n_part),
+        "p_brand": "B", "p_type": "PROMO X",
         "p_size": np.int32(1), "p_retailprice": 1.0})
     n_nat = int(rs.randint(1, 4))
     nation = pd.DataFrame({
