@@ -19,6 +19,12 @@ plus two operator kinds no earlier family covered:
   partition key (bucketed exchange, vectorized in-bucket ranking)
 * `bigram_pmi` — collocation mining by pointwise mutual information
   (the LM-corpus phrase-discovery op; quantized-ln exactness)
+* `revenue_cube` — GROUP BY CUBE grouping sets, every level derived
+  from ONE finest-grain distributed pass (int64 cell re-sums)
+* `pareto_orders` — distributed 2-D skyline via mergeable per-block
+  local Pareto frontiers (no shuffle)
+* `fuzzy_part_pairs` — edit-distance fuzzy self-join on the bounded
+  distinct-name domain (length-band blocking, driver gate)
 
 Shuffle budget (SCALE.md doctrine): every query broadcasts its
 dimension/catalog sides once (``ray.put`` + per-worker cache), runs at
