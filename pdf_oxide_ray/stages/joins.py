@@ -39,6 +39,26 @@ def _get_broadcast(ref):
     return obj
 
 
+def _arrow_if_empty(df: pd.DataFrame):
+    """Zero-row pandas frames with object/string columns trip Ray's
+    block-size estimator ("cannot call `vectorize` on size 0 inputs"),
+    logging once per empty block — log spam at high bucket counts.
+    Arrow sizes zero-row blocks exactly, so empty join outputs return
+    as Arrow (object columns pinned to string so the schema stays
+    stable instead of inferring null). Non-empty frames pass through
+    untouched (zero-copy for the common path)."""
+    if len(df):
+        return df
+    try:
+        import pyarrow as pa
+
+        obj = {c: "string" for c in df.columns if df[c].dtype == object}
+        return pa.Table.from_pandas(df.astype(obj) if obj else df,
+                                    preserve_index=False)
+    except Exception:  # exotic dtype: keep pandas, accept the log line
+        return df
+
+
 def broadcast_join(ds, right: pd.DataFrame, on: str,
                    right_on: str | None = None, how: str = "inner",
                    concurrency: int | None = None):
@@ -53,9 +73,10 @@ def broadcast_join(ds, right: pd.DataFrame, on: str,
     ref = ray.put(right)
     ron = right_on or on
 
-    def merge(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.merge(_get_broadcast(ref), how=how, left_on=on,
-                           right_on=ron)
+    def merge(batch: pd.DataFrame):
+        return _arrow_if_empty(
+            batch.merge(_get_broadcast(ref), how=how, left_on=on,
+                        right_on=ron))
 
     kwargs = {}
     if concurrency is not None:
@@ -154,7 +175,8 @@ def bucketed_hash_join(left_ds, right_ds, left_on: str, right_on: str,
             lg = lg.astype(left_restore)
         if right_restore:
             rg = rg.astype(right_restore)
-        return lg.merge(rg, how=how, left_on=left_on, right_on=right_on)
+        return _arrow_if_empty(
+            lg.merge(rg, how=how, left_on=left_on, right_on=right_on))
 
     return both.groupby("__bucket").map_groups(merge_bucket,
                                                batch_format="pandas")
