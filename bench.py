@@ -113,6 +113,15 @@ def run_bench() -> dict:
     # cost dominates anyway
     n_runs = 1 if os.environ.get("GRAFT_BENCH_FLAGSHIP_ONLY") == "1" else 5
     bw_before = _memcpy_gb_s()
+    if n_runs > 1:
+        # one UNTIMED warmup: the first run pays FS-cache + plasma +
+        # worker-import cold start (measured 14.8s/18.1s vs 13.3s/13.5s
+        # for run 2 on the same build) — standard bench hygiene, the
+        # timed runs measure the code, not the page cache
+        out_dir = tempfile.mkdtemp(prefix="bench_flagship_", dir="/tmp")
+        run_flagship_job(corpus, out_dir, keep_spans=True,
+                         want_markdown=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
     walls = []
     summary = None
     for _ in range(n_runs):

@@ -229,25 +229,51 @@ def q_events_sliding(sf_dir: str) -> pd.DataFrame:
 
 
 def q_quantity_quantiles(sf_dir: str) -> pd.DataFrame:
-    """Exact grouped quantiles (p50/p90 of l_quantity per returnflag):
-    quantiles need the full value set per group, so this is a true
-    map_groups shape (3 groups — each fits a worker easily; for
-    high-cardinality keys switch to a sketch, e.g. KLL)."""
+    """Exact grouped INTERPOLATED quantiles (quantile_cont p50/p90 of
+    l_quantity per returnflag) via the bounded value histogram — the
+    same plan as ``q_length_deciles``, upgraded from percentile_disc to
+    linear interpolation: per-batch (flag, qty-cents) value_counts
+    reduce to one row per distinct value per flag (quantity is a
+    2-decimal bounded domain, so the histogram is corpus-size-free),
+    and the driver reads sorted[floor(h)] / sorted[ceil(h)] off
+    cumulative counts and lerps with h = (n-1)*p — the identical
+    double chain as np.percentile / DuckDB quantile_cont
+    (cents/100.0 is bit-identical to the stored double because the
+    generator's np.round(x, 2) IS rint(x*100)/100). Replaces the
+    round-1 map_groups version that materialized each group's full
+    value set in one worker — this plan never co-locates a group."""
     ds = _pq(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
 
-    def per_flag(g: pd.DataFrame) -> pd.DataFrame:
-        q = g["l_quantity"].to_numpy(dtype=np.float64)
-        return pd.DataFrame({
-            "l_returnflag": [g["l_returnflag"].iloc[0]],
-            "p50": [float(np.percentile(q, 50))],
-            "p90": [float(np.percentile(q, 90))],
-        })
+    def hist(b: pd.DataFrame) -> pd.DataFrame:
+        vc = pd.DataFrame({
+            "l_returnflag": b["l_returnflag"],
+            "q_c": _cents(b["l_quantity"])}) \
+            .value_counts(sort=False).rename("cnt").reset_index()
+        vc["cnt"] = vc["cnt"].astype(np.int64)
+        return vc
 
-    out = ds.groupby("l_returnflag").map_groups(
-        per_flag, batch_format="pandas").to_pandas()
-    if out.empty:
+    h = _reduce_partials(ds.map_batches(hist, batch_format="pandas"),
+                         ["l_returnflag", "q_c"], ["cnt"])
+    if h.empty:
         return _empty_typed(l_returnflag=object, p50="float64",
                             p90="float64")
+
+    def lerp_quantile(vals: np.ndarray, cum: np.ndarray, p: float) -> float:
+        n = int(cum[-1])
+        hpos = (n - 1) * np.float64(p)
+        lo = int(np.floor(hpos))
+        hi = min(lo + 1, n - 1)
+        v_lo = vals[np.searchsorted(cum, lo + 1)]
+        v_hi = vals[np.searchsorted(cum, hi + 1)]
+        return float(v_lo + (v_hi - v_lo) * (hpos - lo))
+
+    rows = []
+    for flag, g in h.sort_values("q_c").groupby("l_returnflag"):
+        vals = g["q_c"].to_numpy(np.float64) / 100.0
+        cum = g["cnt"].to_numpy(np.int64).cumsum()
+        rows.append((flag, lerp_quantile(vals, cum, 0.5),
+                     lerp_quantile(vals, cum, 0.9)))
+    out = pd.DataFrame(rows, columns=["l_returnflag", "p50", "p90"])
     return _round6(out, ["p50", "p90"])
 
 
