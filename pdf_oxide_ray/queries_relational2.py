@@ -1097,6 +1097,87 @@ q_fuzzy_part_pairs.__doc__ = q_fuzzy_part_pairs.__doc__.format(
 
 
 # ---------------------------------------------------------------------------
+# Triangle enumeration on the verified co-occurrence edge list
+# ---------------------------------------------------------------------------
+
+
+def q_cooccurrence_triangles(sf_dir: str) -> pd.DataFrame:
+    """Graph-motif op: triangles (a < b < c) in the event-type
+    association graph whose edges are co-occurring pairs with
+    lift >= 1.0 (at-or-above-independence association). The distributed work IS ``q_event_cooccurrence`` (per-
+    user-deduped pair counting, bounded reduce); triangle enumeration
+    then runs on that VERIFIED edge list on the driver — the same
+    small-edge-list discipline as ``dup_components``/``dup_pagerank``
+    (the edge set is bounded by C(#types, 2), an item-vocabulary
+    property, not a corpus property). Edges are a < b ordered, so each
+    triangle is found exactly once via forward-neighbor intersection.
+    The lift >= 1.0 cut compares identical 1e-6-quantized doubles on
+    both sides, so the edge sets can never diverge at the boundary."""
+    pairs = q_event_cooccurrence(sf_dir)
+    empty = _empty_typed(type_a=object, type_b=object, type_c=object)
+    e = pairs[pairs["lift"] >= 1.0]
+    if not len(e):
+        return empty
+    fwd: dict = {}
+    for a, b in zip(e["type_a"], e["type_b"]):
+        fwd.setdefault(a, set()).add(b)
+    rows = []
+    for a, b in zip(e["type_a"], e["type_b"]):
+        for c in sorted(fwd[a] & fwd.get(b, set())):
+            rows.append((a, b, c))
+    if not rows:
+        return empty
+    return pd.DataFrame(rows, columns=["type_a", "type_b", "type_c"]) \
+        .sort_values(["type_a", "type_b", "type_c"]) \
+        .reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Distributed Gram matrix over the embedding table (second moments)
+# ---------------------------------------------------------------------------
+
+
+def q_embedding_gram(sf_dir: str) -> pd.DataFrame:
+    """Distributed Gram (second-moment) matrix of the embedding table —
+    the building block of PCA / covariance / whitening at corpus scale.
+    Each batch computes its d x d partial of
+    SUM(round(v_i * v_j * 1e6)::int64) over the upper triangle
+    (i <= j, 1-based to match SQL list indexing) as ONE numpy
+    broadcasted outer-product tensor; the exchange carries d(d+1)/2
+    int64 cells per block — never a vector — and the driver folds
+    #blocks tiny partials. Products quantize on the shared half-away
+    1e-6 grid AFTER an exact float32->float64 widen, mirroring the
+    twin's CAST(... AS DOUBLE) chain, so the int64 sums are
+    bit-identical. 100 TB note: cost is row-linear with a
+    corpus-size-free exchange; this is the canonical
+    tree-aggregate shape (no groupby at all)."""
+    emb = _pq(sf_dir, "embeddings", ["embedding"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):
+            return pd.DataFrame({"i": pd.Series([], dtype=np.int64),
+                                 "j": pd.Series([], dtype=np.int64),
+                                 "g_q": pd.Series([], dtype=np.int64)})
+        arr = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        prod = arr[:, :, None] * arr[:, None, :] * 1e6
+        q = np.copysign(np.floor(np.abs(prod) + 0.5), prod) \
+            .astype(np.int64).sum(axis=0)
+        d = arr.shape[1]
+        iu, ju = np.triu_indices(d)
+        return pd.DataFrame({"i": (iu + 1).astype(np.int64),
+                             "j": (ju + 1).astype(np.int64),
+                             "g_q": q[iu, ju]})
+
+    out = _reduce_partials(emb.map_batches(partial,
+                                           batch_format="pandas"),
+                           by=["i", "j"], sum_cols=["g_q"])
+    if not len(out):
+        return _empty_typed(i="int64", j="int64", gram="float64")
+    out["gram"] = out.pop("g_q").astype(np.float64) / 1e6
+    return out.sort_values(["i", "j"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -1117,7 +1198,30 @@ RELATIONAL2_QUERIES = {
     "revenue_cube": q_revenue_cube,
     "pareto_orders": q_pareto_orders,
     "fuzzy_part_pairs": q_fuzzy_part_pairs,
+    "cooccurrence_triangles": q_cooccurrence_triangles,
+    "embedding_gram": q_embedding_gram,
 }
+
+# shared by event_cooccurrence and cooccurrence_triangles (which embeds
+# it as a subquery so the edge set can never drift between the two)
+_COOCC_SQL = """
+        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu
+              FROM ut),
+        t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+              FROM ut GROUP BY 1),
+        ab AS (
+          SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_ab
+          FROM ut a JOIN ut b
+            ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+        SELECT type_a, type_b, n_ab,
+               ROUND(CAST(n_ab AS DOUBLE) * nu.nu / (ta.n * tb.n)
+                     * 1000000, 0) / 1000000.0 AS lift
+        FROM ab, n nu
+        JOIN t ta ON ta.event_type = ab.type_a
+        JOIN t tb ON tb.event_type = ab.type_b"""
 
 _C = "CAST(round({} * 100) AS BIGINT)"
 _PRICE_C = _C.format("l_extendedprice")
@@ -1236,24 +1340,7 @@ RELATIONAL2_ORACLES = {
         SELECT s_name, CAST(COUNT(*) AS BIGINT) AS n_parts
         FROM hit JOIN supplier ON s = s_suppkey
         GROUP BY s_name""",
-    "event_cooccurrence": """
-        WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
-        n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu
-              FROM ut),
-        t AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
-              FROM ut GROUP BY 1),
-        ab AS (
-          SELECT a.event_type AS type_a, b.event_type AS type_b,
-                 CAST(COUNT(*) AS BIGINT) AS n_ab
-          FROM ut a JOIN ut b
-            ON a.user_id = b.user_id AND a.event_type < b.event_type
-          GROUP BY 1, 2)
-        SELECT type_a, type_b, n_ab,
-               ROUND(CAST(n_ab AS DOUBLE) * nu.nu / (ta.n * tb.n)
-                     * 1000000, 0) / 1000000.0 AS lift
-        FROM ab, n nu
-        JOIN t ta ON ta.event_type = ab.type_a
-        JOIN t tb ON tb.event_type = ab.type_b""",
+    "event_cooccurrence": _COOCC_SQL,
     "hourly_gapfill": """
         WITH b AS (
           SELECT event_type, date_trunc('hour', ts) AS hour,
@@ -1341,6 +1428,25 @@ RELATIONAL2_ORACLES = {
                a.c + b.c AS support
         FROM d a JOIN d b ON a.p_name < b.p_name
         WHERE levenshtein(a.p_name, b.p_name) <= {_FUZZY_MAX_DIST}""",
+    "cooccurrence_triangles": f"""
+        WITH e AS (
+          SELECT type_a AS a, type_b AS b
+          FROM ({_COOCC_SQL}) WHERE lift >= 1.0)
+        SELECT e1.a AS type_a, e1.b AS type_b, e2.b AS type_c
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""",
+    "embedding_gram": """
+        WITH idx AS (SELECT unnest(range(1, 65)) AS i),
+        prod AS (
+          SELECT a.i AS i, b.i AS j,
+                 CAST(round(CAST(e.embedding[a.i] AS DOUBLE)
+                            * CAST(e.embedding[b.i] AS DOUBLE)
+                            * 1000000) AS BIGINT) AS p
+          FROM embeddings e, idx a, idx b
+          WHERE a.i <= b.i)
+        SELECT i, j, CAST(SUM(p) AS DOUBLE) / 1000000.0 AS gram
+        FROM prod GROUP BY i, j""",
 }
 
 

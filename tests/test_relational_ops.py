@@ -30,7 +30,8 @@ _NAMES = ["order_count_distribution", "top_supplier_revenue",
           "disjunctive_revenue", "waiting_suppliers",
           "customer_order_ranks", "bigram_pmi", "event_cooccurrence",
           "dominant_suppliers", "hourly_gapfill",
-          "revenue_cube", "pareto_orders", "fuzzy_part_pairs"]
+          "revenue_cube", "pareto_orders", "fuzzy_part_pairs",
+          "cooccurrence_triangles"]
 
 _WORDS = ["alpha", "beta", "gamma", "the", "a", "of", "scan", "merge",
           "sort", "hash"]
