@@ -25,6 +25,14 @@ plus two operator kinds no earlier family covered:
   local Pareto frontiers (no shuffle)
 * `fuzzy_part_pairs` — edit-distance fuzzy self-join on the bounded
   distinct-name domain (length-band blocking, driver gate)
+* `cooccurrence_triangles` — graph-motif triangles on the verified
+  lift>=1 association edge list (small-edge-list discipline)
+* `embedding_gram` — distributed d x d second-moment (Gram) matrix
+  as a pure tree-aggregate of quantized int64 outer-product partials
+* `hourly_ffill` — dense-grid resample with LOCF forward-fill
+  (LAST_VALUE IGNORE NULLS twin; bounded (type, hour) reduce)
+* `daily_trending` — per-day top-k types with rank + day-over-day
+  LAG delta (windowed rank over a dimension-scale aggregate)
 
 Shuffle budget (SCALE.md doctrine): every query broadcasts its
 dimension/catalog sides once (``ray.put`` + per-worker cache), runs at
@@ -1178,6 +1186,114 @@ def q_embedding_gram(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Time-series resample with forward-fill (LOCF) and daily trending rank
+# ---------------------------------------------------------------------------
+
+
+def q_hourly_ffill(sf_dir: str) -> pd.DataFrame:
+    """Per-type hourly MEAN value resampled onto the DENSE hour grid
+    with last-observation-carried-forward (LOCF) — the forward-fill
+    every monitoring/feature-store pipeline needs; ``hourly_gapfill``
+    zero-fills counts, this op carries the last observed mean through
+    the gaps (SQL ``LAST_VALUE(v IGNORE NULLS)``). Distributed part:
+    per-batch (type, hour) -> (sum value-cents, n) int64 partials ride
+    the usual bounded reduce (grid cardinality = #types x corpus-span
+    hours — dimension-scale at any corpus size). The dense grid,
+    per-hour mean and the fill itself run DRIVER-side on that
+    dimension-scale table, touching no event rows. Exactness: values
+    ride the half-away 1e-6 micro-unit grid (NOT cents — the
+    randomized harness writes 3-decimal values, where ``value*100``
+    lands on exact .5 ties and half-even rint diverges from DuckDB
+    round(); on the micro grid a 3-decimal double can never tie);
+    mean = ``(SUM(micro)/1e6)/n`` mirrored operand-for-operand and
+    re-quantized half-away BEFORE the fill so both sides carry
+    identical doubles forward. NULL values are excluded on BOTH
+    sides (``WHERE value IS NOT NULL`` / dropna — the ADVICE
+    fail-safe). The grid starts at each type's first observed hour,
+    so no leading-NULL row exists."""
+    ds = _pq(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["value"])
+        m = b["value"].to_numpy(np.float64) * 1e6
+        return pd.DataFrame({
+            "event_type": b["event_type"].to_numpy(object),
+            "hour": b["ts"].dt.floor("h").to_numpy(),
+            "s_m": np.copysign(np.floor(np.abs(m) + 0.5), m)
+            .astype(np.int64),
+            "n": np.int64(1)}) \
+            .groupby(["event_type", "hour"], as_index=False).sum()
+
+    agg = _reduce_partials(ds.map_batches(partial, batch_format="pandas"),
+                           ["event_type", "hour"], ["s_m", "n"])
+    if agg.empty:
+        return _empty_typed(event_type=object, hour="datetime64[us]",
+                            val_ffill="float64")
+    m6 = (agg["s_m"].to_numpy(np.float64) / 1e6) \
+        / agg["n"].to_numpy(np.float64) * 1e6
+    agg["val"] = np.copysign(np.floor(np.abs(m6) + 0.5), m6) / 1e6
+    grids = []
+    for et, g in agg.groupby("event_type"):
+        hours = pd.date_range(g["hour"].min(), g["hour"].max(),
+                              freq="h")
+        grids.append(pd.DataFrame({"event_type": et, "hour": hours}))
+    out = pd.concat(grids, ignore_index=True) \
+        .merge(agg[["event_type", "hour", "val"]],
+               on=["event_type", "hour"], how="left") \
+        .sort_values(["event_type", "hour"]).reset_index(drop=True)
+    out["val_ffill"] = out.groupby("event_type")["val"].ffill()
+    return out[["event_type", "hour", "val_ffill"]]
+
+
+_TRENDING_TOPK = 3
+
+
+def q_daily_trending(sf_dir: str) -> pd.DataFrame:
+    """Daily trending event types: per day, the top-{topk} types by
+    count with their rank and the day-over-day count delta — the
+    windowed-rank-over-aggregate + LAG-across-the-aggregate shape
+    (trending dashboards, drift monitors). Distributed part: per-batch
+    (type, day) count partials through the bounded reduce; rank and
+    lag then run DRIVER-side on the (#types x #days) dimension-scale
+    table (the same small-final discipline as ``hourly_gapfill``).
+    Determinism: rank ties break on event_type ascending, mirrored in
+    the twin's ROW_NUMBER ordering; delta uses LAG over each type's
+    OBSERVED days (absent days are skipped, not zero-filled) with
+    COALESCE(.., 0) on the first day so the column stays int64."""
+    ds = _pq(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b["event_type"].to_numpy(object),
+            "day": b["ts"].dt.floor("D").to_numpy(),
+            "n": np.int64(1)}) \
+            .groupby(["event_type", "day"], as_index=False).sum()
+
+    c = _reduce_partials(ds.map_batches(partial, batch_format="pandas"),
+                         ["event_type", "day"], ["n"])
+    if c.empty:
+        return _empty_typed(day="datetime64[us]", event_type=object,
+                            n="int64", rnk="int64", delta="int64")
+    # the distributed reduce returns ns timestamps, the driver-combine
+    # path us — pin one unit so both branches are frame-identical
+    c["day"] = c["day"].astype("datetime64[us]")
+    c["n"] = c["n"].astype(np.int64)
+    c = c.sort_values(["event_type", "day"]).reset_index(drop=True)
+    prev = c.groupby("event_type")["n"].shift(1).fillna(0).astype(np.int64)
+    c["delta"] = c["n"] - prev
+    c = c.sort_values(["day", "n", "event_type"],
+                      ascending=[True, False, True]).reset_index(drop=True)
+    c["rnk"] = (c.groupby("day").cumcount() + 1).astype(np.int64)
+    return c[c["rnk"] <= _TRENDING_TOPK] \
+        [["day", "event_type", "n", "rnk", "delta"]] \
+        .reset_index(drop=True)
+
+
+q_daily_trending.__doc__ = q_daily_trending.__doc__.format(
+    topk=_TRENDING_TOPK)
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -1200,6 +1316,8 @@ RELATIONAL2_QUERIES = {
     "fuzzy_part_pairs": q_fuzzy_part_pairs,
     "cooccurrence_triangles": q_cooccurrence_triangles,
     "embedding_gram": q_embedding_gram,
+    "hourly_ffill": q_hourly_ffill,
+    "daily_trending": q_daily_trending,
 }
 
 # shared by event_cooccurrence and cooccurrence_triangles (which embeds
@@ -1436,6 +1554,50 @@ RELATIONAL2_ORACLES = {
         FROM e e1
         JOIN e e2 ON e2.a = e1.b
         JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""",
+    "hourly_ffill": """
+        WITH b AS (
+          SELECT event_type, date_trunc('hour', ts) AS hour,
+                 CAST(round(value * 1000000) AS BIGINT) AS c
+          FROM events WHERE value IS NOT NULL),
+        agg AS (
+          SELECT event_type, hour, SUM(c) AS s,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM b GROUP BY 1, 2),
+        span AS (
+          SELECT event_type, min(hour) AS lo, max(hour) AS hi
+          FROM agg GROUP BY event_type),
+        grid AS (
+          SELECT event_type,
+                 unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+          FROM span),
+        obs AS (
+          SELECT g.event_type, g.hour,
+                 ROUND((CAST(a.s AS DOUBLE) / 1000000.0) / a.n
+                       * 1000000, 0) / 1000000.0 AS v
+          FROM grid g LEFT JOIN agg a
+            ON g.event_type = a.event_type AND g.hour = a.hour)
+        SELECT event_type, hour,
+               LAST_VALUE(v IGNORE NULLS) OVER (
+                 PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS val_ffill
+        FROM obs""",
+    "daily_trending": f"""
+        WITH c AS (
+          SELECT date_trunc('day', ts) AS day, event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        w AS (
+          SELECT day, event_type, n,
+                 CAST(ROW_NUMBER() OVER (
+                      PARTITION BY day
+                      ORDER BY n DESC, event_type) AS BIGINT) AS rnk,
+                 CAST(n - COALESCE(LAG(n) OVER (
+                      PARTITION BY event_type ORDER BY day), 0)
+                      AS BIGINT) AS delta
+          FROM c)
+        SELECT day, event_type, n, rnk, delta
+        FROM w WHERE rnk <= {_TRENDING_TOPK}""",
     "embedding_gram": """
         WITH idx AS (SELECT unnest(range(1, 65)) AS i),
         prod AS (

@@ -31,7 +31,7 @@ _NAMES = ["order_count_distribution", "top_supplier_revenue",
           "customer_order_ranks", "bigram_pmi", "event_cooccurrence",
           "dominant_suppliers", "hourly_gapfill",
           "revenue_cube", "pareto_orders", "fuzzy_part_pairs",
-          "cooccurrence_triangles"]
+          "cooccurrence_triangles", "hourly_ffill", "daily_trending"]
 
 _WORDS = ["alpha", "beta", "gamma", "the", "a", "of", "scan", "merge",
           "sort", "hash"]
@@ -337,7 +337,9 @@ def test_retention_cohorts_bucketed_path_matches(ray_session,
 @pytest.mark.parametrize("name", ["bigram_pmi", "supplier_part_census",
                                   "customer_order_ranks",
                                   "event_cooccurrence",
-                                  "dominant_suppliers"])
+                                  "dominant_suppliers",
+                                  "hourly_ffill", "daily_trending",
+                                  "embedding_gram"])
 def test_relational2_above_gate_path(ray_session, monkeypatch, name):
     """TPC-H-tail family: force the distributed branch (gate=1) and
     require the identical result as the driver-combine path — for
