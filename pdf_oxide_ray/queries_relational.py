@@ -202,8 +202,9 @@ def q_large_orders(sf_dir: str) -> pd.DataFrame:
     out = ords.merge(cust, left_on="o_custkey", right_on="c_custkey") \
         .merge(hot, left_on="o_orderkey", right_on="l_orderkey")
     out["total_qty"] = out["qty_c"].astype(np.float64) / 100.0
-    out["o_totalprice"] = np.round(
-        out["o_totalprice"].astype(np.float64), 6)
+    tp6 = out["o_totalprice"].astype(np.float64) * 1e6
+    out["o_totalprice"] = np.copysign(  # half-away, like DuckDB ROUND(x,6)
+        np.floor(np.abs(tp6) + 0.5), tp6) / 1e6
     return out[["c_name", "c_custkey", "o_orderkey", "o_orderdate",
                 "o_totalprice", "total_qty"]] \
         .astype({"c_custkey": "int64", "o_orderkey": "int64"}) \
@@ -862,8 +863,9 @@ def q_value_trend_by_type(sf_dir: str) -> pd.DataFrame:
     def moments(b: pd.DataFrame) -> pd.DataFrame:
         x = (b["ts"].to_numpy("datetime64[D]") - epoch) \
             .astype(np.int64)
-        y = np.round(b["value"].to_numpy(np.float64) * 1e6) \
-            .astype(np.int64)
+        vy = b["value"].to_numpy(np.float64) * 1e6
+        y = np.copysign(np.floor(np.abs(vy) + 0.5), vy) \
+            .astype(np.int64)  # half-away, matches DuckDB round()
         g = pd.DataFrame({"event_type": b["event_type"].to_numpy(object),
                           "n": np.int64(1), "sx": x, "sy": y,
                           "sxy": x * y, "sxx": x * x})
