@@ -82,7 +82,9 @@ def _flagship_queries() -> dict[str, Callable[[str], Any]]:
 # disjunctive_revenue waiting_suppliers customer_order_ranks bigram_pmi
 # hourly_gapfill event_cooccurrence dominant_suppliers revenue_cube
 # pareto_orders fuzzy_part_pairs cooccurrence_triangles
-# embedding_gram hourly_ffill daily_trending), the r2-era
+# embedding_gram hourly_ffill daily_trending), the corpus-diagnostics
+# family (token_zipf_fit source_gini source_dup_stats df_histogram
+# lang_source_mi), the r2-era
 # tail outside this window (incremental_dedup
 # was windowed; check CORRECTNESS_r03 for any red/missing rows first),
 # and top the list up with round-1 families that then have the OLDEST

@@ -3687,3 +3687,6 @@ from . import queries_relational  # noqa: E402,F401
 # third family (TPC-H tail shapes Q6/Q8/Q9/Q12/Q16/Q17/Q19/Q21 adapted
 # to the star schema) self-registers the same way
 from . import queries_relational2  # noqa: E402,F401
+# corpus-diagnostics family (Zipf fit, per-source Gini, dup-rate
+# report, df histogram, lang x source MI) self-registers the same way
+from . import queries_corpus  # noqa: E402,F401

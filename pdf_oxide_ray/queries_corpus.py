@@ -1,0 +1,437 @@
+"""Corpus-diagnostics operator family: the statistical reports a
+training-data curation run wants NEXT TO the dedup/quality filters the
+earlier families provide — distribution-shape and redundancy metrics
+over the `documents` table:
+
+* `token_zipf_fit`   — least-squares Zipf-law fit (slope + intercept of
+  log-frequency vs log-rank) over the corpus unigram distribution; the
+  canonical "does this corpus look like natural language" check.
+* `source_gini`      — Gini coefficient of document LENGTHS per source:
+  data-inequality screening (a source whose length mass sits in a few
+  giant docs packs/shards badly).
+* `source_dup_stats` — per-source exact-duplicate rate (docs whose text
+  already appeared under a smaller doc_id anywhere in the corpus): the
+  dedup yield report run BEFORE committing to a full dedup pass.
+* `df_histogram`     — document-frequency histogram (#tokens per df
+  level): the inverted-index/posting-length profile that sizes a
+  decontamination or retrieval index.
+* `lang_source_mi`   — mutual information between the `lang` and
+  `source` metadata columns: metadata-association diagnostic (high MI
+  means per-source language models; near-zero means mixed sources).
+
+Shuffle budget (SCALE.md doctrine): every query pre-aggregates inside
+``map_batches`` so the only exchanges carry (key, partial) rows —
+token-vocab partials (Heaps-law bounded, like ``unigram_logprob``),
+(source, length) histogram cells, (hash, min_id, cnt) triples, or
+(lang, source) cells. `source_dup_stats` keeps the hash groupby
+DISTRIBUTED above the reduce gate and ships only the HOT SET (hashes
+with cnt > 1) to the driver for the broadcast verify pass — never the
+full hash table. No corpus-sized driver materialization anywhere.
+
+Exactness: every ln() is quantized to an int 1e-6 grid with half-away
+rounding on BOTH sides (the ``tfidf_keywords``/``unigram_logprob``
+technique); Gini and dup-rate finals divide IDENTICAL integers, so the
+doubles are bit-equal in any summation order. Moment sums that can
+exceed int64 (Zipf's Σlx·ly over the vocab) ride arbitrary-precision
+Python ints on the driver, mirroring the twins' HUGEINT promotion.
+
+Reference parity note: the reference's corpus-level surface is the
+fold/report pass of its benchmark bins (`/root/reference/src/bin/
+benchmark_all_pdfs.rs:84-230`); these are the distributed
+generalizations of that report shape over the driver's document table.
+Self-registers into ``queries.QUERIES`` / ``queries.ORACLE_SQL`` on
+import, like ``queries_relational``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+from . import queries as _qmod
+from .functions import dedup as fdedup
+from .queries import (_empty_typed, _pq, _reduce_partials,
+                      _scoped_parallelism)
+
+# The whitespace tokenizer shared with unigram_logprob / tfidf_keywords:
+# str.split() on the engine side == this fragment on the DuckDB side.
+_TOK_SQL = (r"unnest(list_filter(regexp_split_to_array("
+            r"coalesce(text, ''), '\s+'), x -> x <> ''))")
+
+
+def _halfaway6(raw: np.ndarray) -> np.ndarray:
+    """Quantize to the int 1e-6 grid with half-AWAY rounding (DuckDB
+    ``round()``), the shared convention for every ln()-twinned value."""
+    v = raw * 1e6
+    return np.copysign(np.floor(np.abs(v) + 0.5), v).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Zipf-law fit over the corpus unigram distribution
+# ---------------------------------------------------------------------------
+
+def q_token_zipf_fit(sf_dir: str) -> pd.DataFrame:
+    """Least-squares fit of ln(frequency) against ln(rank) over the
+    corpus unigram table — the Zipf-law exponent (slope ≈ −1 for
+    natural text; far off signals synthetic/degenerate data). ONE
+    streamed pass builds vocab count partials per batch; the reduce is
+    vocab-bounded (Heaps law, same assumption as ``unigram_logprob``).
+    Ranking + moments run on the driver over the vocab table only.
+    Exactness: both lns are quantized half-away to the 1e-6 int grid;
+    the four moment sums ride arbitrary-precision Python ints (Σlx·ly
+    overflows int64 past ~70k terms — the twins' SUM(BIGINT) promotes
+    to HUGEINT, so Python ints are the matching arbitrary-precision
+    form). slope/intercept divide/combine identical integers cast to
+    double in the identical operand order."""
+    ds = _pq(sf_dir, "documents", ["text"])
+
+    def tok_counts(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.split()
+        c = pd.Series([t for row in toks for t in row],
+                      dtype=object).value_counts()
+        return pd.DataFrame({"token": c.index.astype(object),
+                             "n": c.to_numpy(np.int64)})
+
+    vocab = _reduce_partials(ds.map_batches(tok_counts,
+                                            batch_format="pandas"),
+                             ["token"], ["n"])
+    if vocab.empty:
+        # twin's aggregate over zero terms: one (0, NULL, NULL) row
+        return pd.DataFrame({"n_terms": pd.Series([0], dtype="int64"),
+                             "slope": [np.nan], "intercept": [np.nan]})
+    vocab = vocab.sort_values(["n", "token"],
+                              ascending=[False, True], kind="mergesort")
+    k = len(vocab)
+    lx = _halfaway6(np.log(np.arange(1, k + 1, dtype=np.float64)))
+    ly = _halfaway6(np.log(vocab["n"].to_numpy(np.float64)))
+    # arbitrary-precision moments (HUGEINT twin): Python ints
+    sx, sy = int(lx.sum()), int(ly.sum())  # per-term vals < 2e7: safe
+    sxy = sum(map(int.__mul__, lx.tolist(), ly.tolist()))
+    sxx = sum(map(int.__mul__, lx.tolist(), lx.tolist()))
+    den = k * sxx - sx * sx
+    if den == 0:
+        return pd.DataFrame({"n_terms": pd.Series([k], dtype="int64"),
+                             "slope": [np.nan], "intercept": [np.nan]})
+    slope = float(k * sxy - sx * sy) / float(den)
+    intercept = (float(sy) - slope * float(sx)) / float(k) / 1e6
+    return pd.DataFrame({"n_terms": pd.Series([k], dtype="int64"),
+                         "slope": [slope], "intercept": [intercept]})
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient of document lengths per source
+# ---------------------------------------------------------------------------
+
+def q_source_gini(sf_dir: str) -> pd.DataFrame:
+    """Gini coefficient of ``n_chars`` per source — inequality of the
+    length distribution (0 = uniform, →1 = a few giant docs hold the
+    mass). Streamed as a BOUNDED VALUE HISTOGRAM: per-batch
+    (source, n_chars)→count partials, one (source, value)-cell reduce
+    (cells ≤ #sources × #distinct lengths — histogram-bounded, never
+    corpus-bounded), then the exact closed form from cumulative ranks:
+    Gini = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) with x ascending. A run of
+    c equal values v starting after rank r0 contributes
+    v·(c·r0 + c(c+1)/2) — all integer, summed in Python ints; the final
+    divide sees identical integers on both sides."""
+    ds = _pq(sf_dir, "documents", ["source", "n_chars"])
+
+    def cells(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["n_chars"])
+        g = pd.DataFrame({"source": b["source"].to_numpy(object),
+                          "v": b["n_chars"].to_numpy(np.int64),
+                          "c": np.int64(1)})
+        return g.groupby(["source", "v"], as_index=False).sum()
+
+    hist = _reduce_partials(ds.map_batches(cells, batch_format="pandas"),
+                            ["source", "v"], ["c"])
+    if hist.empty:
+        return _empty_typed(source=object, n_docs="int64", gini="float64")
+    rows = []
+    for source, g in hist.groupby("source", sort=True):
+        g = g.sort_values("v", kind="mergesort")
+        n = t = s = r0 = 0
+        for v, c in zip(g["v"].tolist(), g["c"].tolist()):
+            v, c = int(v), int(c)
+            t += v * c
+            s += v * (c * r0 + c * (c + 1) // 2)
+            r0 += c
+            n += c
+        gini = (float(2 * s - (n + 1) * t) / float(n * t)
+                if n * t != 0 else np.nan)
+        rows.append((source, n, gini))
+    return pd.DataFrame(rows, columns=["source", "n_docs", "gini"]) \
+        .astype({"n_docs": "int64", "gini": "float64"}) \
+        .sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# per-source exact-duplicate rate (dedup yield report)
+# ---------------------------------------------------------------------------
+
+def q_source_dup_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-source exact-dup diagnostics: how many docs per source are
+    byte-identical to a doc with a smaller doc_id ANYWHERE in the
+    corpus (the cross-source dedup yield you check before a full dedup
+    pass). Two skinny passes: (1) (hash, min_id, cnt) partials →
+    groupby(hash) — DISTRIBUTED above the reduce gate, with only the
+    HOT SET (cnt > 1, i.e. actual dup groups) shipped to the driver;
+    (2) broadcast the hash→keeper map once and count survivors/dups per
+    source inside ``map_batches``. dup_rate divides the identical int64
+    pair on both sides. The twin groups by raw text (equality on text ==
+    equality on the collision-safe hash), so no hash-function parity is
+    needed."""
+    import ray
+
+    from .stages.joins import _get_broadcast
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def hpart(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"h": fdedup.content_hash(b["text"]),
+                          "doc_id": b["doc_id"].to_numpy(np.int64)})
+        a = g.groupby("h")["doc_id"].agg(["min", "count"]).reset_index()
+        return pd.DataFrame({"h": a["h"], "min_id": a["min"],
+                             "cnt": a["count"].astype(np.int64)})
+
+    m = ds.map_batches(hpart, batch_format="pandas").materialize()
+    npart = m.count()
+    empty = _empty_typed(source=object, n_docs="int64", n_dups="int64",
+                         dup_rate="float64")
+    if npart == 0:
+        return empty
+    if npart <= _qmod._REDUCE_GATE_ROWS:
+        a = m.to_pandas().groupby("h", as_index=False) \
+            .agg(min_id=("min_id", "min"), cnt=("cnt", "sum"))
+        dup = a[a["cnt"] > 1]
+    else:  # distributed hash groupby; only dup groups leave the cluster
+        from ray.data.aggregate import Min, Sum
+
+        with _scoped_parallelism(64):
+            dup = m.groupby("h").aggregate(
+                Min("min_id", alias_name="min_id"),
+                Sum("cnt", alias_name="cnt")) \
+                .map_batches(lambda b: b[b["cnt"] > 1],
+                             batch_format="pandas").to_pandas()
+    keeper_ref = ray.put(dict(zip(dup["h"], dup["min_id"].astype(np.int64)))
+                         if not dup.empty else {})
+
+    def spart(b: pd.DataFrame) -> pd.DataFrame:
+        keeper = _get_broadcast(keeper_ref)
+        h = fdedup.content_hash(b["text"])
+        kp = h.map(keeper)  # NaN where hash has no dup group
+        is_dup = kp.notna().to_numpy() \
+            & (b["doc_id"].to_numpy(np.int64)
+               > kp.fillna(np.iinfo(np.int64).max).to_numpy(np.int64))
+        g = pd.DataFrame({"source": b["source"].to_numpy(object),
+                          "n_docs": np.int64(1),
+                          "n_dups": is_dup.astype(np.int64)})
+        return g.groupby("source", as_index=False).sum()
+
+    agg = _reduce_partials(ds.map_batches(spart, batch_format="pandas"),
+                           ["source"], ["n_docs", "n_dups"])
+    if agg.empty:
+        return empty
+    agg["dup_rate"] = agg["n_dups"].astype(np.float64) \
+        / agg["n_docs"].astype(np.float64)
+    return agg.astype({"n_docs": "int64", "n_dups": "int64"}) \
+        .sort_values("source").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# document-frequency histogram (inverted-index posting profile)
+# ---------------------------------------------------------------------------
+
+def q_df_histogram(sf_dir: str) -> pd.DataFrame:
+    """Histogram of token DOCUMENT frequency: for each df level, how
+    many distinct tokens appear in exactly df documents — the
+    posting-length profile that sizes an inverted index (and the tail
+    that a decontamination n-gram table must hold). Per batch: explode
+    tokens, drop within-doc repeats (vectorized MultiIndex dedup), emit
+    (token, df) partials; ONE vocab-bounded reduce; the driver folds
+    the vocab into the (df, n_tokens) histogram (≤ #distinct df levels
+    rows). All counts are exact integers."""
+    ds = _pq(sf_dir, "documents", ["text"])
+
+    def dfp(b: pd.DataFrame) -> pd.DataFrame:
+        e = b["text"].fillna("").str.split().explode().dropna()
+        if e.empty:
+            return pd.DataFrame({"token": pd.Series([], dtype=object),
+                                 "df": pd.Series([], dtype="int64")})
+        pairs = pd.DataFrame({"i": e.index.to_numpy(),
+                              "token": e.to_numpy(object)}) \
+            .drop_duplicates()
+        c = pairs["token"].value_counts()
+        return pd.DataFrame({"token": c.index.astype(object),
+                             "df": c.to_numpy(np.int64)})
+
+    vocab = _reduce_partials(ds.map_batches(dfp, batch_format="pandas"),
+                             ["token"], ["df"])
+    if vocab.empty:
+        return _empty_typed(df="int64", n_tokens="int64")
+    h = vocab["df"].value_counts().sort_index()
+    return pd.DataFrame({"df": h.index.to_numpy(np.int64),
+                         "n_tokens": h.to_numpy(np.int64)}) \
+        .reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# lang x source mutual information (metadata association)
+# ---------------------------------------------------------------------------
+
+def q_lang_source_mi(sf_dir: str) -> pd.DataFrame:
+    """Mutual information I(lang; source) over the document metadata —
+    near zero means sources are language-mixed, high means language is
+    per-source (so per-source LMs / routing make sense). ONE streamed
+    pass of (lang, source) count partials (cells = #langs × #sources,
+    dimension-bounded); marginals + MI on the driver. Each cell's
+    ln(N·n_ls / (n_l·n_s)) is quantized half-away to the 1e-6 int grid
+    on both sides; MI = Σ n_ls·t6 / N / 1e6 divides identical integers."""
+    ds = _pq(sf_dir, "documents", ["lang", "source"])
+
+    def cellp(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"lang": b["lang"].to_numpy(object),
+                          "source": b["source"].to_numpy(object),
+                          "n": np.int64(1)})
+        return g.groupby(["lang", "source"], as_index=False).sum()
+
+    cells = _reduce_partials(ds.map_batches(cellp, batch_format="pandas"),
+                             ["lang", "source"], ["n"])
+    if cells.empty:
+        return _empty_typed(n_docs="int64", mi="float64")
+    n = cells["n"].to_numpy(np.int64)
+    total = int(n.sum())
+    nl = cells.groupby("lang")["n"].transform("sum").to_numpy(np.int64)
+    ns = cells.groupby("source")["n"].transform("sum").to_numpy(np.int64)
+    raw = np.log((total * n).astype(np.float64)
+                 / (nl * ns).astype(np.float64))
+    t6 = _halfaway6(raw)
+    acc = sum(map(int.__mul__, n.tolist(), t6.tolist()))
+    mi = float(acc) / float(total) / 1e6
+    return pd.DataFrame({"n_docs": pd.Series([total], dtype="int64"),
+                         "mi": [mi]})
+
+
+CORPUS_QUERIES = {
+    "token_zipf_fit": q_token_zipf_fit,
+    "source_gini": q_source_gini,
+    "source_dup_stats": q_source_dup_stats,
+    "df_histogram": q_df_histogram,
+    "lang_source_mi": q_lang_source_mi,
+}
+
+CORPUS_ORACLES = {
+    # both lns quantized half-away at 1e-6; moments promote to HUGEINT
+    # (mirrored by Python-int sums); slope/intercept combine identical
+    # integers cast to double in the identical operand order.
+    "token_zipf_fit": rf"""
+        WITH toks AS (
+          SELECT {_TOK_SQL} AS token FROM documents),
+        vocab AS (
+          SELECT token, COUNT(*) AS n FROM toks GROUP BY token),
+        ranked AS (
+          SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token)
+                      AS BIGINT) AS r, n
+          FROM vocab),
+        q AS (
+          SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1000000)
+                      AS BIGINT) AS lx,
+                 CAST(round(ln(CAST(n AS DOUBLE)) * 1000000)
+                      AS BIGINT) AS ly
+          FROM ranked),
+        m AS (
+          SELECT COUNT(*) AS k, SUM(lx) AS sx, SUM(ly) AS sy,
+                 SUM(lx * ly) AS sxy, SUM(lx * lx) AS sxx
+          FROM q)
+        SELECT CAST(k AS BIGINT) AS n_terms,
+               CASE WHEN k = 0 OR k * sxx - sx * sx = 0 THEN NULL
+                    ELSE CAST(k * sxy - sx * sy AS DOUBLE)
+                         / CAST(k * sxx - sx * sx AS DOUBLE)
+               END AS slope,
+               CASE WHEN k = 0 OR k * sxx - sx * sx = 0 THEN NULL
+                    ELSE (CAST(sy AS DOUBLE)
+                          - (CAST(k * sxy - sx * sy AS DOUBLE)
+                             / CAST(k * sxx - sx * sx AS DOUBLE))
+                            * CAST(sx AS DOUBLE))
+                         / CAST(k AS DOUBLE) / 1000000.0
+               END AS intercept
+        FROM m""",
+    # Gini from cumulative ranks: ROW_NUMBER within ties is arbitrary
+    # but Σ i·v over a tied run is order-invariant (same v).
+    "source_gini": """
+        WITH x AS (
+          SELECT source, CAST(n_chars AS BIGINT) AS v
+          FROM documents WHERE n_chars IS NOT NULL),
+        r AS (
+          SELECT source, v,
+                 CAST(ROW_NUMBER() OVER (
+                      PARTITION BY source ORDER BY v) AS BIGINT) AS i
+          FROM x),
+        m AS (
+          SELECT source, COUNT(*) AS n, SUM(v) AS t, SUM(i * v) AS s
+          FROM r GROUP BY source)
+        SELECT source, CAST(n AS BIGINT) AS n_docs,
+               CASE WHEN n * t = 0 THEN NULL
+                    ELSE CAST(2 * s - (n + 1) * t AS DOUBLE)
+                         / CAST(n * t AS DOUBLE)
+               END AS gini
+        FROM m ORDER BY source""",
+    # keeper per text = MIN(doc_id); dup = strictly-later copy. GROUP BY
+    # text == GROUP BY collision-safe hash, so no hash parity needed.
+    "source_dup_stats": """
+        WITH h AS (
+          SELECT doc_id, source, coalesce(text, '') AS t
+          FROM documents),
+        k AS (
+          SELECT t, MIN(doc_id) AS keeper, COUNT(*) AS c
+          FROM h GROUP BY t)
+        SELECT h.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN k.c > 1 AND h.doc_id > k.keeper
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+               CAST(SUM(CASE WHEN k.c > 1 AND h.doc_id > k.keeper
+                             THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+        FROM h JOIN k USING (t)
+        GROUP BY h.source ORDER BY h.source""",
+    "df_histogram": rf"""
+        WITH toks AS (
+          SELECT DISTINCT doc_id, token
+          FROM (SELECT doc_id, {_TOK_SQL} AS token FROM documents)),
+        dfreq AS (
+          SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+          FROM toks GROUP BY token)
+        SELECT df, CAST(COUNT(*) AS BIGINT) AS n_tokens
+        FROM dfreq GROUP BY df ORDER BY df""",
+    # per-cell ln quantized half-away at 1e-6; Σ n·t6 promotes to
+    # HUGEINT (Python ints on the engine side); MI divides identical
+    # integers. Zero-row input yields zero rows on both sides.
+    "lang_source_mi": """
+        WITH c AS (
+          SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+          FROM documents GROUP BY 1, 2),
+        tot AS (SELECT SUM(n) AS total FROM c),
+        l AS (SELECT lang, SUM(n) AS nl FROM c GROUP BY lang),
+        s AS (SELECT source, SUM(n) AS ns FROM c GROUP BY source),
+        t AS (
+          SELECT c.n,
+                 CAST(round(ln(CAST((SELECT total FROM tot) * c.n
+                                    AS DOUBLE)
+                               / CAST(l.nl * s.ns AS DOUBLE))
+                            * 1000000) AS BIGINT) AS t6
+          FROM c JOIN l USING (lang) JOIN s USING (source))
+        SELECT CAST(tot.total AS BIGINT) AS n_docs,
+               CAST((SELECT SUM(n * t6) FROM t) AS DOUBLE)
+               / CAST(tot.total AS DOUBLE) / 1000000.0 AS mi
+        FROM tot WHERE tot.total IS NOT NULL""",
+}
+
+
+def _register() -> None:
+    from . import queries as _q
+
+    _q.QUERIES.update(CORPUS_QUERIES)
+    _q.ORACLE_SQL.update(CORPUS_ORACLES)
+
+
+_register()
