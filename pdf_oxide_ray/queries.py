@@ -33,8 +33,12 @@ def _pq(sf_dir: str, table: str, columns: list[str] | None = None):
 
 
 def _round6(df: pd.DataFrame, cols: list[str]) -> pd.DataFrame:
+    # half-AWAY like the twins' ROUND(x, 6) = round(x*1e6)/1e6 — the
+    # shared convention for every round()-twinned value (np.round's
+    # half-even diverges on exact .5e-6 ties)
     for c in cols:
-        df[c] = np.round(df[c].astype(np.float64), 6)
+        v = df[c].astype(np.float64) * 1e6
+        df[c] = np.copysign(np.floor(np.abs(v) + 0.5), v) / 1e6
     return df
 
 
