@@ -31,7 +31,11 @@ _NAMES = ["order_count_distribution", "top_supplier_revenue",
           "customer_order_ranks", "bigram_pmi", "event_cooccurrence",
           "dominant_suppliers", "hourly_gapfill",
           "revenue_cube", "pareto_orders", "fuzzy_part_pairs",
-          "cooccurrence_triangles", "hourly_ffill", "daily_trending"]
+          "cooccurrence_triangles", "hourly_ffill", "daily_trending",
+          # corpus-diagnostics family (messy whitespace, zero-token
+          # docs and duplicate short texts all arise across the seeds)
+          "token_zipf_fit", "source_gini", "source_dup_stats",
+          "df_histogram", "lang_source_mi"]
 
 _WORDS = ["alpha", "beta", "gamma", "the", "a", "of", "scan", "merge",
           "sort", "hash"]
@@ -166,7 +170,8 @@ def test_relational_matches_oracle_random(ray_session, tmp_path, seed,
 
 
 @pytest.mark.parametrize("name", ["order_count_distribution",
-                                  "large_orders", "retention_cohorts"])
+                                  "large_orders", "retention_cohorts",
+                                  "source_dup_stats"])
 def test_relational_above_gate_path(ray_session, monkeypatch, name):
     """Force the distributed-reduce branch (gate=1) and require the
     identical result as the driver-combine path."""
