@@ -174,17 +174,20 @@ def q_source_dup_stats(sf_dir: str) -> pd.DataFrame:
     """Per-source exact-dup diagnostics: how many docs per source are
     byte-identical to a doc with a smaller doc_id ANYWHERE in the
     corpus (the cross-source dedup yield you check before a full dedup
-    pass). Two skinny passes: (1) (hash, min_id, cnt) partials →
-    groupby(hash) — DISTRIBUTED above the reduce gate, with only the
-    HOT SET (cnt > 1, i.e. actual dup groups) shipped to the driver;
-    (2) broadcast the hash→keeper map once and count survivors/dups per
-    source inside ``map_batches``. dup_rate divides the identical int64
-    pair on both sides. The twin groups by raw text (equality on text ==
-    equality on the collision-safe hash), so no hash-function parity is
-    needed."""
+    pass). Below the reduce gate: driver-combine the (hash, min_id,
+    cnt) partials and broadcast the hash→keeper dict once (one pass
+    counts docs + dups per source). Above it: the hash groupby AND the
+    dup-group table STAY DISTRIBUTED — ``adaptive_join`` routes docs ×
+    dup-groups as a broadcast or ONE bucketed exchange from the dup
+    table's own stats (a worst-case corpus where half the docs are
+    copies never materializes on the driver); per-source totals and dup
+    counts reduce to dimension-sized frames. dup_rate divides the
+    identical int64 pair on both sides. The twin groups by raw text
+    (equality on text == equality on the collision-safe hash), so no
+    hash-function parity is needed."""
     import ray
 
-    from .stages.joins import _get_broadcast
+    from .stages.joins import _get_broadcast, adaptive_join
 
     ds = _pq(sf_dir, "documents", ["doc_id", "source", "text"])
 
@@ -201,42 +204,88 @@ def q_source_dup_stats(sf_dir: str) -> pd.DataFrame:
                          dup_rate="float64")
     if npart == 0:
         return empty
+
+    def _finish(agg: pd.DataFrame) -> pd.DataFrame:
+        if agg.empty:
+            return empty
+        agg["dup_rate"] = agg["n_dups"].astype(np.float64) \
+            / agg["n_docs"].astype(np.float64)
+        return agg.astype({"n_docs": "int64", "n_dups": "int64"}) \
+            [["source", "n_docs", "n_dups", "dup_rate"]] \
+            .sort_values("source").reset_index(drop=True)
+
     if npart <= _qmod._REDUCE_GATE_ROWS:
         a = m.to_pandas().groupby("h", as_index=False) \
             .agg(min_id=("min_id", "min"), cnt=("cnt", "sum"))
         dup = a[a["cnt"] > 1]
-    else:  # distributed hash groupby; only dup groups leave the cluster
-        from ray.data.aggregate import Min, Sum
+        keeper_ref = ray.put(
+            dict(zip(dup["h"], dup["min_id"].astype(np.int64)))
+            if not dup.empty else {})
 
-        with _scoped_parallelism(64):
-            dup = m.groupby("h").aggregate(
-                Min("min_id", alias_name="min_id"),
-                Sum("cnt", alias_name="cnt")) \
-                .map_batches(lambda b: b[b["cnt"] > 1],
-                             batch_format="pandas").to_pandas()
-    keeper_ref = ray.put(dict(zip(dup["h"], dup["min_id"].astype(np.int64)))
-                         if not dup.empty else {})
+        def spart(b: pd.DataFrame) -> pd.DataFrame:
+            keeper = _get_broadcast(keeper_ref)
+            h = fdedup.content_hash(b["text"])
+            kp = h.map(keeper)  # NaN where hash has no dup group
+            is_dup = kp.notna().to_numpy() \
+                & (b["doc_id"].to_numpy(np.int64)
+                   > kp.fillna(np.iinfo(np.int64).max)
+                   .to_numpy(np.int64))
+            g = pd.DataFrame({"source": b["source"].to_numpy(object),
+                              "n_docs": np.int64(1),
+                              "n_dups": is_dup.astype(np.int64)})
+            return g.groupby("source", as_index=False).sum()
 
-    def spart(b: pd.DataFrame) -> pd.DataFrame:
-        keeper = _get_broadcast(keeper_ref)
-        h = fdedup.content_hash(b["text"])
-        kp = h.map(keeper)  # NaN where hash has no dup group
-        is_dup = kp.notna().to_numpy() \
-            & (b["doc_id"].to_numpy(np.int64)
-               > kp.fillna(np.iinfo(np.int64).max).to_numpy(np.int64))
+        return _finish(_reduce_partials(
+            ds.map_batches(spart, batch_format="pandas"),
+            ["source"], ["n_docs", "n_dups"]))
+
+    # 100-TB path: dup groups never leave the cluster as one table
+    from ray.data.aggregate import Min, Sum
+
+    with _scoped_parallelism(64):
+        dup_ds = m.groupby("h").aggregate(
+            Min("min_id", alias_name="min_id"),
+            Sum("cnt", alias_name="cnt")) \
+            .map_batches(lambda b: b[b["cnt"] > 1][["h", "min_id"]],
+                         batch_format="pandas").materialize()
+
+    def tpart(b: pd.DataFrame) -> pd.DataFrame:
         g = pd.DataFrame({"source": b["source"].to_numpy(object),
-                          "n_docs": np.int64(1),
-                          "n_dups": is_dup.astype(np.int64)})
+                          "n_docs": np.int64(1)})
         return g.groupby("source", as_index=False).sum()
 
-    agg = _reduce_partials(ds.map_batches(spart, batch_format="pandas"),
-                           ["source"], ["n_docs", "n_dups"])
-    if agg.empty:
+    totals = _reduce_partials(ds.map_batches(tpart,
+                                             batch_format="pandas"),
+                              ["source"], ["n_docs"])
+    if totals.empty:
         return empty
-    agg["dup_rate"] = agg["n_dups"].astype(np.float64) \
-        / agg["n_docs"].astype(np.float64)
-    return agg.astype({"n_docs": "int64", "n_dups": "int64"}) \
-        .sort_values("source").reset_index(drop=True)
+    if dup_ds.count() == 0:  # zero dup groups: to_pandas() would drop
+        # the schema (column-less frame) inside the broadcast join
+        agg = totals.assign(n_dups=np.int64(0))
+        return _finish(agg)
+
+    def skinny(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"h": fdedup.content_hash(b["text"]),
+                             "doc_id": b["doc_id"].to_numpy(np.int64),
+                             "source": b["source"].to_numpy(object)})
+
+    joined = adaptive_join(ds.map_batches(skinny, batch_format="pandas"),
+                           dup_ds, left_on="h", right_on="h")
+
+    def dpart(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({
+            "source": b["source"].to_numpy(object),
+            "n_dups": (b["doc_id"].to_numpy(np.int64)
+                       > b["min_id"].to_numpy(np.int64))
+            .astype(np.int64)})
+        return g.groupby("source", as_index=False).sum()
+
+    dups = _reduce_partials(joined.map_batches(dpart,
+                                               batch_format="pandas"),
+                            ["source"], ["n_dups"])
+    agg = totals.merge(dups, on="source", how="left")
+    agg["n_dups"] = agg["n_dups"].fillna(0).astype(np.int64)
+    return _finish(agg)
 
 
 # ---------------------------------------------------------------------------
