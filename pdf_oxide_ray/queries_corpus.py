@@ -362,12 +362,106 @@ def q_lang_source_mi(sf_dir: str) -> pd.DataFrame:
                          "mi": [mi]})
 
 
+# ---------------------------------------------------------------------------
+# revenue concentration curve (top-k% mass — rank-based Pareto report)
+# ---------------------------------------------------------------------------
+
+_CONC_PS = (0.01, 0.05, 0.10, 0.25, 0.50)
+
+
+def q_revenue_concentration(sf_dir: str) -> pd.DataFrame:
+    """Share of total revenue held by the top 1/5/10/25/50 % of
+    customers — the rank-based concentration curve (the '80/20 report')
+    that complements ``source_gini``'s closed-form index. This is an
+    ORDER-STATISTIC over an aggregate, not a value histogram, so the
+    bounded-histogram trick does not apply; instead: per-customer int64
+    cent totals (skinny partials), then below the reduce gate a driver
+    sort+cumsum, and above it ONE distributed sort of the (custkey,
+    rev_c) aggregate whose ordered blocks each report only (rows, sum)
+    to the driver — O(#blocks) driver state — and only the ≤5 BOUNDARY
+    blocks are ever fetched to split the k-th rank in-block (raw-ray
+    block access: the Dataset API cannot express a prefix scan over
+    sorted blocks). Both sides rank by (rev_c DESC, custkey ASC) —
+    a total order, so every boundary is deterministic; shares divide
+    identical integers. k = CEIL(n·p) in identical double math."""
+    import ray
+
+    ds = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    from .queries import _cents
+
+    def part(b: pd.DataFrame) -> pd.DataFrame:
+        g = pd.DataFrame({"o_custkey": b["o_custkey"].to_numpy(np.int64),
+                          "rev_c": _cents(b["o_totalprice"]).to_numpy()})
+        return g.groupby("o_custkey", as_index=False).sum()
+
+    parts = ds.map_batches(part, batch_format="pandas").materialize()
+    npart = parts.count()
+    empty = _empty_typed(p="float64", n_cust="int64", share="float64")
+    if npart == 0:
+        return empty
+
+    def _curve(n: int, tot: int, topsum) -> pd.DataFrame:
+        rows = [(p, n, (float(topsum(p)) / float(tot)) if tot else np.nan)
+                for p in _CONC_PS]
+        return pd.DataFrame(rows, columns=["p", "n_cust", "share"]) \
+            .astype({"p": "float64", "n_cust": "int64",
+                     "share": "float64"})
+
+    if npart <= _qmod._REDUCE_GATE_ROWS:
+        pc = parts.to_pandas().groupby("o_custkey", as_index=False) \
+            ["rev_c"].sum() \
+            .sort_values(["rev_c", "o_custkey"], ascending=[False, True],
+                         kind="mergesort")
+        rev = pc["rev_c"].to_numpy(np.int64)
+        n, tot, cum = len(pc), int(rev.sum()), np.cumsum(rev)
+        return _curve(n, tot, lambda p: int(
+            cum[int(np.ceil(np.float64(n) * np.float64(p))) - 1]))
+
+    # distributed path: sorted blocks report (rows, sum); boundaries only
+    from ray.data.aggregate import Sum
+
+    with _scoped_parallelism(64):
+        pc_sorted = parts.groupby("o_custkey").aggregate(
+            Sum("rev_c", alias_name="rev_c")) \
+            .sort(["rev_c", "o_custkey"], descending=[True, False]) \
+            .materialize()
+    refs = pc_sorted.to_arrow_refs()
+
+    @ray.remote
+    def block_stats(tbl) -> tuple:
+        import pyarrow.compute as pc_
+
+        return (tbl.num_rows,
+                int(pc_.sum(tbl.column("rev_c")).as_py() or 0))
+
+    stats = ray.get([block_stats.remote(r) for r in refs])
+    ns = np.array([s[0] for s in stats], dtype=np.int64)
+    cum_n = np.cumsum(ns)
+    from itertools import accumulate
+
+    cum_s = list(accumulate(s[1] for s in stats))  # python ints: exact
+    # past int64 (the twin's SUM promotes to HUGEINT)
+    n, tot = int(cum_n[-1]), int(cum_s[-1])
+
+    def topsum(p: float) -> int:
+        k = int(np.ceil(np.float64(n) * np.float64(p)))
+        bi = int(np.searchsorted(cum_n, k, side="left"))
+        prior_n = int(cum_n[bi - 1]) if bi else 0
+        prior_s = int(cum_s[bi - 1]) if bi else 0
+        tbl = ray.get(refs[bi])
+        rev = np.asarray(tbl.column("rev_c"))
+        return prior_s + int(rev[: k - prior_n].sum())
+
+    return _curve(n, tot, topsum)
+
+
 CORPUS_QUERIES = {
     "token_zipf_fit": q_token_zipf_fit,
     "source_gini": q_source_gini,
     "source_dup_stats": q_source_dup_stats,
     "df_histogram": q_df_histogram,
     "lang_source_mi": q_lang_source_mi,
+    "revenue_concentration": q_revenue_concentration,
 }
 
 CORPUS_ORACLES = {
@@ -443,6 +537,30 @@ CORPUS_ORACLES = {
                / CAST(COUNT(*) AS DOUBLE) AS dup_rate
         FROM h JOIN k USING (t)
         GROUP BY h.source ORDER BY h.source""",
+    # rank by (rev_c DESC, custkey ASC) — a total order; k = CEIL(n·p)
+    # in identical double math; shares divide identical integers.
+    "revenue_concentration": """
+        WITH pc AS (
+          SELECT o_custkey,
+                 SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+          FROM orders GROUP BY o_custkey),
+        agg AS (SELECT COUNT(*) AS n, SUM(rev_c) AS tot FROM pc),
+        r AS (
+          SELECT rev_c,
+                 ROW_NUMBER() OVER (ORDER BY rev_c DESC, o_custkey)
+                   AS rnk
+          FROM pc),
+        ps(p) AS (VALUES (0.01), (0.05), (0.10), (0.25), (0.50))
+        SELECT ps.p, CAST(agg.n AS BIGINT) AS n_cust,
+               CASE WHEN agg.tot = 0 THEN NULL
+                    ELSE CAST(SUM(CASE WHEN r.rnk <=
+                                  CEIL(CAST(agg.n AS DOUBLE) * ps.p)
+                                  THEN r.rev_c ELSE 0 END) AS DOUBLE)
+                         / CAST(agg.tot AS DOUBLE)
+               END AS share
+        FROM r, ps, agg
+        GROUP BY ps.p, agg.n, agg.tot
+        ORDER BY ps.p""",
     "df_histogram": rf"""
         WITH toks AS (
           SELECT DISTINCT doc_id, token

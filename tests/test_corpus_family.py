@@ -62,6 +62,35 @@ def test_empty_input_parity_corpus_ops(ray_session, tmp_path):
         assert len(QUERIES[name](d)) == 0, name
 
 
+def test_revenue_concentration_edges(ray_session, tmp_path):
+    """One dominant customer: top-1% (k=1 of 3) share is exactly its
+    fraction; empty orders mirror the zero-row twin."""
+    d = tmp_path / "conc"
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame({
+        "o_orderkey": np.arange(4, dtype=np.int64),
+        "o_custkey": np.int64([1, 2, 3, 3]),
+        "o_totalprice": [800.0, 150.0, 25.0, 25.0]}) \
+        .to_parquet(d / "orders.parquet", index=False)
+    out = QUERIES["revenue_concentration"](str(d)).set_index("p")
+    assert (out["n_cust"] == 3).all()
+    assert out.loc[0.01, "share"] == 0.8  # k=ceil(3*0.01)=1 -> top cust
+    assert out.loc[0.50, "share"] == 0.95  # k=2 -> 800+150 of 1000
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{d}/orders.parquet')")
+    _assert_match(out.reset_index(),
+                  con.execute(ORACLE_SQL["revenue_concentration"]).fetchdf(),
+                  "revenue_concentration")
+    d2 = tmp_path / "conc-empty"
+    os.makedirs(d2, exist_ok=True)
+    pd.DataFrame({"o_orderkey": pd.Series([], dtype="int64"),
+                  "o_custkey": pd.Series([], dtype="int64"),
+                  "o_totalprice": pd.Series([], dtype="float64")}) \
+        .to_parquet(d2 / "orders.parquet", index=False)
+    assert len(QUERIES["revenue_concentration"](str(d2))) == 0
+
+
 def test_source_dup_stats_known_matrix(ray_session, tmp_path):
     """Hand-built corpus: 'AAA' appears in s1 (keeper, doc 1) + two
     later copies (one per source); 'BBB' is unique; NULL text and ''

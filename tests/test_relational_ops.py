@@ -35,7 +35,7 @@ _NAMES = ["order_count_distribution", "top_supplier_revenue",
           # corpus-diagnostics family (messy whitespace, zero-token
           # docs and duplicate short texts all arise across the seeds)
           "token_zipf_fit", "source_gini", "source_dup_stats",
-          "df_histogram", "lang_source_mi"]
+          "df_histogram", "lang_source_mi", "revenue_concentration"]
 
 _WORDS = ["alpha", "beta", "gamma", "the", "a", "of", "scan", "merge",
           "sort", "hash"]
@@ -171,7 +171,8 @@ def test_relational_matches_oracle_random(ray_session, tmp_path, seed,
 
 @pytest.mark.parametrize("name", ["order_count_distribution",
                                   "large_orders", "retention_cohorts",
-                                  "source_dup_stats"])
+                                  "source_dup_stats",
+                                  "revenue_concentration"])
 def test_relational_above_gate_path(ray_session, monkeypatch, name):
     """Force the distributed-reduce branch (gate=1) and require the
     identical result as the driver-combine path."""
