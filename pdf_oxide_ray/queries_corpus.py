@@ -363,6 +363,47 @@ def q_lang_source_mi(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE merge-step pair counts (tokenizer-training primitive)
+# ---------------------------------------------------------------------------
+
+_BPE_TOPK = 30
+
+
+def q_bpe_pair_counts(sf_dir: str) -> pd.DataFrame:
+    """Adjacent character-pair counts within whitespace tokens — the
+    counting step of one BPE tokenizer-training merge round (the most
+    frequent pair is the next merge). Vectorized per batch: tokens
+    join on a NUL sentinel, one codepoint array, shifted
+    ``np.char.add`` forms every in-token bigram, sentinel-adjacent
+    positions mask out. The reduce is alphabet²-bounded; the driver
+    ranks (n DESC, pair ASC — total order, so the top-k cut is
+    deterministic) and keeps the top 30."""
+    ds = _pq(sf_dir, "documents", ["text"])
+
+    def pp(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.split().explode().dropna()
+        toks = toks[toks.str.len() > 1]
+        if toks.empty:
+            return pd.DataFrame({"pair": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype="int64")})
+        joined = "\x00".join(toks.tolist())
+        a = np.array(list(joined))
+        bi = np.char.add(a[:-1], a[1:])
+        mask = (a[:-1] != "\x00") & (a[1:] != "\x00")
+        c = pd.Series(bi[mask]).value_counts()
+        return pd.DataFrame({"pair": c.index.astype(object),
+                             "n": c.to_numpy(np.int64)})
+
+    agg = _reduce_partials(ds.map_batches(pp, batch_format="pandas"),
+                           ["pair"], ["n"])
+    if agg.empty:
+        return _empty_typed(pair=object, n="int64")
+    return agg.sort_values(["n", "pair"], ascending=[False, True],
+                           kind="mergesort").head(_BPE_TOPK) \
+        .astype({"n": "int64"}).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # revenue concentration curve (top-k% mass — rank-based Pareto report)
 # ---------------------------------------------------------------------------
 
@@ -462,6 +503,7 @@ CORPUS_QUERIES = {
     "df_histogram": q_df_histogram,
     "lang_source_mi": q_lang_source_mi,
     "revenue_concentration": q_revenue_concentration,
+    "bpe_pair_counts": q_bpe_pair_counts,
 }
 
 CORPUS_ORACLES = {
@@ -537,6 +579,19 @@ CORPUS_ORACLES = {
                / CAST(COUNT(*) AS DOUBLE) AS dup_rate
         FROM h JOIN k USING (t)
         GROUP BY h.source ORDER BY h.source""",
+    # (n DESC, pair ASC) is a total order — the top-k cut is exact
+    "bpe_pair_counts": rf"""
+        WITH toks AS (
+          SELECT {_TOK_SQL} AS w FROM documents),
+        pos AS (
+          SELECT w, unnest(range(1, length(w))) AS i
+          FROM toks WHERE length(w) > 1),
+        pairs AS (SELECT substr(w, CAST(i AS INT), 2) AS pair FROM pos),
+        c AS (
+          SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+          FROM pairs GROUP BY pair)
+        SELECT pair, n FROM c
+        ORDER BY n DESC, pair LIMIT {_BPE_TOPK}""",
     # rank by (rev_c DESC, custkey ASC) — a total order; k = CEIL(n·p)
     # in identical double math; shares divide identical integers.
     "revenue_concentration": """

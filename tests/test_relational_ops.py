@@ -35,7 +35,8 @@ _NAMES = ["order_count_distribution", "top_supplier_revenue",
           # corpus-diagnostics family (messy whitespace, zero-token
           # docs and duplicate short texts all arise across the seeds)
           "token_zipf_fit", "source_gini", "source_dup_stats",
-          "df_histogram", "lang_source_mi", "revenue_concentration"]
+          "df_histogram", "lang_source_mi", "revenue_concentration",
+          "bpe_pair_counts"]
 
 _WORDS = ["alpha", "beta", "gamma", "the", "a", "of", "scan", "merge",
           "sort", "hash"]
