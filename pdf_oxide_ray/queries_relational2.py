@@ -12,6 +12,8 @@ columns, documented per query):
 * Q17 `small_qty_revenue`   — correlated per-part average subquery
 * Q19 `disjunctive_revenue` — OR-of-conjunctions predicate pushdown
 * Q21 `waiting_suppliers`   — per-order exists/not-exists self-analysis
+* Q2  `min_cost_supplier`   — correlated MIN + argmin re-join, top-k
+* Q11 `part_value_share`    — grouped rollup vs global-scalar HAVING
 
 plus two operator kinds no earlier family covered:
 
@@ -1294,6 +1296,178 @@ q_daily_trending.__doc__ = q_daily_trending.__doc__.format(
 
 
 # ---------------------------------------------------------------------------
+# TPC-H Q2: minimum-cost supplier per part (correlated MIN + argmin re-join)
+# ---------------------------------------------------------------------------
+
+_Q2_REGION = "EUROPE"
+_Q2_TYPE = "STANDARD"
+_Q2_MIN_SIZE = 40
+_Q2_TOPK = 100
+
+
+def q_min_cost_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q2 shape: for every qualifying part ({type} type, size >=
+    {size}), the {region}-region supplier(s) offering the minimum cost,
+    annotated with supplier/nation details, top-{topk} by account
+    balance. The star schema has no partsupp table, so the cost
+    relation is derived from lineitem: ``cost(part, supp) = MIN
+    extendedprice-cents`` over that pair's lines (shape preserved —
+    correlated ``MIN`` subquery + argmin re-join; only the cost
+    column's provenance differs).
+
+    Scale shape: region suppliers and qualifying parts collapse to two
+    broadcast sorted-int64 key arrays (dimension-side, ``ray.put``
+    once); lineitem streams through ONE per-batch (part, supp) MIN
+    pre-aggregation, and the reduce over pair partials rides the
+    ``_reduce_partials`` gate (driver-combine below, distributed
+    ``Min`` groupby above — pair cardinality is bounded by catalog x
+    suppliers, never by corpus rows). The argmin re-join, detail
+    attach, and top-k then run on that bounded table. Ties on min
+    cost keep ALL winning suppliers (exactly the SQL twin); the
+    LIMIT's order key (acctbal DESC, n_name, s_name, p_partkey) is a
+    total order because (s_name, p_partkey) is unique per winner row."""
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Min
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")) \
+        .to_pandas()
+    region = pq.read_table(os.path.join(sf_dir, "region.parquet")) \
+        .to_pandas()
+    supplier = pq.read_table(os.path.join(sf_dir, "supplier.parquet")) \
+        .to_pandas()
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_name", "p_type", "p_size"]).to_pandas()
+
+    rkeys = region.loc[region["r_name"] == _Q2_REGION, "r_regionkey"]
+    nat = nation[nation["n_regionkey"].isin(set(rkeys))]
+    sup = supplier.merge(nat[["n_nationkey", "n_name"]],
+                         left_on="s_nationkey", right_on="n_nationkey")
+    pt = part.loc[(part["p_type"] == _Q2_TYPE)
+                  & (part["p_size"] >= _Q2_MIN_SIZE),
+                  ["p_partkey", "p_name"]]
+    empty = _empty_typed(s_acctbal="float64", s_name=object, n_name=object,
+                         p_partkey="int64", p_name=object,
+                         supply_cost="float64")
+    if sup.empty or pt.empty:
+        return empty
+    sref = ray.put(np.sort(sup["s_suppkey"].to_numpy(np.int64)))
+    pref = ray.put(np.sort(pt["p_partkey"].to_numpy(np.int64)))
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def pair_min(b: pd.DataFrame) -> pd.DataFrame:
+        pk = b["l_partkey"].to_numpy(np.int64)
+        sk = b["l_suppkey"].to_numpy(np.int64)
+        keep = isin_sorted(pk, _get_broadcast(pref)) \
+            & isin_sorted(sk, _get_broadcast(sref))
+        return pd.DataFrame({"pk": pk[keep], "sk": sk[keep],
+                             "cost_c": _cents(b["l_extendedprice"])
+                             .to_numpy()[keep]}) \
+            .groupby(["pk", "sk"], as_index=False).min()
+
+    m = li.map_batches(pair_min, batch_format="pandas").materialize()
+    n = m.count()
+    if n == 0:
+        return empty
+    if n <= _qmod._REDUCE_GATE_ROWS:
+        pair = m.to_pandas().groupby(["pk", "sk"], as_index=False).min()
+    else:
+        with _scoped_parallelism(32):
+            pair = m.groupby(["pk", "sk"]).aggregate(
+                Min("cost_c", alias_name="cost_c")).to_pandas()
+    best = pair.groupby("pk", as_index=False)["cost_c"].min() \
+        .rename(columns={"cost_c": "min_c"})
+    w = pair.merge(best, on="pk")
+    w = w[w["cost_c"].to_numpy() == w["min_c"].to_numpy()]
+    w = w.merge(sup[["s_suppkey", "s_name", "s_acctbal", "n_name"]],
+                left_on="sk", right_on="s_suppkey") \
+        .merge(pt, left_on="pk", right_on="p_partkey")
+    w = w.sort_values(["s_acctbal", "n_name", "s_name", "p_partkey"],
+                      ascending=[False, True, True, True],
+                      kind="mergesort").head(_Q2_TOPK)
+    out = w[["s_acctbal", "s_name", "n_name", "p_partkey", "p_name"]] \
+        .reset_index(drop=True)
+    out["p_partkey"] = out["p_partkey"].astype(np.int64)
+    out["supply_cost"] = w["cost_c"].to_numpy(np.float64) / 100.0
+    return out
+
+
+q_min_cost_supplier.__doc__ = q_min_cost_supplier.__doc__.format(
+    type=_Q2_TYPE, size=_Q2_MIN_SIZE, region=_Q2_REGION, topk=_Q2_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11: part value share above a global-total threshold (scalar HAVING)
+# ---------------------------------------------------------------------------
+
+_Q11_NATION = "NATION_3"
+_Q11_SHARE_DEN = 1000  # keep parts whose value * 1000 > global total
+
+
+def q_part_value_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q11 shape: parts whose share of one nation's total traded
+    value exceeds 1/{den} — the grouped-rollup-vs-global-scalar HAVING
+    gate (Q11's ``HAVING SUM(..) > (SELECT SUM(..) * f FROM ..)``).
+    No partsupp table in the star schema, so value(part) = SUM of
+    extendedprice-cents over the nation's suppliers' lines (shape
+    preserved: same filtered relation feeds both the per-group rollup
+    and the global scalar).
+
+    Scale shape: ONE streamed pass — the nation's supplier keys ride a
+    broadcast sorted-int64 array, each batch pre-aggregates (partkey,
+    value_c) partials, and the reduce goes through ``_reduce_partials``
+    (bounded by catalog cardinality). The global total is the SUM of
+    the reduced per-part table itself (no second pass), and the share
+    gate is the integer compare ``value_c * {den} > total_c`` — both
+    sides exact int64, twin mirrors it, no division anywhere."""
+    import pyarrow.parquet as pq
+    import ray
+
+    nation = pq.read_table(os.path.join(sf_dir, "nation.parquet")) \
+        .to_pandas()
+    supplier = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nk = nation.loc[nation["n_name"] == _Q11_NATION, "n_nationkey"]
+    skeys = np.sort(supplier.loc[supplier["s_nationkey"].isin(set(nk)),
+                                 "s_suppkey"].to_numpy(np.int64))
+    empty = _empty_typed(p_partkey="int64", value="float64")
+    if len(skeys) == 0:
+        return empty
+    sref = ray.put(skeys)
+
+    li = _pq(sf_dir, "lineitem",
+             ["l_partkey", "l_suppkey", "l_extendedprice"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        keep = isin_sorted(b["l_suppkey"].to_numpy(np.int64),
+                           _get_broadcast(sref))
+        return pd.DataFrame({"p_partkey": b["l_partkey"]
+                             .to_numpy(np.int64)[keep],
+                             "value_c": _cents(b["l_extendedprice"])
+                             .to_numpy()[keep]}) \
+            .groupby("p_partkey", as_index=False).sum()
+
+    v = _reduce_partials(li.map_batches(partial, batch_format="pandas"),
+                         ["p_partkey"], ["value_c"])
+    if v.empty:
+        return empty
+    total_c = int(v["value_c"].sum())
+    v = v[v["value_c"].to_numpy(np.int64) * _Q11_SHARE_DEN > total_c]
+    return pd.DataFrame({
+        "p_partkey": v["p_partkey"].to_numpy(np.int64),
+        "value": v["value_c"].to_numpy(np.float64) / 100.0}) \
+        .sort_values("p_partkey").reset_index(drop=True)
+
+
+q_part_value_share.__doc__ = q_part_value_share.__doc__.format(
+    den=_Q11_SHARE_DEN)
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -1318,6 +1492,8 @@ RELATIONAL2_QUERIES = {
     "embedding_gram": q_embedding_gram,
     "hourly_ffill": q_hourly_ffill,
     "daily_trending": q_daily_trending,
+    "min_cost_supplier": q_min_cost_supplier,
+    "part_value_share": q_part_value_share,
 }
 
 # shared by event_cooccurrence and cooccurrence_triangles (which embeds
@@ -1609,6 +1785,45 @@ RELATIONAL2_ORACLES = {
           WHERE a.i <= b.i)
         SELECT i, j, CAST(SUM(p) AS DOUBLE) / 1000000.0 AS gram
         FROM prod GROUP BY i, j""",
+    "min_cost_supplier": f"""
+        WITH sup AS (
+          SELECT s_suppkey, s_name, s_acctbal, n_name
+          FROM supplier
+          JOIN nation ON n_nationkey = s_nationkey
+          JOIN region ON r_regionkey = n_regionkey
+          WHERE r_name = '{_Q2_REGION}'),
+        pt AS (
+          SELECT p_partkey, p_name FROM part
+          WHERE p_type = '{_Q2_TYPE}' AND p_size >= {_Q2_MIN_SIZE}),
+        cost AS (
+          SELECT l_partkey AS pk, l_suppkey AS sk,
+                 MIN({_PRICE_C}) AS cost_c
+          FROM lineitem
+          JOIN sup ON sup.s_suppkey = l_suppkey
+          JOIN pt ON pt.p_partkey = l_partkey
+          GROUP BY 1, 2),
+        best AS (SELECT pk, MIN(cost_c) AS min_c FROM cost GROUP BY 1)
+        SELECT s.s_acctbal, s.s_name, s.n_name,
+               p.p_partkey, p.p_name,
+               CAST(c.cost_c AS DOUBLE) / 100.0 AS supply_cost
+        FROM cost c
+        JOIN best b ON b.pk = c.pk AND c.cost_c = b.min_c
+        JOIN sup s ON s.s_suppkey = c.sk
+        JOIN pt p ON p.p_partkey = c.pk
+        ORDER BY s.s_acctbal DESC, s.n_name, s.s_name, p.p_partkey
+        LIMIT {_Q2_TOPK}""",
+    "part_value_share": f"""
+        WITH sup AS (
+          SELECT s_suppkey FROM supplier
+          JOIN nation ON n_nationkey = s_nationkey
+          WHERE n_name = '{_Q11_NATION}'),
+        v AS (
+          SELECT l_partkey AS p_partkey, SUM({_PRICE_C}) AS value_c
+          FROM lineitem JOIN sup ON s_suppkey = l_suppkey
+          GROUP BY 1)
+        SELECT p_partkey, CAST(value_c AS DOUBLE) / 100.0 AS value
+        FROM v
+        WHERE value_c * {_Q11_SHARE_DEN} > (SELECT SUM(value_c) FROM v)""",
 }
 
 

@@ -36,7 +36,12 @@ _NAMES = ["order_count_distribution", "top_supplier_revenue",
           # docs and duplicate short texts all arise across the seeds)
           "token_zipf_fit", "source_gini", "source_dup_stats",
           "df_histogram", "lang_source_mi", "revenue_concentration",
-          "bpe_pair_counts"]
+          "bpe_pair_counts",
+          # Q2/Q11 shapes: the shared corpus misses their dimension
+          # filters (no EUROPE region / NATION_3 / STANDARD>=40 parts),
+          # so here they verify the empty-result parity path; the
+          # populated path runs in test_q2_q11_shapes_random below
+          "min_cost_supplier", "part_value_share"]
 
 _WORDS = ["alpha", "beta", "gamma", "the", "a", "of", "scan", "merge",
           "sort", "hash"]
@@ -168,6 +173,67 @@ def test_relational_matches_oracle_random(ray_session, tmp_path, seed,
     sf_dir = _write_tables(tmp_path, seed)
     _assert_equal(QUERIES[name](sf_dir), _oracle(sf_dir, ORACLE_SQL[name]),
                   name)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_q2_q11_shapes_random(ray_session, tmp_path, seed):
+    """Q2 (min-cost supplier) and Q11 (part value share) on a corpus
+    built to hit their dimension filters: an EUROPE region with
+    NATION_3 suppliers, STANDARD parts straddling the size-40 cut, and
+    a COARSE price grid so min-cost ties occur (the argmin re-join
+    must keep every tying supplier, exactly like the SQL twin)."""
+    rs = np.random.RandomState(100 + seed)
+    region = pd.DataFrame({"r_regionkey": np.int32([0, 1]),
+                           "r_name": ["EUROPE", "ASIA"]})
+    nation = pd.DataFrame({"n_nationkey": np.arange(5, dtype=np.int32),
+                           "n_name": [f"NATION_{i}" for i in range(5)],
+                           "n_regionkey": np.int32([0, 1, 0, 0, 1])})
+    n_sup = 6
+    sup = pd.DataFrame({
+        "s_suppkey": np.arange(n_sup, dtype=np.int64),
+        "s_name": [f"Supplier#{i}" for i in range(n_sup)],
+        # pin suppliers into NATION_3 (Q11's nation, in EUROPE) and an
+        # ASIA nation so both the hit and miss sides are populated on
+        # every seed; the rest draw randomly
+        "s_nationkey": np.concatenate(
+            [np.int32([3, 3, 1]), rs.randint(0, 5, n_sup - 3)])
+        .astype(np.int32),
+        # duplicate balances so the top-k ORDER BY exercises tie keys
+        "s_acctbal": rs.choice([100.0, 250.5, 250.5, 900.0], n_sup)})
+    n_part = 12
+    part = pd.DataFrame({
+        "p_partkey": np.arange(n_part, dtype=np.int64),
+        "p_name": [f"part-{i}" for i in range(n_part)],
+        "p_brand": "B",
+        "p_type": rs.choice(["STANDARD", "PROMO"], n_part, p=[0.7, 0.3]),
+        "p_size": rs.randint(35, 50, n_part).astype(np.int32),
+        "p_retailprice": 1.0})
+    n_li = 150
+    li = pd.DataFrame({
+        "l_orderkey": np.arange(n_li, dtype=np.int64),
+        "l_partkey": rs.randint(0, n_part, n_li).astype(np.int64),
+        "l_suppkey": rs.randint(0, n_sup, n_li).astype(np.int64),
+        "l_linenumber": np.int32(0),
+        "l_quantity": np.float64(1.0),
+        # 3-value grid -> frequent exact min-cost ties across suppliers
+        "l_extendedprice": rs.choice([100.0, 200.0, 300.0], n_li),
+        "l_discount": 0.0, "l_tax": 0.0,
+        "l_returnflag": "N", "l_linestatus": "O",
+        "l_shipdate": pd.to_datetime("1995-06-01")})
+    d = tmp_path / f"q2q11-{seed}"
+    os.makedirs(d, exist_ok=True)
+    for name, df in (("region", region), ("nation", nation),
+                     ("supplier", sup), ("part", part), ("lineitem", li)):
+        df.to_parquet(d / f"{name}.parquet", index=False)
+    con = duckdb.connect()
+    for t in ("region", "nation", "supplier", "part", "lineitem"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{d}/{t}.parquet')")
+    for name in ("min_cost_supplier", "part_value_share"):
+        mine = QUERIES[name](str(d))
+        gold = con.execute(ORACLE_SQL[name]).fetchdf()
+        assert len(gold) > 0, f"{name}: degenerate corpus (seed {seed})"
+        _assert_equal(mine, gold, name)
 
 
 @pytest.mark.parametrize("name", ["order_count_distribution",
