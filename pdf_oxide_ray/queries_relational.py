@@ -1624,6 +1624,151 @@ def _pagerank_oracle_sql() -> str:
 
 
 # ---------------------------------------------------------------------------
+# grouped higher moments: skewness + excess kurtosis (exact int partials)
+# ---------------------------------------------------------------------------
+
+def q_value_skew_by_type(sf_dir: str) -> pd.DataFrame:
+    """Per-event-type skewness and excess kurtosis of ``value`` — the
+    3rd/4th-moment distribution-shape diagnostics (drift monitors,
+    heavy-tail detectors). Same pure-combiner doctrine as
+    ``q_value_hour_correlation``, extended to 4th-order moments with a
+    hi/lo int64 SPLIT so no per-batch product ever wraps:
+
+    - values quantize to exact cents (half-away, matching round());
+    - ``v**3``/``v**4`` per row exceed int64 (v <= ~5.6e4 -> v^4 ~
+      1e19), so each batch carries s3 as (sum v*hi16(v^2), sum
+      v*lo16(v^2)) and s4 as (sum hi16^2, sum hi16*lo16, sum lo16^2)
+      — six int64-safe partial columns (row products <= ~4e9; int64
+      reduce headroom ~1e9 rows/type x batch, and the cross-corpus
+      sums stay below wrap past 1e9 rows/type — beyond that, sub-key
+      the reduce by time bucket, cf. SCALE.md);
+    - the driver recombines the splits in arbitrary-precision Python
+      ints (s3 = (s3h << 16) + s3l; s4 = (s4a << 32) + (s4b << 17) +
+      s4c) and evaluates the scale-free closed forms
+      ``skew = num3 / num2 / sqrt(num2)`` and ``kurt = num4 / num2^2 -
+      3`` where num2 = n*s2 - s1^2, num3 = n^2*s3 - 3n*s1*s2 + 2*s1^3,
+      num4 = n^3*s4 - 4n^2*s1*s3 + 6n*s1^2*s2 - 3*s1^4 — every op
+      after the exact ints is IEEE-exact (one divide + one sqrt), so
+      the twin's identical HUGEINT chain lands bit-equal before the
+      shared half-away 1e-6 quantization. Degenerate variance -> NULL
+      on both sides. NULL values are dropped (SQL WHERE IS NOT NULL).
+    The twin's HUGEINT bound (s1^4) holds to ~6e4 rows/type at this
+    value domain — engine ints are unbounded; only the oracle is
+    test-scale."""
+    ds = _pq(sf_dir, "events", ["event_type", "value"])
+
+    def moments(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.dropna(subset=["value"])
+        v100 = b["value"].to_numpy(np.float64) * 100
+        v = np.copysign(np.floor(np.abs(v100) + 0.5), v100) \
+            .astype(np.int64)
+        v2 = v * v
+        hi, lo = v2 >> 16, v2 & 0xFFFF
+        g = pd.DataFrame({"event_type": b["event_type"].to_numpy(object),
+                          "n": np.int64(1), "s1": v, "s2": v2,
+                          "s3h": v * hi, "s3l": v * lo,
+                          "s4a": hi * hi, "s4b": hi * lo,
+                          "s4c": lo * lo})
+        return g.groupby("event_type", as_index=False).sum()
+
+    cols = ["n", "s1", "s2", "s3h", "s3l", "s4a", "s4b", "s4c"]
+    agg = _reduce_partials(ds.map_batches(moments, batch_format="pandas"),
+                           ["event_type"], cols)
+    if agg.empty:
+        return _empty_typed(event_type=object, n="int64",
+                            skew="float64", kurt="float64")
+    skews, kurts = [], []
+    for _, row in agg.iterrows():
+        n, s1, s2, s3h, s3l, s4a, s4b, s4c = (int(row[c]) for c in cols)
+        s3 = (s3h << 16) + s3l
+        s4 = (s4a << 32) + (s4b << 17) + s4c
+        num2 = n * s2 - s1 * s1
+        if num2 == 0:
+            skews.append(np.nan)
+            kurts.append(np.nan)
+            continue
+        num3 = n * n * s3 - 3 * n * s1 * s2 + 2 * s1 ** 3
+        num4 = (n ** 3 * s4 - 4 * n * n * s1 * s3
+                + 6 * n * s1 * s1 * s2 - 3 * s1 ** 4)
+        sk = float(num3) / float(num2) / np.sqrt(float(num2)) * 1e6
+        ku = (float(num4) / (float(num2) * float(num2)) - 3.0) * 1e6
+        skews.append(np.copysign(np.floor(np.abs(sk) + 0.5), sk) / 1e6)
+        kurts.append(np.copysign(np.floor(np.abs(ku) + 0.5), ku) / 1e6)
+    return pd.DataFrame({"event_type": agg["event_type"].to_numpy(object),
+                         "n": agg["n"].to_numpy(np.int64),
+                         "skew": np.asarray(skews, np.float64),
+                         "kurt": np.asarray(kurts, np.float64)}) \
+        .sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# relational division: users who performed EVERY event type
+# ---------------------------------------------------------------------------
+
+def q_loyal_users(sf_dir: str) -> pd.DataFrame:
+    """Relational DIVISION — count users whose event-type set covers
+    ALL observed types (the ``HAVING COUNT(DISTINCT t) = (SELECT
+    COUNT(DISTINCT t))`` shape no other query exercises). The type
+    domain is dimension-small, so each user's coverage is an int64
+    BITMASK: per batch, (user, OR-of-type-bits) partials (vectorized
+    ``np.bitwise_or.reduceat`` over the batch sorted by user), then
+    ONE user-keyed distributed exchange combines masks with a custom
+    ``AggregateFn`` (bitwise-OR is associative + commutative — exactly
+    what Ray's combine/aggregate contract needs), and per-block
+    full-mask counts reduce to a driver-side scalar. The full corpus
+    never leaves the cluster: the driver sees #blocks count partials.
+    Type->bit assignment is computed from a first pruned pass over the
+    distinct types (broadcast; <=64 types use the mask path, larger
+    domains would fall back to the grouped-distinct-count shape of
+    ``supplier_part_census``)."""
+    from ray.data.aggregate import AggregateFn
+
+    types_ds = _pq(sf_dir, "events", ["event_type"])
+    tmap = _reduce_partials(
+        types_ds.map_batches(
+            lambda b: b.drop_duplicates(subset=["event_type"])
+            .assign(n=np.int64(1)),
+            batch_format="pandas"),
+        ["event_type"], ["n"])
+    if tmap.empty:
+        return pd.DataFrame({"n_loyal": pd.Series([0], dtype="int64")})
+    types = sorted(tmap["event_type"].astype(str))
+    if len(types) > 63:
+        raise NotImplementedError(
+            "loyal_users mask path supports <=63 event types; use the "
+            "grouped distinct-count shape for larger domains")
+    bit_of = {t: np.int64(1) << i for i, t in enumerate(types)}
+    full = int(np.bitwise_or.reduce(list(bit_of.values())))
+
+    ds = _pq(sf_dir, "events", ["user_id", "event_type"])
+
+    def mask_partial(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["user_id"].to_numpy(np.int64)
+        m = b["event_type"].map(bit_of).to_numpy(np.int64)
+        order = np.argsort(u, kind="mergesort")
+        u, m = u[order], m[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        return pd.DataFrame({"user_id": u[starts],
+                             "mask": np.bitwise_or.reduceat(m, starts)})
+
+    masked = ds.map_batches(mask_partial, batch_format="pandas")
+    or_agg = AggregateFn(
+        init=lambda k: 0,
+        accumulate_block=lambda a, blk: a | int(
+            np.bitwise_or.reduce(blk["mask"].to_numpy(), initial=0)),
+        merge=lambda a1, a2: a1 | a2,
+        name="mask")
+    with _scoped_parallelism(32):
+        per_user = masked.groupby("user_id").aggregate(or_agg)
+        n = per_user.map_batches(
+            lambda b: pd.DataFrame(
+                {"c": [int((b["mask"].to_numpy(np.int64) == full).sum())]}),
+            batch_format="pandas").sum("c")
+    return pd.DataFrame({"n_loyal": pd.Series([int(n or 0)],
+                                              dtype="int64")})
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -1651,6 +1796,8 @@ RELATIONAL_QUERIES = {
     "weekly_active_users": q_weekly_active_users,
     "cross_source_dups": q_cross_source_dups,
     "value_hour_correlation": q_value_hour_correlation,
+    "value_skew_by_type": q_value_skew_by_type,
+    "loyal_users": q_loyal_users,
 }
 
 RELATIONAL_ORACLES = {
@@ -1971,6 +2118,47 @@ RELATIONAL_ORACLES = {
                          / 1000000.0
                END AS r
         FROM m""",
+    # identical HUGEINT moment chain to the engine's Python-int one;
+    # skew/kurt close over IEEE-exact divide+sqrt, then half-away 1e-6
+    "value_skew_by_type": """
+        WITH m AS (
+          SELECT event_type, CAST(COUNT(*) AS HUGEINT) AS n,
+                 SUM(CAST(v AS HUGEINT)) AS s1,
+                 SUM(CAST(v AS HUGEINT) * v) AS s2,
+                 SUM(CAST(v AS HUGEINT) * v * v) AS s3,
+                 SUM(CAST(v AS HUGEINT) * v * v * v) AS s4
+          FROM (SELECT event_type,
+                       CAST(round(value * 100) AS BIGINT) AS v
+                FROM events WHERE value IS NOT NULL)
+          GROUP BY event_type),
+        d AS (
+          SELECT event_type, n,
+                 n * s2 - s1 * s1 AS num2,
+                 n * n * s3 - 3 * n * s1 * s2 + 2 * s1 * s1 * s1 AS num3,
+                 n * n * n * s4 - 4 * n * n * s1 * s3
+                   + 6 * n * s1 * s1 * s2
+                   - 3 * s1 * s1 * s1 * s1 AS num4
+          FROM m)
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               CASE WHEN num2 = 0 THEN NULL
+                    ELSE ROUND(CAST(num3 AS DOUBLE)
+                               / CAST(num2 AS DOUBLE)
+                               / sqrt(CAST(num2 AS DOUBLE))
+                               * 1000000, 0) / 1000000.0
+               END AS skew,
+               CASE WHEN num2 = 0 THEN NULL
+                    ELSE ROUND((CAST(num4 AS DOUBLE)
+                                / (CAST(num2 AS DOUBLE)
+                                   * CAST(num2 AS DOUBLE)) - 3)
+                               * 1000000, 0) / 1000000.0
+               END AS kurt
+        FROM d""",
+    "loyal_users": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_loyal
+        FROM (SELECT user_id FROM events
+              GROUP BY user_id
+              HAVING COUNT(DISTINCT event_type) =
+                     (SELECT COUNT(DISTINCT event_type) FROM events))""",
 }
 
 
