@@ -18,6 +18,9 @@ over the `documents` table:
 * `lang_source_mi`   — mutual information between the `lang` and
   `source` metadata columns: metadata-association diagnostic (high MI
   means per-source language models; near-zero means mixed sources).
+* `ngram_diversity`  — per-source bigram type/token ratio (distinct-n
+  diversity): the repetitiveness screen that flags template-heavy
+  sources before tokenizer training.
 
 Shuffle budget (SCALE.md doctrine): every query pre-aggregates inside
 ``map_batches`` so the only exchanges carry (key, partial) rows —
@@ -496,6 +499,73 @@ def q_revenue_concentration(sf_dir: str) -> pd.DataFrame:
     return _curve(n, tot, topsum)
 
 
+def q_ngram_diversity(sf_dir: str) -> pd.DataFrame:
+    """Per-source bigram type/token ratio (distinct-n diversity) — the
+    standard repetitiveness screen over a training corpus: a source
+    whose ratio collapses is template/boilerplate-heavy and a dedup or
+    repetition-filter target. ONE streamed pass emits per-batch
+    (source, gram, n) partial counts (the ``bigram_pmi`` in-doc shift
+    combiner); below the gate the driver combines, above it the
+    bigram-vocab reduce STAYS a distributed groupby and per-block
+    (source, n_distinct, n_bigrams) partials reduce — the driver only
+    ever holds #sources rows, never a bigram vocabulary (the
+    ``supplier_part_census`` two-level distinct shape). The final
+    ratio divides the two exact int64 counts (one IEEE division, then
+    the shared half-away 1e-6 quantization — twin identical).
+    Sources whose docs have no bigrams (<2 tokens) are absent on both
+    sides."""
+    ds = _pq(sf_dir, "documents", ["text", "source"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["text"].fillna("").str.split().explode().dropna()
+        empty = pd.DataFrame({"source": pd.Series([], dtype=object),
+                              "gram": pd.Series([], dtype=object),
+                              "n": pd.Series([], dtype="int64")})
+        if s.empty:
+            return empty
+        nxt = s.groupby(level=0).shift(-1)
+        grams = (s + " " + nxt).dropna()
+        if grams.empty:
+            return empty
+        return pd.DataFrame({
+            "source": b["source"].loc[grams.index].to_numpy(object),
+            "gram": grams.to_numpy(object),
+            "n": np.int64(1)}) \
+            .groupby(["source", "gram"], as_index=False).sum()
+
+    m = ds.map_batches(partial, batch_format="pandas").materialize()
+    npart = m.count()
+    if npart == 0:
+        return _empty_typed(source=object, n_bigrams="int64",
+                            n_distinct="int64", diversity="float64")
+    if npart <= _qmod._REDUCE_GATE_ROWS:
+        pairs = m.to_pandas().groupby(["source", "gram"],
+                                      as_index=False)["n"].sum()
+        out = pairs.groupby("source", as_index=False) \
+            .agg(n_bigrams=("n", "sum"), n_distinct=("n", "size"))
+    else:  # bigram vocab too big for the driver: keyed dedup stays
+        # distributed; the driver reduce sees #sources x #blocks rows
+        from ray.data.aggregate import Sum
+
+        with _scoped_parallelism(32):
+            red = m.groupby(["source", "gram"]) \
+                .aggregate(Sum("n", alias_name="n"))
+            per_src = red.map_batches(
+                lambda b: b.groupby("source", as_index=False)
+                .agg(n_bigrams=("n", "sum"), n_distinct=("n", "size")),
+                batch_format="pandas")
+            out = _reduce_partials(per_src, ["source"],
+                                   ["n_bigrams", "n_distinct"])
+    nd = out["n_distinct"].to_numpy(np.int64)
+    nb = out["n_bigrams"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "source": out["source"].to_numpy(object),
+        "n_bigrams": nb, "n_distinct": nd,
+        "diversity": _halfaway6(nd.astype(np.float64)
+                                / nb.astype(np.float64)) / 1e6}) \
+        .sort_values("source").reset_index(drop=True)
+
+
 CORPUS_QUERIES = {
     "token_zipf_fit": q_token_zipf_fit,
     "source_gini": q_source_gini,
@@ -504,6 +574,7 @@ CORPUS_QUERIES = {
     "lang_source_mi": q_lang_source_mi,
     "revenue_concentration": q_revenue_concentration,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "ngram_diversity": q_ngram_diversity,
 }
 
 CORPUS_ORACLES = {
@@ -646,6 +717,26 @@ CORPUS_ORACLES = {
                CAST((SELECT SUM(n * t6) FROM t) AS DOUBLE)
                / CAST(tot.total AS DOUBLE) / 1000000.0 AS mi
         FROM tot WHERE tot.total IS NOT NULL""",
+    # same in-doc bigram construction as bigram_pmi's twin; the ratio
+    # divides the two exact counts then quantizes half-away at 1e-6
+    "ngram_diversity": r"""
+        WITH arr AS (
+          SELECT source,
+                 list_filter(regexp_split_to_array(coalesce(text, ''),
+                                                   '\s+'),
+                             x -> x <> '') AS a
+          FROM documents),
+        bi AS (
+          SELECT source,
+                 unnest(list_transform(range(1, len(a)),
+                        i -> a[i] || ' ' || a[i + 1])) AS gram
+          FROM arr)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct,
+               ROUND(CAST(COUNT(DISTINCT gram) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE) * 1000000, 0)
+               / 1000000.0 AS diversity
+        FROM bi GROUP BY source""",
 }
 
 

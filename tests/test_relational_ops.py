@@ -36,7 +36,7 @@ _NAMES = ["order_count_distribution", "top_supplier_revenue",
           # docs and duplicate short texts all arise across the seeds)
           "token_zipf_fit", "source_gini", "source_dup_stats",
           "df_histogram", "lang_source_mi", "revenue_concentration",
-          "bpe_pair_counts",
+          "bpe_pair_counts", "ngram_diversity",
           "value_skew_by_type", "loyal_users",
           # Q2/Q11 shapes: the shared corpus misses their dimension
           # filters (no EUROPE region / NATION_3 / STANDARD>=40 parts),
@@ -414,7 +414,9 @@ def test_retention_cohorts_bucketed_path_matches(ray_session,
                                   "event_cooccurrence",
                                   "dominant_suppliers",
                                   "hourly_ffill", "daily_trending",
-                                  "embedding_gram"])
+                                  "embedding_gram", "ngram_diversity",
+                                  "min_cost_supplier",
+                                  "part_value_share"])
 def test_relational2_above_gate_path(ray_session, monkeypatch, name):
     """TPC-H-tail family: force the distributed branch (gate=1) and
     require the identical result as the driver-combine path — for
