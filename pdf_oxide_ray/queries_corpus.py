@@ -229,10 +229,12 @@ def q_source_dup_stats(sf_dir: str) -> pd.DataFrame:
             keeper = _get_broadcast(keeper_ref)
             h = fdedup.content_hash(b["text"])
             kp = h.map(keeper)  # NaN where hash has no dup group
-            is_dup = kp.notna().to_numpy() \
-                & (b["doc_id"].to_numpy(np.int64)
-                   > kp.fillna(np.iinfo(np.int64).max)
-                   .to_numpy(np.int64))
+            hit = kp.notna().to_numpy()
+            is_dup = np.zeros(len(b), dtype=bool)
+            if hit.any():  # compare only the hits — an int64-max NaN
+                # sentinel would warn (float->int64 cast overflow)
+                is_dup[hit] = (b["doc_id"].to_numpy(np.int64)[hit]
+                               > kp[hit].astype(np.int64).to_numpy())
             g = pd.DataFrame({"source": b["source"].to_numpy(object),
                               "n_docs": np.int64(1),
                               "n_dups": is_dup.astype(np.int64)})
