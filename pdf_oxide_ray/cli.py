@@ -84,6 +84,16 @@ def main(argv: list[str] | None = None) -> int:
     p_ing.add_argument("--no-markdown", action="store_true")
     p_ing.add_argument("--no-spans", action="store_true")
 
+    p_pdf = sub.add_parser("extract-pdfs",
+                           help="extract a directory/glob of raw .pdf "
+                           "files (the reference CLI's input mode)")
+    p_pdf.add_argument("--input", required=True,
+                       help="directory or glob of .pdf files")
+    p_pdf.add_argument("--output", required=True)
+    p_pdf.add_argument("--no-markdown", action="store_true")
+    p_pdf.add_argument("--no-spans", action="store_true")
+    p_pdf.add_argument("--batch-size", type=int, default=64)
+
     args = parser.parse_args(argv)
     _ensure_ray()
     import ray
@@ -131,6 +141,22 @@ def main(argv: list[str] | None = None) -> int:
                 args.input, args.output,
                 want_markdown=not args.no_markdown,
                 keep_spans=not args.no_spans)))
+        elif args.cmd == "extract-pdfs":
+            from .sources.pdf_files import extract_pdf_dir
+
+            ds = extract_pdf_dir(args.input,
+                                 want_markdown=not args.no_markdown,
+                                 keep_spans=not args.no_spans,
+                                 batch_size=args.batch_size)
+            ds.write_parquet(args.output)
+            import ray.data as rd
+
+            back = rd.read_parquet(args.output,
+                                   columns=["status"]).to_pandas()
+            print(json.dumps({
+                "rows": int(len(back)),
+                "errors": int((back["status"] == "error").sum()),
+                "output": args.output}))
         elif args.cmd == "metrics":
             import ray.data as rd
 
