@@ -64,6 +64,8 @@ def main(argv: list[str] | None = None) -> int:
     p_exp.add_argument("--output", required=True)
     p_exp.add_argument("--format", choices=["text", "markdown", "html"],
                        default="text")
+    p_exp.add_argument("--sink", choices=["parquet", "jsonl"],
+                       default="parquet")
 
     p_val = sub.add_parser("validate", help="quality tails over an "
                            "extracted output dir (validate_dataset shape)")
@@ -120,7 +122,8 @@ def main(argv: list[str] | None = None) -> int:
             from .pipelines.flagship import run_export
 
             print(json.dumps(run_export(args.input, args.output,
-                                        fmt=args.format)))
+                                        fmt=args.format,
+                                        sink=args.sink)))
         elif args.cmd == "validate":
             import ray.data as rd
 

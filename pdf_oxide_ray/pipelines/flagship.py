@@ -385,15 +385,22 @@ def run_extraction_partitioned(input_path: str, out_dir: str, *,
 
 
 def run_export(input_path: str, out_dir: str, fmt: str = "text", *,
-               batch_size: int = DEFAULT_BATCH_SIZE) -> dict:
+               batch_size: int = DEFAULT_BATCH_SIZE,
+               sink: str = "parquet") -> dict:
     """Per-format export job — the distributed analogue of the
     reference's export_to_{text,markdown,html} bins
     (``/root/reference/src/bin/export_to_*.rs``): extract, render the
     requested format per turn, write (conv_id, turn_idx, content)
-    parquet. HTML renders each turn's spans through the semantic
-    converter (R6) inside the same batch pass."""
+    rows. HTML renders each turn's spans through the semantic
+    converter (R6) inside the same batch pass. ``sink`` picks the
+    output format: ``parquet`` (production — column-pruned reads) or
+    ``jsonl`` (``Dataset.write_json`` — the interchange format LM
+    training loaders commonly consume); both stream per block, never
+    one giant file."""
     if fmt not in ("text", "markdown", "html"):
         raise ValueError(f"unknown export format {fmt!r}")
+    if sink not in ("parquet", "jsonl"):
+        raise ValueError(f"unknown sink {sink!r}")
     tune_for_pipeline()
     ds = read_transcripts(input_path)
     extracted = extract_dataset(ds, want_markdown=(fmt == "markdown"),
@@ -427,5 +434,8 @@ def run_export(input_path: str, out_dir: str, fmt: str = "text", *,
         })
 
     out = extracted.map_batches(render, batch_format="pyarrow")
-    out.write_parquet(out_dir)
-    return {"out_dir": out_dir, "format": fmt}
+    if sink == "jsonl":
+        out.write_json(out_dir)
+    else:
+        out.write_parquet(out_dir)
+    return {"out_dir": out_dir, "format": fmt, "sink": sink}

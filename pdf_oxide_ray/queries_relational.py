@@ -1701,6 +1701,38 @@ def q_value_skew_by_type(sf_dir: str) -> pd.DataFrame:
         .sort_values("event_type").reset_index(drop=True)
 
 
+def q_value_winsor_mean(sf_dir: str) -> pd.DataFrame:
+    """Grouped 5/95 WINSORIZED mean of ``value`` per event type — the
+    robust-mean screen (clip the tails to the 5th/95th percentile,
+    then average) that telemetry rollups use against sensor spikes.
+    Same bounded-value-histogram plan as MAD/mode/outliers: ONE skinny
+    (type, v6, cnt) reduce, lo/hi per type via the shared
+    percentile_disc index rule (``sorted[ceil(n*p)-1]``), and the
+    winsorized SUM is Σ cnt·clip(v6, lo, hi) accumulated in Python big
+    ints over HISTOGRAM CELLS (a documented driver-side small final —
+    cells are bounded by #types x #distinct values, never corpus
+    rows), mirroring the twin's HUGEINT SUM exactly. The mean is the
+    identical IEEE chain ``CAST(s AS DOUBLE) / n / 1e6`` on both
+    sides. NULL values are excluded like SQL."""
+    h = _typed_hist(sf_dir)
+    if h.empty:
+        return _empty_typed(event_type=object, winsor_mean="float64",
+                            n="int64")
+    lo = _disc_quantile_per_group(h, 0.05)
+    hi = _disc_quantile_per_group(h, 0.95)
+    rows = []
+    for typ, g in h.groupby("event_type"):
+        v = g["v6"].to_numpy(np.int64)
+        cnt = g["cnt"].to_numpy(np.int64)
+        cl = np.clip(v, lo[typ], hi[typ])
+        s = sum(int(x) * int(c) for x, c in zip(cl, cnt))
+        n = int(cnt.sum())
+        rows.append((typ, float(s) / float(n) / 1e6, n))
+    return pd.DataFrame(rows, columns=["event_type", "winsor_mean", "n"]) \
+        .astype({"winsor_mean": "float64", "n": "int64"}) \
+        .sort_values("event_type").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # relational division: users who performed EVERY event type
 # ---------------------------------------------------------------------------
@@ -1798,6 +1830,7 @@ RELATIONAL_QUERIES = {
     "value_hour_correlation": q_value_hour_correlation,
     "value_skew_by_type": q_value_skew_by_type,
     "loyal_users": q_loyal_users,
+    "value_winsor_mean": q_value_winsor_mean,
 }
 
 RELATIONAL_ORACLES = {
@@ -2159,6 +2192,24 @@ RELATIONAL_ORACLES = {
               GROUP BY user_id
               HAVING COUNT(DISTINCT event_type) =
                      (SELECT COUNT(DISTINCT event_type) FROM events))""",
+    # clip bounds from quantile_disc (the shared index rule); HUGEINT
+    # SUM mirrored by the engine's Python-int cell accumulation
+    "value_winsor_mean": """
+        WITH v AS (
+          SELECT event_type,
+                 CAST(round(value * 1000000) AS BIGINT) AS v6
+          FROM events WHERE value IS NOT NULL),
+        q AS (
+          SELECT event_type, quantile_disc(v6, 0.05) AS lo,
+                 quantile_disc(v6, 0.95) AS hi
+          FROM v GROUP BY 1)
+        SELECT v.event_type,
+               CAST(SUM(CASE WHEN v6 < lo THEN lo
+                             WHEN v6 > hi THEN hi ELSE v6 END)
+                    AS DOUBLE) / COUNT(*) / 1000000.0 AS winsor_mean,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM v JOIN q USING (event_type)
+        GROUP BY v.event_type""",
 }
 
 

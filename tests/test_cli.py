@@ -56,6 +56,18 @@ def test_cli_export_and_validate(tmp_path):
             body = "".join(t.column("content").to_pylist()[:200])
             assert "<h1>" in body or "<p>" in body
 
+    # JSONL sink: line-delimited records a training loader can stream
+    out_jl = str(tmp_path / "exp_jsonl")
+    summary = json.loads(_run_cli("export", "--input", src, "--output",
+                                  out_jl, "--format", "text",
+                                  "--sink", "jsonl"))
+    assert summary["sink"] == "jsonl"
+    files = [f for f in os.listdir(out_jl) if f.endswith(".json")]
+    assert files
+    with open(os.path.join(out_jl, files[0])) as f:
+        rec = json.loads(f.readline())
+    assert {"conv_id", "turn_idx", "content", "status"} <= set(rec)
+
     flag_out = str(tmp_path / "flag")
     _run_cli("flagship", "--input", src, "--output", flag_out, "--no-spans")
     tails = json.loads(_run_cli("validate", "--input", flag_out))
