@@ -1733,6 +1733,65 @@ def q_value_winsor_mean(sf_dir: str) -> pd.DataFrame:
         .sort_values("event_type").reset_index(drop=True)
 
 
+def q_priority_month_chi2(sf_dir: str) -> pd.DataFrame:
+    """Chi-square test of independence between order PRIORITY and order
+    MONTH — the hypothesis-test shape (seasonality screen) no other
+    query covers. ONE bounded reduce builds the (priority, month)
+    contingency table (#priorities x 12 cells — dimension-scale
+    regardless of corpus rows); the driver completes the grid with the
+    ZERO cells chi-square requires (every observed-priority x
+    observed-month combination), computes each cell's term
+    ``(O*n - r*c)^2 / (n*r*c)`` as ONE IEEE chain from the exact
+    integer marginals, and quantizes EVERY TERM to the half-away 1e-6
+    grid BEFORE summing — integer summation is order-independent, so
+    engine and twin agree bit-for-bit no matter their iteration
+    orders. Output: chi2, Cramér's V, dof, n (single row; empty input
+    -> empty frame like the twin)."""
+    ds = _pq(sf_dir, "orders", ["o_orderpriority", "o_orderdate"])
+
+    def cells(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "prio": b["o_orderpriority"].to_numpy(object),
+            "month": b["o_orderdate"].dt.month.to_numpy(np.int64),
+            "o": np.int64(1)}).groupby(["prio", "month"],
+                                       as_index=False).sum()
+
+    c = _reduce_partials(ds.map_batches(cells, batch_format="pandas"),
+                         ["prio", "month"], ["o"])
+    empty = _empty_typed(chi2="float64", cramers_v="float64",
+                         dof="int64", n="int64")
+    if c.empty:
+        return empty
+    pv = np.sort(c["prio"].unique())
+    mv = np.sort(c["month"].unique())
+    grid = c.set_index(["prio", "month"])["o"] \
+        .reindex(pd.MultiIndex.from_product([pv, mv]), fill_value=0) \
+        .to_numpy(np.int64).reshape(len(pv), len(mv))
+    n = int(grid.sum())
+    r = grid.sum(axis=1).astype(np.int64)
+    col = grid.sum(axis=0).astype(np.int64)
+    # exact int operands -> one IEEE chain per cell, then per-term
+    # half-away 1e-6 quantization so the SUM is order-independent
+    num = (grid.astype(np.float64) * float(n)
+           - r[:, None].astype(np.float64) * col[None, :].astype(np.float64))
+    den = float(n) * r[:, None].astype(np.float64) \
+        * col[None, :].astype(np.float64)
+    term = num * num / den * 1e6
+    t6 = np.copysign(np.floor(np.abs(term) + 0.5), term).astype(np.int64)
+    chi2 = float(int(t6.sum())) / 1e6
+    dof = (len(pv) - 1) * (len(mv) - 1)
+    if dof == 0 or n == 0:
+        v = float("nan")
+    else:
+        vraw = np.sqrt(chi2 / (float(n) * min(len(pv) - 1,
+                                              len(mv) - 1))) * 1e6
+        v = float(np.copysign(np.floor(np.abs(vraw) + 0.5), vraw)) / 1e6
+    return pd.DataFrame({"chi2": pd.Series([chi2], dtype="float64"),
+                         "cramers_v": pd.Series([v], dtype="float64"),
+                         "dof": pd.Series([dof], dtype="int64"),
+                         "n": pd.Series([n], dtype="int64")})
+
+
 # ---------------------------------------------------------------------------
 # relational division: users who performed EVERY event type
 # ---------------------------------------------------------------------------
@@ -1831,6 +1890,7 @@ RELATIONAL_QUERIES = {
     "value_skew_by_type": q_value_skew_by_type,
     "loyal_users": q_loyal_users,
     "value_winsor_mean": q_value_winsor_mean,
+    "priority_month_chi2": q_priority_month_chi2,
 }
 
 RELATIONAL_ORACLES = {
@@ -2210,6 +2270,49 @@ RELATIONAL_ORACLES = {
                CAST(COUNT(*) AS BIGINT) AS n
         FROM v JOIN q USING (event_type)
         GROUP BY v.event_type""",
+    # per-cell terms quantized half-away at 1e-6 BEFORE the sum so the
+    # total is order-independent; the IEEE chain per cell matches the
+    # engine operand-for-operand. DuckDB's 0/0 -> NULL mirrors the
+    # engine's NaN on dof=0 (both serialize empty).
+    "priority_month_chi2": """
+        WITH c AS (
+          SELECT o_orderpriority AS prio,
+                 CAST(month(o_orderdate) AS BIGINT) AS month,
+                 CAST(COUNT(*) AS BIGINT) AS o
+          FROM orders GROUP BY 1, 2),
+        g AS (
+          SELECT p.prio, m.month, COALESCE(c.o, 0) AS o
+          FROM (SELECT DISTINCT prio FROM c) p
+          CROSS JOIN (SELECT DISTINCT month FROM c) m
+          LEFT JOIN c ON c.prio = p.prio AND c.month = m.month),
+        marg AS (
+          SELECT o,
+                 SUM(o) OVER (PARTITION BY prio) AS r,
+                 SUM(o) OVER (PARTITION BY month) AS col,
+                 SUM(o) OVER () AS n
+          FROM g),
+        terms AS (
+          SELECT n,
+                 CAST(round((CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+                             - CAST(r AS DOUBLE) * CAST(col AS DOUBLE))
+                            * (CAST(o AS DOUBLE) * CAST(n AS DOUBLE)
+                               - CAST(r AS DOUBLE) * CAST(col AS DOUBLE))
+                            / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE)
+                               * CAST(col AS DOUBLE))
+                            * 1000000) AS BIGINT) AS t6
+          FROM marg),
+        dims AS (SELECT CAST(COUNT(DISTINCT prio) AS BIGINT) AS np,
+                        CAST(COUNT(DISTINCT month) AS BIGINT) AS nm
+                 FROM c)
+        SELECT CAST(SUM(t6) AS DOUBLE) / 1000000.0 AS chi2,
+               round(sqrt((CAST(SUM(t6) AS DOUBLE) / 1000000.0)
+                          / (CAST(MAX(terms.n) AS DOUBLE)
+                             * LEAST(dims.np - 1, dims.nm - 1)))
+                     * 1000000) / 1000000.0 AS cramers_v,
+               (dims.np - 1) * (dims.nm - 1) AS dof,
+               CAST(MAX(terms.n) AS BIGINT) AS n
+        FROM terms, dims
+        GROUP BY dims.np, dims.nm""",
 }
 
 

@@ -37,7 +37,11 @@ _NAMES = ["order_count_distribution", "top_supplier_revenue",
           "token_zipf_fit", "source_gini", "source_dup_stats",
           "df_histogram", "lang_source_mi", "revenue_concentration",
           "bpe_pair_counts", "ngram_diversity",
+          # priority_month_chi2 hits the dof=0 degenerate path here
+          # (constant priority): engine NaN must mirror the twin's
+          # NULL-from-0/0; the populated path runs on real testdata
           "value_skew_by_type", "loyal_users", "value_winsor_mean",
+          "priority_month_chi2",
           # Q2/Q11 shapes: the shared corpus misses their dimension
           # filters (no EUROPE region / NATION_3 / STANDARD>=40 parts),
           # so here they verify the empty-result parity path; the
@@ -242,7 +246,8 @@ def test_q2_q11_shapes_random(ray_session, tmp_path, seed):
                                   "source_dup_stats",
                                   "revenue_concentration",
                                   "value_skew_by_type", "loyal_users",
-                                  "value_winsor_mean"])
+                                  "value_winsor_mean",
+                                  "priority_month_chi2"])
 def test_relational_above_gate_path(ray_session, monkeypatch, name):
     """Force the distributed-reduce branch (gate=1) and require the
     identical result as the driver-combine path."""
