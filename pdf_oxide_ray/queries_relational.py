@@ -1792,6 +1792,47 @@ def q_priority_month_chi2(sf_dir: str) -> pd.DataFrame:
                          "n": pd.Series([n], dtype="int64")})
 
 
+def q_benford_screen(sf_dir: str) -> pd.DataFrame:
+    """Benford's-law screen over order totals — the data-forensics /
+    quality check (fabricated or truncated money columns drift from
+    the log distribution of leading digits). The leading digit comes
+    from the INTEGER CENTS' decimal string (exact on both engines —
+    no float log10/pow anywhere near the digit; cents >= 100 for any
+    total >= 1, so the cents leading digit IS the value's), counted
+    per batch into a 9-cell reduce. share = n/total is one IEEE
+    division of exact ints; the Benford expectation ``log10(1 + 1/d)``
+    and the deviation both quantize to the shared half-away 1e-6 grid.
+    Digits with zero observations are absent on both sides (SQL
+    GROUP BY semantics)."""
+    ds = _pq(sf_dir, "orders", ["o_totalprice"])
+
+    def digits(b: pd.DataFrame) -> pd.DataFrame:
+        c = _cents(b["o_totalprice"]).to_numpy()
+        c = c[c > 0]
+        d = pd.Series(c).astype(str).str[0].astype(np.int64)
+        return pd.DataFrame({"digit": d, "n": np.int64(1)}) \
+            .groupby("digit", as_index=False).sum()
+
+    agg = _reduce_partials(ds.map_batches(digits, batch_format="pandas"),
+                           ["digit"], ["n"])
+    if agg.empty:
+        return _empty_typed(digit="int64", n="int64", share="float64",
+                            benford="float64", dev="float64")
+    agg = agg.sort_values("digit").reset_index(drop=True)
+    n = agg["n"].to_numpy(np.int64)
+    total = int(n.sum())
+    d = agg["digit"].to_numpy(np.int64)
+    share_raw = (n.astype(np.float64) / float(total)) * 1e6
+    share6 = np.copysign(np.floor(np.abs(share_raw) + 0.5), share_raw)
+    ben_raw = np.log10(1.0 + 1.0 / d.astype(np.float64)) * 1e6
+    ben6 = np.copysign(np.floor(np.abs(ben_raw) + 0.5), ben_raw)
+    dev6 = share6 - ben6  # exact int difference of the quantized pair
+    return pd.DataFrame({"digit": d, "n": n,
+                         "share": share6 / 1e6,
+                         "benford": ben6 / 1e6,
+                         "dev": dev6 / 1e6})
+
+
 # ---------------------------------------------------------------------------
 # relational division: users who performed EVERY event type
 # ---------------------------------------------------------------------------
@@ -1891,6 +1932,7 @@ RELATIONAL_QUERIES = {
     "loyal_users": q_loyal_users,
     "value_winsor_mean": q_value_winsor_mean,
     "priority_month_chi2": q_priority_month_chi2,
+    "benford_screen": q_benford_screen,
 }
 
 RELATIONAL_ORACLES = {
@@ -2313,6 +2355,27 @@ RELATIONAL_ORACLES = {
                CAST(MAX(terms.n) AS BIGINT) AS n
         FROM terms, dims
         GROUP BY dims.np, dims.nm""",
+    # leading digit from the integer-cents decimal string (exact both
+    # sides); share and the Benford constant quantize half-away at 1e-6
+    "benford_screen": """
+        WITH c AS (
+          SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+                                        AS BIGINT) AS VARCHAR),
+                             1, 1) AS BIGINT) AS digit
+          FROM orders
+          WHERE CAST(round(o_totalprice * 100) AS BIGINT) > 0),
+        a AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+              FROM c GROUP BY 1),
+        t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM a),
+        q AS (
+          SELECT digit, n,
+                 round(CAST(n AS DOUBLE) / t.total * 1000000) AS s6,
+                 round(log10(1 + 1.0 / digit) * 1000000) AS b6
+          FROM a, t)
+        SELECT digit, n, s6 / 1000000.0 AS share,
+               b6 / 1000000.0 AS benford,
+               (s6 - b6) / 1000000.0 AS dev
+        FROM q""",
 }
 
 
