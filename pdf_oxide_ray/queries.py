@@ -844,6 +844,40 @@ def q_quality_score(sf_dir: str) -> pd.DataFrame:
         batch_format="pandas").to_pandas()
 
 
+def q_compression_ratio(sf_dir: str) -> pd.DataFrame:
+    """Compressibility quality signal (the Gopher-family heuristic:
+    text that zlib crushes far below ~0.4x is boilerplate/template —
+    a dedup/repetition target BEFORE expensive near-dup passes).
+    Rows-only: zlib is not SQL-expressible, so the canonical hash is
+    pinned in tests/test_pinned_rows_only.py (zlib level 6 is
+    deterministic; confirmed identical across num_cpus in fresh
+    sessions before pinning). Per-batch C-speed ``zlib.compress`` per
+    DOC (same granularity as content hashing — a per-document codec
+    call, not a per-row hot loop over records); ONE streamed pass, no
+    exchange. Ratio quantizes to the shared half-away 1e-6 grid;
+    empty docs -> NaN ratio."""
+    import zlib
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def comp(b: pd.DataFrame) -> pd.DataFrame:
+        enc = [t.encode("utf-8") for t in b["text"].fillna("")]
+        raw = np.array([len(e) for e in enc], np.int64)
+        cz = np.array([len(zlib.compress(e, 6)) for e in enc], np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            r = np.where(raw > 0,
+                         cz.astype(np.float64)
+                         / np.maximum(raw, 1).astype(np.float64),
+                         np.nan) * 1e6
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(np.int64),
+            "raw_bytes": raw, "comp_bytes": cz,
+            "ratio": np.copysign(np.floor(np.abs(r) + 0.5), r) / 1e6})
+
+    return ds.map_batches(comp, batch_format="pandas").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
 def q_lang_id(sf_dir: str) -> pd.DataFrame:
     """Heuristic language ID (stopword profiles). The SQL twin mirrors the
     stopword-hit argmax with first-max-wins tie-breaking; the CJK charset
@@ -2857,6 +2891,7 @@ QUERIES = {
     "redact_pii": q_redact_pii,
     "quality_features": q_quality_features,
     "quality_score": q_quality_score,
+    "compression_ratio": q_compression_ratio,
     "lang_id": q_lang_id,
     "props_rollup": q_props_rollup,
     "split_assign": q_split_assign,

@@ -41,6 +41,9 @@ PINNED = {
     # row-id-hash bucketing makes the coreset batching-invariant
     # (confirmed at num_cpus=4/16 in fresh sessions before pinning)
     "value_quantile_sketch": "52af4f7ffd7cad5c9af350a3136a344e",
+    # zlib level 6 is deterministic per doc; confirmed at num_cpus=4/16
+    # in fresh sessions before pinning
+    "compression_ratio": "e42650a31503837ba76e6934418b8818",
 }
 
 

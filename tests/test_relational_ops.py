@@ -180,6 +180,33 @@ def test_relational_matches_oracle_random(ray_session, tmp_path, seed,
                   name)
 
 
+def test_skew_split_recombination_extremes(ray_session, tmp_path):
+    """value_skew_by_type's hi/lo int64 split at the domain edges:
+    max-magnitude cents (560.21 -> v=56021, v^4 ~ 9.8e18 > int64 max
+    per element) and NEGATIVE values (signed s3 split) must still
+    recombine to the twin's exact HUGEINT moments."""
+    vals = ([560.21] * 40 + [-560.21] * 17 + [0.01, 0.0, 123.45] * 11
+            + [559.99, -0.5, 0.5] * 7)
+    ev = pd.DataFrame({
+        "event_id": np.arange(len(vals), dtype=np.int64),
+        "ts": pd.to_datetime("2024-01-01"),
+        "user_id": np.int64(0),
+        "event_type": ["spike" if i % 2 else "dip"
+                       for i in range(len(vals))],
+        "value": np.float64(vals),
+        "props": "{}"})
+    d = tmp_path / "extremes"
+    os.makedirs(d, exist_ok=True)
+    ev.to_parquet(d / "events.parquet", index=False)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{d}/events.parquet')")
+    mine = QUERIES["value_skew_by_type"](str(d))
+    gold = con.execute(ORACLE_SQL["value_skew_by_type"]).fetchdf()
+    _assert_equal(mine, gold, "value_skew_by_type-extremes")
+    assert (mine["n"] > 0).all() and mine["skew"].notna().all()
+
+
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_q2_q11_shapes_random(ray_session, tmp_path, seed):
     """Q2 (min-cost supplier) and Q11 (part value share) on a corpus
