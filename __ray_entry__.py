@@ -86,7 +86,7 @@ def _flagship_queries() -> dict[str, Callable[[str], Any]]:
 # part_value_share value_skew_by_type loyal_users value_winsor_mean
 # priority_month_chi2 benford_screen), the corpus-diagnostics
 # family (token_zipf_fit source_gini source_dup_stats df_histogram
-# lang_source_mi ngram_diversity), the r2-era
+# lang_source_mi ngram_diversity source_vocab_overlap), the r2-era
 # tail outside this window (incremental_dedup
 # was windowed; check CORRECTNESS_r03 for any red/missing rows first),
 # and top the list up with round-1 families that then have the OLDEST

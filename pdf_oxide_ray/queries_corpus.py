@@ -21,6 +21,9 @@ over the `documents` table:
 * `ngram_diversity`  — per-source bigram type/token ratio (distinct-n
   diversity): the repetitiveness screen that flags template-heavy
   sources before tokenizer training.
+* `source_vocab_overlap` — pairwise vocabulary Jaccard between
+  sources (token-keyed bitmask OR + per-block boolean matmul): the
+  lineage diagnostic one level above doc-exact duplication.
 
 Shuffle budget (SCALE.md doctrine): every query pre-aggregates inside
 ``map_batches`` so the only exchanges carry (key, partial) rows —
@@ -568,6 +571,107 @@ def q_ngram_diversity(sf_dir: str) -> pd.DataFrame:
         .sort_values("source").reset_index(drop=True)
 
 
+def q_source_vocab_overlap(sf_dir: str) -> pd.DataFrame:
+    """Pairwise VOCABULARY Jaccard between sources — the lineage
+    diagnostic one level above ``cross_source_dups`` (doc-level): two
+    sources sharing most of their token vocabulary are the same feed
+    even when no document is byte-identical. Distributed shape:
+    per-batch distinct (token, source) pairs; ONE token-keyed exchange
+    combines each token's source set as an int64 BITMASK (the
+    ``loyal_users`` custom-``AggregateFn`` OR — sources are
+    dimension-few, guarded at 63); per-block pair counts are ONE
+    boolean matmul ``B.T @ B`` over the unpacked mask bits (#sources²
+    cells), and the driver reduces #sources² partials — the vocabulary
+    itself NEVER reaches the driver. Jaccard divides exact int64
+    counts once (IEEE), then the shared half-away 1e-6 quantization;
+    only pairs with common vocab appear (the twin's inner-join
+    semantics)."""
+    import ray
+    from ray.data.aggregate import AggregateFn
+
+    ds = _pq(sf_dir, "documents", ["text", "source"])
+
+    src = _reduce_partials(
+        ds.map_batches(
+            lambda b: b[["source"]].drop_duplicates()
+            .assign(n=np.int64(1)),
+            batch_format="pandas"),
+        ["source"], ["n"])
+    empty = _empty_typed(source_a=object, source_b=object,
+                         n_common="int64", jaccard="float64")
+    if src.empty:
+        return empty
+    sources = sorted(src["source"].astype(str))
+    if len(sources) > 63:
+        raise NotImplementedError(
+            "source_vocab_overlap's bitmask path supports <=63 sources; "
+            "use the two-level distinct-census shape beyond that")
+    bit_of = {s: np.int64(1) << i for i, s in enumerate(sources)}
+    nsrc = len(sources)
+
+    def pairs(b: pd.DataFrame) -> pd.DataFrame:
+        s = b["text"].fillna("").str.split().explode().dropna()
+        if s.empty:
+            return pd.DataFrame({"token": pd.Series([], dtype=object),
+                                 "mask": pd.Series([], dtype="int64")})
+        g = pd.DataFrame({"token": s.to_numpy(object),
+                          "mask": b["source"].loc[s.index].map(bit_of)
+                          .to_numpy(np.int64)}).drop_duplicates()
+        # pre-OR within the batch so the exchange carries one row per
+        # (token, batch), not one per (token, source, batch) —
+        # vectorized via factorize + sorted reduceat (no per-group
+        # Python lambda)
+        codes, uniq = pd.factorize(g["token"], sort=False)
+        order = np.argsort(codes, kind="mergesort")
+        m = g["mask"].to_numpy(np.int64)[order]
+        c = codes[order]
+        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
+        return pd.DataFrame({"token": uniq[c[starts]].astype(object),
+                             "mask": np.bitwise_or.reduceat(m, starts)})
+
+    or_agg = AggregateFn(
+        init=lambda k: 0,
+        accumulate_block=lambda a, blk: a | int(
+            np.bitwise_or.reduce(blk["mask"].to_numpy(), initial=0)),
+        merge=lambda a1, a2: a1 | a2,
+        name="mask")
+
+    def block_counts(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["mask"].to_numpy(np.int64)
+        bits = ((m[:, None] >> np.arange(nsrc)) & 1).astype(np.int64)
+        mat = bits.T @ bits  # (nsrc, nsrc) pair counts for this block
+        i, j = np.triu_indices(nsrc)
+        return pd.DataFrame({"i": i.astype(np.int64),
+                             "j": j.astype(np.int64),
+                             "n": mat[i, j].astype(np.int64)})
+
+    with _scoped_parallelism(32):
+        per_tok = ds.map_batches(pairs, batch_format="pandas") \
+            .groupby("token").aggregate(or_agg)
+        agg = _reduce_partials(
+            per_tok.map_batches(block_counts, batch_format="pandas"),
+            ["i", "j"], ["n"])
+    if agg.empty:
+        return empty
+    diag = {int(r["i"]): int(r["n"]) for _, r in agg.iterrows()
+            if r["i"] == r["j"]}
+    off = agg[(agg["i"] != agg["j"]) & (agg["n"] > 0)]
+    if off.empty:
+        return empty
+    na = off["i"].map(diag).to_numpy(np.int64)
+    nb = off["j"].map(diag).to_numpy(np.int64)
+    nab = off["n"].to_numpy(np.int64)
+    raw = nab.astype(np.float64) / (na + nb - nab).astype(np.float64) * 1e6
+    j6 = np.copysign(np.floor(np.abs(raw) + 0.5), raw)
+    return pd.DataFrame({
+        "source_a": off["i"].map(dict(enumerate(sources)))
+        .to_numpy(object),
+        "source_b": off["j"].map(dict(enumerate(sources)))
+        .to_numpy(object),
+        "n_common": nab, "jaccard": j6 / 1e6}) \
+        .sort_values(["source_a", "source_b"]).reset_index(drop=True)
+
+
 CORPUS_QUERIES = {
     "token_zipf_fit": q_token_zipf_fit,
     "source_gini": q_source_gini,
@@ -577,6 +681,7 @@ CORPUS_QUERIES = {
     "revenue_concentration": q_revenue_concentration,
     "bpe_pair_counts": q_bpe_pair_counts,
     "ngram_diversity": q_ngram_diversity,
+    "source_vocab_overlap": q_source_vocab_overlap,
 }
 
 CORPUS_ORACLES = {
@@ -739,6 +844,27 @@ CORPUS_ORACLES = {
                      / CAST(COUNT(*) AS DOUBLE) * 1000000, 0)
                / 1000000.0 AS diversity
         FROM bi GROUP BY source""",
+    # same whitespace tokenizer; inner-join semantics (only pairs with
+    # common vocab); one IEEE division of exact counts + half-away 1e-6
+    "source_vocab_overlap": rf"""
+        WITH ts AS (
+          SELECT DISTINCT source, tok
+          FROM (SELECT source, {_TOK_SQL} AS tok FROM documents)),
+        v AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nv
+              FROM ts GROUP BY 1),
+        ab AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_common
+          FROM ts a JOIN ts b
+            ON a.tok = b.tok AND a.source < b.source
+          GROUP BY 1, 2)
+        SELECT source_a, source_b, n_common,
+               ROUND(CAST(n_common AS DOUBLE)
+                     / CAST(va.nv + vb.nv - n_common AS DOUBLE)
+                     * 1000000, 0) / 1000000.0 AS jaccard
+        FROM ab
+        JOIN v va ON va.source = ab.source_a
+        JOIN v vb ON vb.source = ab.source_b""",
 }
 
 

@@ -36,7 +36,7 @@ _NAMES = ["order_count_distribution", "top_supplier_revenue",
           # docs and duplicate short texts all arise across the seeds)
           "token_zipf_fit", "source_gini", "source_dup_stats",
           "df_histogram", "lang_source_mi", "revenue_concentration",
-          "bpe_pair_counts", "ngram_diversity",
+          "bpe_pair_counts", "ngram_diversity", "source_vocab_overlap",
           # priority_month_chi2 hits the dof=0 degenerate path here
           # (constant priority): engine NaN must mirror the twin's
           # NULL-from-0/0; the populated path runs on real testdata
@@ -450,7 +450,8 @@ def test_retention_cohorts_bucketed_path_matches(ray_session,
                                   "hourly_ffill", "daily_trending",
                                   "embedding_gram", "ngram_diversity",
                                   "min_cost_supplier",
-                                  "part_value_share"])
+                                  "part_value_share",
+                                  "source_vocab_overlap"])
 def test_relational2_above_gate_path(ray_session, monkeypatch, name):
     """TPC-H-tail family: force the distributed branch (gate=1) and
     require the identical result as the driver-combine path — for
