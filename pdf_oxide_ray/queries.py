@@ -381,6 +381,74 @@ def q_user_sessions(sf_dir: str) -> pd.DataFrame:
         .sort_values("user_id").reset_index(drop=True)
 
 
+def q_session_intervals(sf_dir: str) -> pd.DataFrame:
+    """Gaps-and-islands MATERIALIZATION: the merged session intervals
+    themselves — (user, session_idx, start, end, n_events) with a
+    30-minute inactivity gap — where ``user_sessions`` reports only
+    counts. The canonical islands shape (LAG -> break flag -> running
+    SUM island id -> per-island rollup) runs VECTORIZED inside the
+    same ``user_id % 64`` bucket exchange: one sorted diff marks
+    breaks, one cumsum numbers islands, one groupby((user, island))
+    rolls up — no per-user group calls. Output cardinality is
+    #sessions; at corpus scale the consumer is a sink, exactly like
+    the other per-row feature ops. Tie order (ts, event_id) matches
+    the twin's window ORDER BY."""
+    ds = _pq(sf_dir, "events", ["user_id", "ts", "event_id"])
+    gap_us = 30 * 60 * 1_000_000
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__bucket"] = (b["user_id"] % 64).astype(np.int64)
+        return b
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        u = g["user_id"].to_numpy(np.int64)
+        empty = pd.DataFrame({
+            "user_id": pd.Series([], dtype="int64"),
+            "session_idx": pd.Series([], dtype="int64"),
+            "session_start": pd.Series([], dtype="datetime64[us]"),
+            "session_end": pd.Series([], dtype="datetime64[us]"),
+            "n_events": pd.Series([], dtype="int64")})
+        if not len(u):
+            return empty
+        ts = g["ts"].to_numpy("datetime64[us]").astype(np.int64)
+        same = np.concatenate([[False], u[1:] == u[:-1]])
+        brk = same & (np.concatenate([[0], np.diff(ts)]) > gap_us)
+        new_user = ~same
+        sid = np.cumsum(brk | new_user)  # global island id in bucket
+        isl = pd.DataFrame({"user_id": u, "sid": sid, "ts": ts}) \
+            .groupby(["user_id", "sid"], as_index=False) \
+            .agg(session_start=("ts", "min"), session_end=("ts", "max"),
+                 n_events=("ts", "size"))
+        isl = isl.sort_values(["user_id", "sid"])
+        isl["session_idx"] = isl.groupby("user_id").cumcount() + 1
+        return pd.DataFrame({
+            "user_id": isl["user_id"].to_numpy(np.int64),
+            "session_idx": isl["session_idx"].to_numpy(np.int64),
+            "session_start": isl["session_start"].to_numpy(np.int64)
+            .view("datetime64[us]"),
+            "session_end": isl["session_end"].to_numpy(np.int64)
+            .view("datetime64[us]"),
+            "n_events": isl["n_events"].to_numpy(np.int64)})
+
+    with _scoped_parallelism(64):
+        out = ds.map_batches(add_bucket, batch_format="pandas") \
+            .groupby("__bucket").map_groups(per_bucket,
+                                            batch_format="pandas") \
+            .to_pandas()
+    if out.empty:
+        return _empty_typed(user_id="int64", session_idx="int64",
+                            session_start="datetime64[us]",
+                            session_end="datetime64[us]",
+                            n_events="int64")
+    out["session_start"] = out["session_start"].astype("datetime64[us]")
+    out["session_end"] = out["session_end"].astype("datetime64[us]")
+    return out.astype({"user_id": "int64", "session_idx": "int64",
+                       "n_events": "int64"}) \
+        .sort_values(["user_id", "session_idx"]).reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # joins
 # ---------------------------------------------------------------------------
@@ -2874,6 +2942,7 @@ QUERIES = {
     "top_customers": q_top_customers,
     "ordered_assembly": q_ordered_assembly,
     "user_sessions": q_user_sessions,
+    "session_intervals": q_session_intervals,
     "join_customer_orders": q_join_customer_orders,
     "join_lineitem_orders": q_join_lineitem_orders,
     "supplier_nation_region": q_supplier_nation_region,
@@ -3124,6 +3193,24 @@ ORACLE_SQL = {
           FROM events)
         SELECT user_id, CAST(1 + SUM(new_s) AS BIGINT) AS n_sessions
         FROM g GROUP BY user_id""",
+    # canonical gaps-and-islands: LAG -> break -> running SUM island id
+    "session_intervals": """
+        WITH o AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS brk
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        s AS (
+          SELECT user_id, ts,
+                 SUM(brk) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+          FROM o)
+        SELECT user_id, CAST(sid + 1 AS BIGINT) AS session_idx,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM s GROUP BY user_id, sid""",
     "ordered_assembly": """
         SELECT user_id,
                string_agg(event_type, ',' ORDER BY ts, event_id)

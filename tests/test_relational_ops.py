@@ -41,7 +41,7 @@ _NAMES = ["order_count_distribution", "top_supplier_revenue",
           # (constant priority): engine NaN must mirror the twin's
           # NULL-from-0/0; the populated path runs on real testdata
           "value_skew_by_type", "loyal_users", "value_winsor_mean",
-          "priority_month_chi2", "benford_screen",
+          "priority_month_chi2", "benford_screen", "session_intervals",
           # Q2/Q11 shapes: the shared corpus misses their dimension
           # filters (no EUROPE region / NATION_3 / STANDARD>=40 parts),
           # so here they verify the empty-result parity path; the
