@@ -86,6 +86,15 @@ def main(argv: list[str] | None = None) -> int:
     p_ing.add_argument("--no-markdown", action="store_true")
     p_ing.add_argument("--no-spans", action="store_true")
 
+    p_prep = sub.add_parser("prep", help="composed training-data prep: "
+                            "quality filter -> decontaminate -> exact "
+                            "dedup -> split-partitioned parquet")
+    p_prep.add_argument("--input", required=True,
+                        help="documents parquet dir/file")
+    p_prep.add_argument("--output", required=True)
+    p_prep.add_argument("--quality-p", type=float, default=None,
+                        help="quality percentile cut (default: P75)")
+
     p_pdf = sub.add_parser("extract-pdfs",
                            help="extract a directory/glob of raw .pdf "
                            "files (the reference CLI's input mode)")
@@ -144,6 +153,11 @@ def main(argv: list[str] | None = None) -> int:
                 args.input, args.output,
                 want_markdown=not args.no_markdown,
                 keep_spans=not args.no_spans)))
+        elif args.cmd == "prep":
+            from .pipelines.training_prep import run_training_prep
+
+            print(json.dumps(run_training_prep(
+                args.input, args.output, quality_p=args.quality_p)))
         elif args.cmd == "extract-pdfs":
             from .sources.pdf_files import extract_pdf_dir
 

@@ -942,8 +942,11 @@ def q_compression_ratio(sf_dir: str) -> pd.DataFrame:
             "raw_bytes": raw, "comp_bytes": cz,
             "ratio": np.copysign(np.floor(np.abs(r) + 0.5), r) / 1e6})
 
-    return ds.map_batches(comp, batch_format="pandas").to_pandas() \
-        .sort_values("doc_id").reset_index(drop=True)
+    out = ds.map_batches(comp, batch_format="pandas").to_pandas()
+    if out.empty:  # zero-block column-less frame on an empty corpus
+        return _empty_typed(doc_id="int64", raw_bytes="int64",
+                            comp_bytes="int64", ratio="float64")
+    return out.sort_values("doc_id").reset_index(drop=True)
 
 
 def q_lang_id(sf_dir: str) -> pd.DataFrame:
