@@ -84,8 +84,8 @@ def _flagship_queries() -> dict[str, Callable[[str], Any]]:
 # pareto_orders fuzzy_part_pairs cooccurrence_triangles
 # embedding_gram hourly_ffill daily_trending min_cost_supplier
 # part_value_share value_skew_by_type loyal_users value_winsor_mean
-# priority_month_chi2 benford_screen session_intervals),
-# the corpus-diagnostics
+# priority_month_chi2 benford_screen session_intervals
+# user_type_breadth), the corpus-diagnostics
 # family (token_zipf_fit source_gini source_dup_stats df_histogram
 # lang_source_mi ngram_diversity source_vocab_overlap), the r2-era
 # tail outside this window (incremental_dedup

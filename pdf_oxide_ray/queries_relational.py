@@ -1733,6 +1733,69 @@ def q_value_winsor_mean(sf_dir: str) -> pd.DataFrame:
         .sort_values("event_type").reset_index(drop=True)
 
 
+def q_user_type_breadth(sf_dir: str) -> pd.DataFrame:
+    """Engagement-breadth distribution: for each k, how many users
+    touched exactly k distinct event types — the histogram
+    generalization of ``q_loyal_users``' division (k = #types is the
+    loyal bucket). Same bitmask machinery: per-batch (user, OR-mask)
+    partials, ONE user-keyed ``AggregateFn`` OR exchange, then
+    per-block POPCOUNT histograms (k is bounded by #types) reduce to
+    #types rows on the driver — per-user rows never leave the
+    cluster."""
+    from ray.data.aggregate import AggregateFn
+
+    types_ds = _pq(sf_dir, "events", ["event_type"])
+    tmap = _reduce_partials(
+        types_ds.map_batches(
+            lambda b: b.drop_duplicates(subset=["event_type"])
+            .assign(n=np.int64(1)),
+            batch_format="pandas"),
+        ["event_type"], ["n"])
+    if tmap.empty:
+        return _empty_typed(n_types="int64", n_users="int64")
+    types = sorted(tmap["event_type"].astype(str))
+    if len(types) > 63:
+        raise NotImplementedError(
+            "user_type_breadth mask path supports <=63 event types")
+    bit_of = {t: np.int64(1) << i for i, t in enumerate(types)}
+
+    ds = _pq(sf_dir, "events", ["user_id", "event_type"])
+
+    def mask_partial(b: pd.DataFrame) -> pd.DataFrame:
+        u = b["user_id"].to_numpy(np.int64)
+        m = b["event_type"].map(bit_of).to_numpy(np.int64)
+        order = np.argsort(u, kind="mergesort")
+        u, m = u[order], m[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        return pd.DataFrame({"user_id": u[starts],
+                             "mask": np.bitwise_or.reduceat(m, starts)})
+
+    or_agg = AggregateFn(
+        init=lambda k: 0,
+        accumulate_block=lambda a, blk: a | int(
+            np.bitwise_or.reduce(blk["mask"].to_numpy(), initial=0)),
+        merge=lambda a1, a2: a1 | a2,
+        name="mask")
+
+    def popcount_hist(b: pd.DataFrame) -> pd.DataFrame:
+        m = b["mask"].to_numpy(np.int64)
+        k = np.zeros(len(m), np.int64)
+        for i in range(len(types)):  # #types iterations, vectorized rows
+            k += (m >> i) & 1
+        h = pd.Series(k).value_counts()
+        return pd.DataFrame({"n_types": h.index.to_numpy(np.int64),
+                             "n_users": h.to_numpy(np.int64)})
+
+    with _scoped_parallelism(32):
+        per_user = ds.map_batches(mask_partial, batch_format="pandas") \
+            .groupby("user_id").aggregate(or_agg)
+        out = _reduce_partials(
+            per_user.map_batches(popcount_hist, batch_format="pandas"),
+            ["n_types"], ["n_users"])
+    return out.astype({"n_types": "int64", "n_users": "int64"}) \
+        .sort_values("n_types").reset_index(drop=True)
+
+
 def q_priority_month_chi2(sf_dir: str) -> pd.DataFrame:
     """Chi-square test of independence between order PRIORITY and order
     MONTH — the hypothesis-test shape (seasonality screen) no other
@@ -1933,6 +1996,7 @@ RELATIONAL_QUERIES = {
     "value_winsor_mean": q_value_winsor_mean,
     "priority_month_chi2": q_priority_month_chi2,
     "benford_screen": q_benford_screen,
+    "user_type_breadth": q_user_type_breadth,
 }
 
 RELATIONAL_ORACLES = {
@@ -2376,6 +2440,13 @@ RELATIONAL_ORACLES = {
                b6 / 1000000.0 AS benford,
                (s6 - b6) / 1000000.0 AS dev
         FROM q""",
+    "user_type_breadth": """
+        WITH k AS (
+          SELECT user_id,
+                 CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+          FROM events GROUP BY user_id)
+        SELECT n_types, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM k GROUP BY n_types""",
 }
 
 

@@ -42,6 +42,7 @@ _NAMES = ["order_count_distribution", "top_supplier_revenue",
           # NULL-from-0/0; the populated path runs on real testdata
           "value_skew_by_type", "loyal_users", "value_winsor_mean",
           "priority_month_chi2", "benford_screen", "session_intervals",
+          "user_type_breadth",
           # Q2/Q11 shapes: the shared corpus misses their dimension
           # filters (no EUROPE region / NATION_3 / STANDARD>=40 parts),
           # so here they verify the empty-result parity path; the
@@ -275,7 +276,8 @@ def test_q2_q11_shapes_random(ray_session, tmp_path, seed):
                                   "value_skew_by_type", "loyal_users",
                                   "value_winsor_mean",
                                   "priority_month_chi2",
-                                  "benford_screen"])
+                                  "benford_screen",
+                                  "user_type_breadth"])
 def test_relational_above_gate_path(ray_session, monkeypatch, name):
     """Force the distributed-reduce branch (gate=1) and require the
     identical result as the driver-combine path."""
