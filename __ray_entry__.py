@@ -76,22 +76,31 @@ def _flagship_queries() -> dict[str, Callable[[str], Any]]:
 # front-loads the 45 oracle-backed queries that have never had a driver row,
 # plus pack_blocks (red in r02 on an oracle-twin dtype bug, fixed — must
 # re-prove inside the window) and the newly-oracled rows-only conversions.
-# ROUND-4 ROTATION TODO: front-load the still-never-certified oracles —
-# the whole queries_relational2 family (forecast_revenue market_share
-# product_profit late_shipments supplier_part_census small_qty_revenue
-# disjunctive_revenue waiting_suppliers customer_order_ranks bigram_pmi
-# hourly_gapfill event_cooccurrence dominant_suppliers revenue_cube
-# pareto_orders fuzzy_part_pairs cooccurrence_triangles
-# embedding_gram hourly_ffill daily_trending min_cost_supplier
-# part_value_share value_skew_by_type loyal_users value_winsor_mean
-# priority_month_chi2 benford_screen session_intervals
-# user_type_breadth), the corpus-diagnostics
-# family (token_zipf_fit source_gini source_dup_stats df_histogram
-# lang_source_mi ngram_diversity source_vocab_overlap), the r2-era
-# tail outside this window (incremental_dedup
-# was windowed; check CORRECTNESS_r03 for any red/missing rows first),
-# and top the list up with round-1 families that then have the OLDEST
-# green row.
+# ROUND-4 ROTATION (precomputed; FIRST check CORRECTNESS_r03 for red
+# rows — any red r3-window query must STAY in the window to re-prove):
+# swap _DRIVER_WINDOW_R3 below for this list — the 40 oracle-backed
+# queries never driver-certified through r3, the 4 never-checked
+# rows-only entries, topped up with 6 round-1 names whose green row is
+# then the oldest:
+# _DRIVER_WINDOW_R4 = [
+#   "session_intervals", "cluster_topics", "cluster_purity",
+#   "value_skew_by_type", "loyal_users", "value_winsor_mean",
+#   "priority_month_chi2", "benford_screen", "user_type_breadth",
+#   "forecast_revenue", "market_share", "product_profit",
+#   "late_shipments", "supplier_part_census", "small_qty_revenue",
+#   "disjunctive_revenue", "waiting_suppliers", "customer_order_ranks",
+#   "hourly_gapfill", "event_cooccurrence", "dominant_suppliers",
+#   "bigram_pmi", "revenue_cube", "pareto_orders", "fuzzy_part_pairs",
+#   "cooccurrence_triangles", "embedding_gram", "hourly_ffill",
+#   "daily_trending", "min_cost_supplier", "part_value_share",
+#   "token_zipf_fit", "source_gini", "source_dup_stats",
+#   "df_histogram", "lang_source_mi", "revenue_concentration",
+#   "bpe_pair_counts", "ngram_diversity", "source_vocab_overlap",
+#   "compression_ratio", "heading_stats", "image_thumbnails",
+#   "value_quantile_sketch",
+#   "turn_counts", "category_stats", "events_hourly", "dedup_exact",
+#   "minhash_dedup", "user_sessions",
+# ]
 _DRIVER_WINDOW_R3 = [
     "pack_blocks", "fk_audit",
     # relational / analytic session-2+3 families, never driver-checked:
