@@ -97,3 +97,23 @@ def test_bucketed_join_matches_pandas_merge(ray_session, seed, nullable):
     w = want[key_cols].sort_values(key_cols, kind="mergesort") \
         .reset_index(drop=True).astype("float64")
     pd.testing.assert_frame_equal(g, w)
+
+
+@given(vals=st.lists(st.integers(min_value=-56021, max_value=56021),
+                     min_size=1, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_moment_hilo_split_recombines_exactly(vals):
+    """value_skew_by_type's hi/lo int64 split: the per-batch partials
+    (s3h, s3l) and (s4a, s4b, s4c) must recombine to the EXACT Σv³ and
+    Σv⁴ (computed in Python big ints) for any values in the quantized
+    cents domain — including negatives and the ±max edge."""
+    v = np.asarray(vals, np.int64)
+    v2 = v * v
+    hi, lo = v2 >> 16, v2 & 0xFFFF
+    s3h, s3l = int((v * hi).sum()), int((v * lo).sum())
+    s4a, s4b, s4c = int((hi * hi).sum()), int((hi * lo).sum()), \
+        int((lo * lo).sum())
+    s3 = (s3h << 16) + s3l
+    s4 = (s4a << 32) + (s4b << 17) + s4c
+    assert s3 == sum(int(x) ** 3 for x in vals)
+    assert s4 == sum(int(x) ** 4 for x in vals)
