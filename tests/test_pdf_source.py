@@ -29,6 +29,10 @@ def _write_pdf_dir(tmp_path, n=10, seed=7) -> dict[str, str]:
         f.write(b"%PDF-1.4 garbage \xff\xfe truncated")
     payloads[bad] = "%PDF-1.4 garbage \xff\xfe truncated".encode(
         "latin-1").decode("latin-1")
+    # and one zero-byte file: flows through as an empty payload row
+    empty = str(d / "doc_empty.pdf")
+    open(empty, "wb").close()
+    payloads[empty] = ""
     return payloads
 
 
@@ -70,7 +74,7 @@ def test_extract_pdf_dir_writes_parquet(ray_session, tmp_path):
     extract_pdf_dir(str(tmp_path / "pdfs"),
                     keep_spans=False).write_parquet(out_dir)
     back = pq.read_table(out_dir)
-    assert back.num_rows == 5
+    assert back.num_rows == 6  # 4 pdfs + malformed + zero-byte
     assert "extracted_text" in back.column_names
 
 
@@ -91,5 +95,5 @@ def test_cli_extract_pdfs(tmp_path):
         capture_output=True, text=True, cwd=repo, timeout=300)
     assert res.returncode == 0, res.stderr[-2000:]
     summary = json.loads(res.stdout.strip().splitlines()[-1])
-    assert summary["rows"] == 6
+    assert summary["rows"] == 7  # 5 pdfs + malformed + zero-byte
     assert summary["errors"] == 1  # the malformed file, as a row
