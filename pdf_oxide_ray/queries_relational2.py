@@ -1295,6 +1295,69 @@ q_daily_trending.__doc__ = q_daily_trending.__doc__.format(
     topk=_TRENDING_TOPK)
 
 
+def q_hourly_autocorr(sf_dir: str) -> pd.DataFrame:
+    """Diurnal-seasonality detector: per event type, the Pearson
+    autocorrelation of the hourly count series at lag 24 h (r ~ 1
+    means a strong daily cycle; ~0 means arrival noise) — the
+    time-series lag-correlation shape no other query covers.
+    Distributed part: ONE bounded (type, hour) count reduce (cells
+    bounded by #types x corpus time span, the ``hourly_ffill``
+    discipline); the lag join and the correlation close DRIVER-side on
+    that dimension-scale table in arbitrary-precision ints — the
+    num / sqrt(d1*d2) chain and half-away 1e-6 quantization are the
+    ``value_hour_correlation`` conventions exactly, and only hours
+    with BOTH endpoints observed pair up (the twin's inner join).
+    Degenerate variance (constant series) -> NULL on both sides."""
+    ds = _pq(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b["event_type"].to_numpy(object),
+            "h": b["ts"].dt.floor("h").to_numpy(),
+            "n": np.int64(1)}) \
+            .groupby(["event_type", "h"], as_index=False).sum()
+
+    c = _reduce_partials(ds.map_batches(partial, batch_format="pandas"),
+                         ["event_type", "h"], ["n"])
+    if c.empty:
+        return _empty_typed(event_type=object, n_pairs="int64",
+                            r24="float64")
+    c["h"] = c["h"].astype("datetime64[us]")
+    c["n"] = c["n"].astype(np.int64)
+    lag = np.timedelta64(24, "h")
+    rows = []
+    for typ, g in c.groupby("event_type"):
+        g = g.sort_values("h")
+        hv = g["h"].to_numpy("datetime64[us]")
+        nv = g["n"].to_numpy(np.int64)
+        target = hv + lag
+        idx = np.searchsorted(hv, target)
+        ok = (idx < len(hv)) & (hv[np.minimum(idx, len(hv) - 1)]
+                                == target)
+        x = nv[ok]
+        y = nv[idx[ok]]
+        npairs = int(ok.sum())
+        if npairs == 0:
+            continue
+        sx, sy = int(x.sum()), int(y.sum())
+        sxy = int((x * y).sum())
+        sxx, syy = int((x * x).sum()), int((y * y).sum())
+        d1 = npairs * sxx - sx * sx
+        d2 = npairs * syy - sy * sy
+        if d1 == 0 or d2 == 0:
+            rows.append((typ, npairs, np.nan))
+            continue
+        v = float(npairs * sxy - sx * sy) / np.sqrt(float(d1 * d2)) * 1e6
+        rows.append((typ, npairs,
+                     np.copysign(np.floor(np.abs(v) + 0.5), v) / 1e6))
+    if not rows:
+        return _empty_typed(event_type=object, n_pairs="int64",
+                            r24="float64")
+    return pd.DataFrame(rows, columns=["event_type", "n_pairs", "r24"]) \
+        .astype({"n_pairs": "int64", "r24": "float64"}) \
+        .sort_values("event_type").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # TPC-H Q2: minimum-cost supplier per part (correlated MIN + argmin re-join)
 # ---------------------------------------------------------------------------
@@ -1494,6 +1557,7 @@ RELATIONAL2_QUERIES = {
     "daily_trending": q_daily_trending,
     "min_cost_supplier": q_min_cost_supplier,
     "part_value_share": q_part_value_share,
+    "hourly_autocorr": q_hourly_autocorr,
 }
 
 # shared by event_cooccurrence and cooccurrence_triangles (which embeds
@@ -1824,6 +1888,32 @@ RELATIONAL2_ORACLES = {
         SELECT p_partkey, CAST(value_c AS DOUBLE) / 100.0 AS value
         FROM v
         WHERE value_c * {_Q11_SHARE_DEN} > (SELECT SUM(value_c) FROM v)""",
+    # identical integer moment chain + half-away 1e-6; inner-join pair
+    # semantics (both endpoints observed)
+    "hourly_autocorr": """
+        WITH c AS (
+          SELECT event_type, date_trunc('hour', ts) AS h,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        p AS (
+          SELECT a.event_type, a.n AS x, b.n AS y
+          FROM c a JOIN c b ON b.event_type = a.event_type
+                           AND b.h = a.h + INTERVAL 24 HOUR),
+        m AS (
+          SELECT event_type, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx,
+                 SUM(y * y) AS syy
+          FROM p GROUP BY 1)
+        SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+               CASE WHEN n * sxx - sx * sx = 0
+                      OR n * syy - sy * sy = 0 THEN NULL
+                    ELSE ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                               / sqrt(CAST((n * sxx - sx * sx)
+                                           * (n * syy - sy * sy)
+                                           AS DOUBLE)) * 1000000, 0)
+                         / 1000000.0
+               END AS r24
+        FROM m""",
 }
 
 
