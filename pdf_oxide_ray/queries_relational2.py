@@ -1358,6 +1358,65 @@ def q_hourly_autocorr(sf_dir: str) -> pd.DataFrame:
         .sort_values("event_type").reset_index(drop=True)
 
 
+def q_daily_trend_test(sf_dir: str) -> pd.DataFrame:
+    """Mann-Kendall trend test per event type over the DAILY count
+    series — the nonparametric is-volume-trending monitor (S = number
+    of increasing minus decreasing day pairs; Z normalizes with the
+    tie-corrected variance). ONE bounded (type, day) reduce; the
+    O(days²) pair scan, tie groups and the variance formula
+    ``(m(m-1)(2m+5) - Σ t(t-1)(2t+5)) / 18`` all run DRIVER-side on
+    the dimension-scale series in exact Python ints (days are bounded
+    by the corpus time span — the ``daily_trending`` discipline), and
+    Z closes over one IEEE sqrt+divide from those exact integers,
+    half-away 1e-6 like every quantized statistic here. Types with a
+    single observed day have no pairs and are absent on both sides
+    (the twin's inner-join semantics); all-tied series give S = 0 ->
+    Z = 0 exactly."""
+    ds = _pq(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b["event_type"].to_numpy(object),
+            "day": b["ts"].dt.floor("D").to_numpy(),
+            "n": np.int64(1)}) \
+            .groupby(["event_type", "day"], as_index=False).sum()
+
+    c = _reduce_partials(ds.map_batches(partial, batch_format="pandas"),
+                         ["event_type", "day"], ["n"])
+    empty = _empty_typed(event_type=object, s_stat="int64",
+                         n_days="int64", z="float64")
+    if c.empty:
+        return empty
+    c["n"] = c["n"].astype(np.int64)
+    rows = []
+    for typ, g in c.groupby("event_type"):
+        nv = g.sort_values("day")["n"].to_numpy(np.int64)
+        m = len(nv)
+        if m < 2:
+            continue
+        diff_sign = np.sign(nv[None, :] - nv[:, None])
+        s = int(np.triu(diff_sign, 1).sum())
+        _, tie_counts = np.unique(nv, return_counts=True)
+        tie_term = sum(int(t) * (int(t) - 1) * (2 * int(t) + 5)
+                       for t in tie_counts)
+        var_num = m * (m - 1) * (2 * m + 5) - tie_term
+        if s == 0:
+            z = 0.0
+        elif var_num <= 0:
+            z = np.nan
+        else:
+            adj = s - 1 if s > 0 else s + 1
+            v = float(adj) / np.sqrt(float(var_num) / 18.0) * 1e6
+            z = float(np.copysign(np.floor(np.abs(v) + 0.5), v)) / 1e6
+        rows.append((typ, s, m, z))
+    if not rows:
+        return empty
+    return pd.DataFrame(rows, columns=["event_type", "s_stat",
+                                       "n_days", "z"]) \
+        .astype({"s_stat": "int64", "n_days": "int64", "z": "float64"}) \
+        .sort_values("event_type").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # TPC-H Q2: minimum-cost supplier per part (correlated MIN + argmin re-join)
 # ---------------------------------------------------------------------------
@@ -1558,6 +1617,7 @@ RELATIONAL2_QUERIES = {
     "min_cost_supplier": q_min_cost_supplier,
     "part_value_share": q_part_value_share,
     "hourly_autocorr": q_hourly_autocorr,
+    "daily_trend_test": q_daily_trend_test,
 }
 
 # shared by event_cooccurrence and cooccurrence_triangles (which embeds
@@ -1914,6 +1974,42 @@ RELATIONAL2_ORACLES = {
                          / 1000000.0
                END AS r24
         FROM m""",
+    # exact integer S / m / tie groups; one IEEE sqrt+divide then the
+    # shared half-away 1e-6; single-day types drop via the inner join
+    "daily_trend_test": """
+        WITH d AS (
+          SELECT event_type, date_trunc('day', ts) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        s AS (
+          SELECT a.event_type,
+                 CAST(SUM(CASE WHEN b.n > a.n THEN 1
+                               WHEN b.n < a.n THEN -1
+                               ELSE 0 END) AS BIGINT) AS s_stat
+          FROM d a JOIN d b ON b.event_type = a.event_type
+                           AND b.day > a.day
+          GROUP BY 1),
+        m AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m
+              FROM d GROUP BY 1),
+        t AS (
+          SELECT event_type, SUM(c * (c - 1) * (2 * c + 5)) AS tie_term
+          FROM (SELECT event_type, n, CAST(COUNT(*) AS BIGINT) AS c
+                FROM d GROUP BY 1, 2)
+          GROUP BY 1)
+        SELECT s.event_type, s.s_stat, m.m AS n_days,
+               CASE WHEN s.s_stat = 0 THEN 0.0
+                    WHEN m.m * (m.m - 1) * (2 * m.m + 5) - t.tie_term
+                         <= 0 THEN NULL
+                    ELSE ROUND(CAST(CASE WHEN s.s_stat > 0
+                                         THEN s.s_stat - 1
+                                         ELSE s.s_stat + 1 END AS DOUBLE)
+                               / sqrt(CAST(m.m * (m.m - 1) * (2 * m.m + 5)
+                                           - t.tie_term AS DOUBLE)
+                                      / 18.0) * 1000000, 0) / 1000000.0
+               END AS z
+        FROM s
+        JOIN m USING (event_type)
+        JOIN t USING (event_type)""",
 }
 
 
