@@ -101,8 +101,9 @@ def _flagship_queries() -> dict[str, Callable[[str], Any]]:
 #   "turn_counts", "category_stats", "events_hourly", "dedup_exact",
 #   "minhash_dedup", "user_sessions",
 # ]
-# (post-list additions also never certified: hourly_autocorr and
-# daily_trend_test — swap them for two of the six round-1 top-ups.)
+# (post-list additions also never certified: hourly_autocorr,
+# daily_trend_test and source_length_ks — swap them for three of the
+# six round-1 top-ups.)
 _DRIVER_WINDOW_R3 = [
     "pack_blocks", "fk_audit",
     # relational / analytic session-2+3 families, never driver-checked:

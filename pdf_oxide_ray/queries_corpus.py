@@ -672,6 +672,54 @@ def q_source_vocab_overlap(sf_dir: str) -> pd.DataFrame:
         .sort_values(["source_a", "source_b"]).reset_index(drop=True)
 
 
+def q_source_length_ks(sf_dir: str) -> pd.DataFrame:
+    """Distribution-drift screen: for every source, the exact
+    two-sample Kolmogorov-Smirnov statistic between ITS document-length
+    distribution and the WHOLE corpus' — the curator's "which feed is
+    distributionally weird" report. ONE bounded (source, n_chars)
+    histogram reduce (the ``source_gini`` cells); the ECDF gap
+    ``max |F_a - F| = max |ca*n - cg*na| / (na*n)`` is an EXACT
+    integer argmax over histogram cells in Python big ints (driver-side
+    small final — cells are #sources x #distinct lengths), closed by
+    ONE IEEE division mirrored by the twin — no quantization anywhere.
+    Sources with zero docs cannot appear; an all-one-source corpus
+    yields ks = 0 exactly on both sides."""
+    ds = _pq(sf_dir, "documents", ["source", "n_chars"])
+
+    def hist(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": b["source"].to_numpy(object),
+            "n_chars": b["n_chars"].to_numpy(np.int64),
+            "c": np.int64(1)}) \
+            .groupby(["source", "n_chars"], as_index=False).sum()
+
+    h = _reduce_partials(ds.map_batches(hist, batch_format="pandas"),
+                         ["source", "n_chars"], ["c"])
+    if h.empty:
+        return _empty_typed(source=object, n_docs="int64", ks="float64")
+    vals = np.sort(h["n_chars"].unique())
+    g_counts = h.groupby("n_chars")["c"].sum() \
+        .reindex(vals, fill_value=0).to_numpy(np.int64)
+    g_cum = np.cumsum(g_counts)
+    ng = int(g_cum[-1])
+    rows = []
+    for src, grp in h.groupby("source"):
+        a = grp.groupby("n_chars")["c"].sum() \
+            .reindex(vals, fill_value=0).to_numpy(np.int64)
+        a_cum = np.cumsum(a)
+        na = int(a_cum[-1])
+        best = 0
+        for ca, cg in zip(a_cum.tolist(), g_cum.tolist()):
+            d = abs(int(ca) * ng - int(cg) * na)
+            if d > best:
+                best = d
+        rows.append((src, na, float(best)
+                     / (float(na) * float(ng))))
+    return pd.DataFrame(rows, columns=["source", "n_docs", "ks"]) \
+        .astype({"n_docs": "int64", "ks": "float64"}) \
+        .sort_values("source").reset_index(drop=True)
+
+
 CORPUS_QUERIES = {
     "token_zipf_fit": q_token_zipf_fit,
     "source_gini": q_source_gini,
@@ -682,6 +730,7 @@ CORPUS_QUERIES = {
     "bpe_pair_counts": q_bpe_pair_counts,
     "ngram_diversity": q_ngram_diversity,
     "source_vocab_overlap": q_source_vocab_overlap,
+    "source_length_ks": q_source_length_ks,
 }
 
 CORPUS_ORACLES = {
@@ -865,6 +914,38 @@ CORPUS_ORACLES = {
         FROM ab
         JOIN v va ON va.source = ab.source_a
         JOIN v vb ON vb.source = ab.source_b""",
+    # exact integer ECDF-gap argmax, ONE double division at the end —
+    # the engine mirrors the (na_d * ng_d) denominator product exactly
+    "source_length_ks": """
+        WITH h AS (
+          SELECT source, n_chars, CAST(COUNT(*) AS BIGINT) AS c
+          FROM documents GROUP BY 1, 2),
+        grid AS (
+          SELECT s.source, v.n_chars
+          FROM (SELECT DISTINCT source FROM documents) s
+          CROSS JOIN (SELECT DISTINCT n_chars FROM documents) v),
+        j AS (
+          SELECT grid.source, grid.n_chars, COALESCE(h.c, 0) AS c
+          FROM grid LEFT JOIN h USING (source, n_chars)),
+        cum AS (
+          SELECT source, n_chars,
+                 SUM(c) OVER (PARTITION BY source
+                              ORDER BY n_chars) AS ca
+          FROM j),
+        gc AS (
+          SELECT n_chars, SUM(c) OVER (ORDER BY n_chars) AS cg
+          FROM (SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS c
+                FROM documents GROUP BY 1)),
+        tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS na
+                FROM documents GROUP BY 1),
+        n AS (SELECT CAST(COUNT(*) AS BIGINT) AS ng FROM documents)
+        SELECT cum.source, tot.na AS n_docs,
+               CAST(MAX(ABS(cum.ca * n.ng - gc.cg * tot.na)) AS DOUBLE)
+               / (CAST(tot.na AS DOUBLE) * CAST(n.ng AS DOUBLE)) AS ks
+        FROM cum
+        JOIN gc USING (n_chars)
+        JOIN tot USING (source), n
+        GROUP BY cum.source, tot.na, n.ng""",
 }
 
 

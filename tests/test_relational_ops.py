@@ -37,6 +37,7 @@ _NAMES = ["order_count_distribution", "top_supplier_revenue",
           "token_zipf_fit", "source_gini", "source_dup_stats",
           "df_histogram", "lang_source_mi", "revenue_concentration",
           "bpe_pair_counts", "ngram_diversity", "source_vocab_overlap",
+          "source_length_ks",
           # priority_month_chi2 hits the dof=0 degenerate path here
           # (constant priority): engine NaN must mirror the twin's
           # NULL-from-0/0; the populated path runs on real testdata
@@ -455,7 +456,8 @@ def test_retention_cohorts_bucketed_path_matches(ray_session,
                                   "part_value_share",
                                   "source_vocab_overlap",
                                   "hourly_autocorr",
-                                  "daily_trend_test"])
+                                  "daily_trend_test",
+                                  "source_length_ks"])
 def test_relational2_above_gate_path(ray_session, monkeypatch, name):
     """TPC-H-tail family: force the distributed branch (gate=1) and
     require the identical result as the driver-combine path — for
