@@ -1417,6 +1417,53 @@ def q_daily_trend_test(sf_dir: str) -> pd.DataFrame:
         .sort_values("event_type").reset_index(drop=True)
 
 
+def q_daily_changepoint(sf_dir: str) -> pd.DataFrame:
+    """CUSUM changepoint localization per event type over the daily
+    count series: the day where the cumulative deviation from the mean
+    peaks (where the level shift happened), plus the normalized shift
+    magnitude — the monitoring op that complements the Mann-Kendall
+    yes/no trend answer with a WHERE. Exactness: the running statistic
+    is the INTEGER ``cus_t = Σ_{i<=t} (m·n_i - total)`` (mean scaled
+    away — no rationals), the argmax ties break to the EARLIEST day on
+    both sides, and the magnitude closes with one IEEE division chain
+    ``|cus|/(m_d · total_d)``. ONE bounded (type, day) reduce; the
+    scan is driver-side dimension-scale (the ``daily_trending``
+    discipline)."""
+    ds = _pq(sf_dir, "events", ["event_type", "ts"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "event_type": b["event_type"].to_numpy(object),
+            "day": b["ts"].dt.floor("D").to_numpy(),
+            "n": np.int64(1)}) \
+            .groupby(["event_type", "day"], as_index=False).sum()
+
+    c = _reduce_partials(ds.map_batches(partial, batch_format="pandas"),
+                         ["event_type", "day"], ["n"])
+    if c.empty:
+        return _empty_typed(event_type=object,
+                            cp_day="datetime64[us]", shift="float64")
+    c["day"] = c["day"].astype("datetime64[us]")
+    c["n"] = c["n"].astype(np.int64)
+    rows = []
+    for typ, g in c.groupby("event_type"):
+        g = g.sort_values("day")
+        days = g["day"].to_numpy("datetime64[us]")
+        nv = [int(x) for x in g["n"]]
+        m, tot = len(nv), sum(nv)
+        cus, best, best_i = 0, -1, 0
+        for i, n_i in enumerate(nv):
+            cus += m * n_i - tot
+            a = abs(cus)
+            if a > best:  # strict > == earliest-day tie-break
+                best, best_i = a, i
+        rows.append((typ, days[best_i],
+                     float(best) / (float(m) * float(tot))))
+    return pd.DataFrame(rows, columns=["event_type", "cp_day", "shift"]) \
+        .astype({"shift": "float64"}) \
+        .sort_values("event_type").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # TPC-H Q2: minimum-cost supplier per part (correlated MIN + argmin re-join)
 # ---------------------------------------------------------------------------
@@ -1618,6 +1665,7 @@ RELATIONAL2_QUERIES = {
     "part_value_share": q_part_value_share,
     "hourly_autocorr": q_hourly_autocorr,
     "daily_trend_test": q_daily_trend_test,
+    "daily_changepoint": q_daily_changepoint,
 }
 
 # shared by event_cooccurrence and cooccurrence_triangles (which embeds
@@ -2010,6 +2058,34 @@ RELATIONAL2_ORACLES = {
         FROM s
         JOIN m USING (event_type)
         JOIN t USING (event_type)""",
+    # integer CUSUM (mean scaled away by m); earliest-day argmax tie;
+    # one IEEE |cus|/(m_d * tot_d) division closes it
+    "daily_changepoint": """
+        WITH d AS (
+          SELECT event_type, date_trunc('day', ts) AS day,
+                 CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+        agg AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m,
+                 SUM(n) AS tot
+          FROM d GROUP BY 1),
+        c AS (
+          SELECT d.event_type, d.day,
+                 SUM(agg.m * d.n - agg.tot) OVER (
+                   PARTITION BY d.event_type ORDER BY d.day
+                   ROWS UNBOUNDED PRECEDING) AS cus
+          FROM d JOIN agg USING (event_type)),
+        best AS (
+          SELECT event_type, day, ABS(cus) AS a,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY ABS(cus) DESC, day) AS rn
+          FROM c)
+        SELECT b.event_type, b.day AS cp_day,
+               CAST(b.a AS DOUBLE)
+               / (CAST(agg.m AS DOUBLE) * CAST(agg.tot AS DOUBLE))
+                 AS shift
+        FROM best b JOIN agg USING (event_type)
+        WHERE b.rn = 1""",
 }
 
 

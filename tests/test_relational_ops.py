@@ -44,6 +44,7 @@ _NAMES = ["order_count_distribution", "top_supplier_revenue",
           "value_skew_by_type", "loyal_users", "value_winsor_mean",
           "priority_month_chi2", "benford_screen", "session_intervals",
           "user_type_breadth", "hourly_autocorr", "daily_trend_test",
+          "daily_changepoint",
           # Q2/Q11 shapes: the shared corpus misses their dimension
           # filters (no EUROPE region / NATION_3 / STANDARD>=40 parts),
           # so here they verify the empty-result parity path; the
@@ -457,7 +458,8 @@ def test_retention_cohorts_bucketed_path_matches(ray_session,
                                   "source_vocab_overlap",
                                   "hourly_autocorr",
                                   "daily_trend_test",
-                                  "source_length_ks"])
+                                  "source_length_ks",
+                                  "daily_changepoint"])
 def test_relational2_above_gate_path(ray_session, monkeypatch, name):
     """TPC-H-tail family: force the distributed branch (gate=1) and
     require the identical result as the driver-combine path — for
