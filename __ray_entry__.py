@@ -102,8 +102,8 @@ def _flagship_queries() -> dict[str, Callable[[str], Any]]:
 #   "minhash_dedup", "user_sessions",
 # ]
 # (post-list additions also never certified: hourly_autocorr,
-# daily_trend_test, source_length_ks and daily_changepoint — swap them
-# for four of the six round-1 top-ups.)
+# daily_trend_test, source_length_ks, daily_changepoint and
+# label_centroid_sim — swap them for five of the six round-1 top-ups.)
 _DRIVER_WINDOW_R3 = [
     "pack_blocks", "fk_audit",
     # relational / analytic session-2+3 families, never driver-checked:

@@ -2361,6 +2361,60 @@ def q_embedding_quantize(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["vec_id", "i"]).reset_index(drop=True)
 
 
+def q_label_centroid_sim(sf_dir: str) -> pd.DataFrame:
+    """Cluster-separability diagnostic: pairwise cosine similarity of
+    the GROUND-TRUTH label centroids in embedding space (near-1 pairs
+    mean the labeling won't be recoverable by any clustering — run
+    this before judging kmeans purity). Cosine is scale-invariant, so
+    centroid cosine == cosine of the per-label SUM vectors and the n's
+    cancel: each batch emits per-(label, dim) quantized int64
+    component sums (ONE bounded reduce, #labels x 64 cells), and the
+    driver closes every pair with exact Python-int dot/norms + ONE
+    IEEE divide/sqrt chain, half-away 1e-6 — the twin's HUGEINT chain
+    is operand-identical."""
+    ds = _pq(sf_dir, "embeddings", ["label", "embedding"])
+
+    def sums(b: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(b["embedding"].to_numpy()).astype(np.float64) * 1e6
+        q = np.copysign(np.floor(np.abs(mat) + 0.5), mat) \
+            .astype(np.int64)
+        lab = b["label"].to_numpy(np.int64)
+        d = q.shape[1]
+        g = pd.DataFrame({"label": np.repeat(lab, d),
+                          "dim": np.tile(np.arange(1, d + 1,
+                                                   dtype=np.int64),
+                                         len(lab)),
+                          "s": q.reshape(-1)})
+        return g.groupby(["label", "dim"], as_index=False).sum()
+
+    agg = _reduce_partials(ds.map_batches(sums, batch_format="pandas"),
+                           ["label", "dim"], ["s"])
+    if agg.empty:
+        return _empty_typed(label_a="int64", label_b="int64",
+                            cos_sim="float64")
+    vecs = {int(lab): g.sort_values("dim")["s"].astype("int64").tolist()
+            for lab, g in agg.groupby("label")}
+    labels = sorted(vecs)
+    rows = []
+    for i, a in enumerate(labels):
+        va = [int(x) for x in vecs[a]]
+        na2 = sum(x * x for x in va)
+        for b_ in labels[i + 1:]:
+            vb = [int(x) for x in vecs[b_]]
+            nb2 = sum(x * x for x in vb)
+            dot = sum(x * y for x, y in zip(va, vb))
+            if na2 == 0 or nb2 == 0:
+                rows.append((a, b_, np.nan))
+                continue
+            v = float(dot) / np.sqrt(float(na2) * float(nb2)) * 1e6
+            rows.append((a, b_,
+                         np.copysign(np.floor(np.abs(v) + 0.5), v) / 1e6))
+    return pd.DataFrame(rows, columns=["label_a", "label_b", "cos_sim"]) \
+        .astype({"label_a": "int64", "label_b": "int64",
+                 "cos_sim": "float64"}) \
+        .sort_values(["label_a", "label_b"]).reset_index(drop=True)
+
+
 _KMEANS_K = 8
 _KMEANS_ITERS = 5
 _KMEANS_SCALE = float(1 << 20)  # dyadic quantization grid for exact sums
@@ -2992,6 +3046,7 @@ QUERIES = {
     "doc_embed_knn": q_doc_embed_knn,
     "embedding_sim_pairs": q_embedding_sim_pairs,
     "embedding_quantize": q_embedding_quantize,
+    "label_centroid_sim": q_label_centroid_sim,
     "kmeans_assign": q_kmeans_assign,
     "media_features": q_media_features,
     "frame_sampling": q_frame_sampling,
@@ -3755,6 +3810,33 @@ ORACLE_SQL["embedding_quantize"] = """
              CAST(round(CAST(unnest(embedding) AS DOUBLE) * 127.0 / ma)
                   AS BIGINT) END AS q
     FROM m"""
+
+# Label-centroid cosine matrix: cosine is scale-invariant, so the n's
+# cancel and both sides run the identical HUGEINT dot/norm chain over
+# per-(label, dim) quantized component sums.
+ORACLE_SQL["label_centroid_sim"] = """
+    WITH q AS (
+      SELECT CAST(label AS BIGINT) AS label, i.i AS dim,
+             SUM(CAST(round(CAST(embedding[i.i] AS DOUBLE) * 1000000)
+                      AS HUGEINT)) AS s
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) i
+      GROUP BY 1, 2),
+    n2 AS (SELECT label, SUM(s * s) AS nn FROM q GROUP BY 1),
+    p AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             SUM(a.s * b.s) AS dot
+      FROM q a JOIN q b ON a.dim = b.dim AND a.label < b.label
+      GROUP BY 1, 2)
+    SELECT p.label_a, p.label_b,
+           CASE WHEN na.nn = 0 OR nb.nn = 0 THEN NULL
+                ELSE ROUND(CAST(p.dot AS DOUBLE)
+                           / sqrt(CAST(na.nn AS DOUBLE)
+                                  * CAST(nb.nn AS DOUBLE))
+                           * 1000000, 0) / 1000000.0
+           END AS cos_sim
+    FROM p
+    JOIN n2 na ON na.label = p.label_a
+    JOIN n2 nb ON nb.label = p.label_b"""
 
 # Iterative distributed k-means: Lloyd's rounds unrolled into CTEs
 # (exact by the integer-anchored centroid chain — see _kmeans_cte_chain).

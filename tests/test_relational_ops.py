@@ -459,7 +459,8 @@ def test_retention_cohorts_bucketed_path_matches(ray_session,
                                   "hourly_autocorr",
                                   "daily_trend_test",
                                   "source_length_ks",
-                                  "daily_changepoint"])
+                                  "daily_changepoint",
+                                  "label_centroid_sim"])
 def test_relational2_above_gate_path(ray_session, monkeypatch, name):
     """TPC-H-tail family: force the distributed branch (gate=1) and
     require the identical result as the driver-combine path — for
