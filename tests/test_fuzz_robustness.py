@@ -82,3 +82,31 @@ def test_tampered_v5_encryption_dicts_absorbed():
     for t in tampered:
         res = extract_payload(t)
         assert isinstance(res["status"], str)  # absorbed, never raised
+
+
+@settings(max_examples=80, deadline=None)
+@given(seed=st.integers(0, 10_000),
+       cut=st.floats(min_value=0.01, max_value=1.0),
+       flips=st.lists(st.tuples(st.integers(0, 10**9),
+                                st.integers(0, 255)), max_size=8))
+def test_mutated_real_pdfs_absorbed(seed, cut, flips):
+    """STRUCTURED mutation fuzzing: real generated PDF payloads,
+    truncated at an arbitrary point and byte-flipped at arbitrary
+    offsets — this drives the xref-reconstruction / resilient-parse
+    recovery paths that random text never reaches. Must never raise,
+    must stay deterministic (bit-identical result dict incl. spans)."""
+    import random as _random
+
+    from pdf_oxide_ray.gen.transcripts import make_pdf_payload
+
+    payload = make_pdf_payload(_random.Random(seed))
+    raw = bytearray(payload.encode("latin-1"))
+    raw = raw[: max(1, int(len(raw) * cut))]
+    for pos, val in flips:
+        raw[pos % len(raw)] = val
+    text = bytes(raw).decode("latin-1")
+    r1 = extract_payload(text)
+    r2 = extract_payload(text)
+    assert set(r1) >= REQUIRED_KEYS
+    assert r1["status"] in ("ok", "error")
+    assert r1 == r2
