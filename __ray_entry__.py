@@ -72,62 +72,37 @@ def _flagship_queries() -> dict[str, Callable[[str], Any]]:
 
 
 # The driver certifies exactly the FIRST 50 registry entries per round.
-# Round 1+2 certified the 50 round-1-family queries (49 green r02); round 3
-# front-loads the 45 oracle-backed queries that have never had a driver row,
-# plus pack_blocks (red in r02 on an oracle-twin dtype bug, fixed — must
-# re-prove inside the window) and the newly-oracled rows-only conversions.
-# ROUND-4 ROTATION (precomputed; FIRST check CORRECTNESS_r03 for red
-# rows — any red r3-window query must STAY in the window to re-prove):
-# swap _DRIVER_WINDOW_R3 below for this list — the 40 oracle-backed
-# queries never driver-certified through r3, the 4 never-checked
-# rows-only entries, topped up with 6 round-1 names whose green row is
-# then the oldest:
-# _DRIVER_WINDOW_R4 = [
-#   "session_intervals", "cluster_topics", "cluster_purity",
-#   "value_skew_by_type", "loyal_users", "value_winsor_mean",
-#   "priority_month_chi2", "benford_screen", "user_type_breadth",
-#   "forecast_revenue", "market_share", "product_profit",
-#   "late_shipments", "supplier_part_census", "small_qty_revenue",
-#   "disjunctive_revenue", "waiting_suppliers", "customer_order_ranks",
-#   "hourly_gapfill", "event_cooccurrence", "dominant_suppliers",
-#   "bigram_pmi", "revenue_cube", "pareto_orders", "fuzzy_part_pairs",
-#   "cooccurrence_triangles", "embedding_gram", "hourly_ffill",
-#   "daily_trending", "min_cost_supplier", "part_value_share",
-#   "token_zipf_fit", "source_gini", "source_dup_stats",
-#   "df_histogram", "lang_source_mi", "revenue_concentration",
-#   "bpe_pair_counts", "ngram_diversity", "source_vocab_overlap",
-#   "compression_ratio", "heading_stats", "image_thumbnails",
-#   "value_quantile_sketch",
-#   "turn_counts", "category_stats", "events_hourly", "dedup_exact",
-#   "minhash_dedup", "user_sessions",
-# ]
-# (post-list additions also never certified: hourly_autocorr,
-# daily_trend_test, source_length_ks, daily_changepoint and
-# label_centroid_sim — swap them for five of the six round-1 top-ups.)
-_DRIVER_WINDOW_R3 = [
-    "pack_blocks", "fk_audit",
-    # relational / analytic session-2+3 families, never driver-checked:
-    "embedding_ivf_exhaustive", "doc_embed_knn", "embedding_quantize",
-    "event_deltas", "rolling_value_sum", "funnel_conversion",
-    "region_revenue", "priority_semi_counts", "nation_trade_volume",
-    "shipping_priority", "returned_revenue", "group_topk_docs",
-    "source_length_quantiles", "deterministic_shuffle", "mixture_sample",
-    "group_reservoir", "hll_distinct_users", "bloom_filter_orders",
-    "cms_topk_props", "revenue_rollup", "event_type_pivot", "length_cdf",
-    "user_reconcile", "order_count_distribution", "top_supplier_revenue",
-    "large_orders", "idle_rich_customers", "retention_cohorts",
-    "unigram_logprob", "event_transitions", "rolling_time_window",
-    "source_token_entropy", "value_mad_by_type", "value_mode_by_type",
-    "incremental_dedup", "value_trend_by_type", "dup_pagerank",
-    "event_anomaly_hours", "weighted_sample", "table_profile",
-    "value_outliers_by_type", "weekly_active_users", "cross_source_dups",
-    "value_hour_correlation",
-    # kmeans_assign leaves rows-only this round (unrolled-CTE twin);
-    # semantic_dedup is new THIS round and oracle-backed (kmeans CTE
-    # chain + within-cluster NOT EXISTS); feature_census / doc_metadata
-    # are extraction-bound (no SQL twin is expressible over the
-    # driver's views) and get their first driver rows-only rows here.
-    "kmeans_assign", "semantic_dedup", "feature_census", "doc_metadata",
+# Round 1+2 certified the 50 round-1-family queries; round 3 certified
+# the 48 relational/analytic session-2+3 names (48/50 green; the 2
+# non-green were no_oracle rows-only entries, expected). Round 4
+# front-loads the 49 queries with NO driver row through r3: the TPC-H
+# tail shapes, the whole queries_corpus.py diagnostics family, the
+# never-checked rows-only entries (compression_ratio, heading_stats,
+# image_thumbnails, value_quantile_sketch) and the post-r3 additions
+# (hourly_autocorr, daily_trend_test, source_length_ks,
+# daily_changepoint, label_centroid_sim); turn_counts (round-1, oldest
+# green row) tops the list up to 50. After r4 every pre-r4 registry
+# entry has a driver row; the r5 window should front-load queries ADDED
+# in round 4 plus the then-oldest green names.
+_DRIVER_WINDOW_R4 = [
+    "session_intervals", "cluster_topics", "cluster_purity",
+    "value_skew_by_type", "loyal_users", "value_winsor_mean",
+    "priority_month_chi2", "benford_screen", "user_type_breadth",
+    "forecast_revenue", "market_share", "product_profit",
+    "late_shipments", "supplier_part_census", "small_qty_revenue",
+    "disjunctive_revenue", "waiting_suppliers", "customer_order_ranks",
+    "hourly_gapfill", "event_cooccurrence", "dominant_suppliers",
+    "bigram_pmi", "revenue_cube", "pareto_orders", "fuzzy_part_pairs",
+    "cooccurrence_triangles", "embedding_gram", "hourly_ffill",
+    "daily_trending", "min_cost_supplier", "part_value_share",
+    "token_zipf_fit", "source_gini", "source_dup_stats",
+    "df_histogram", "lang_source_mi", "revenue_concentration",
+    "bpe_pair_counts", "ngram_diversity", "source_vocab_overlap",
+    "compression_ratio", "heading_stats", "image_thumbnails",
+    "value_quantile_sketch",
+    "hourly_autocorr", "daily_trend_test", "source_length_ks",
+    "daily_changepoint", "label_centroid_sim",
+    "turn_counts",
 ]
 
 
@@ -136,7 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     full: dict[str, Callable[[str], Any]] = dict(QUERIES)
     full.update(_flagship_queries())
-    out = {n: full.pop(n) for n in _DRIVER_WINDOW_R3 if n in full}
+    out = {n: full.pop(n) for n in _DRIVER_WINDOW_R4 if n in full}
     out.update(full)
     return out
 
