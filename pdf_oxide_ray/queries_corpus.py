@@ -577,17 +577,16 @@ def q_source_vocab_overlap(sf_dir: str) -> pd.DataFrame:
     sources sharing most of their token vocabulary are the same feed
     even when no document is byte-identical. Distributed shape:
     per-batch distinct (token, source) pairs; ONE token-keyed exchange
-    combines each token's source set as an int64 BITMASK (the
-    ``loyal_users`` custom-``AggregateFn`` OR — sources are
-    dimension-few, guarded at 63); per-block pair counts are ONE
-    boolean matmul ``B.T @ B`` over the unpacked mask bits (#sources²
-    cells), and the driver reduces #sources² partials — the vocabulary
-    itself NEVER reaches the driver. Jaccard divides exact int64
-    counts once (IEEE), then the shared half-away 1e-6 quantization;
-    only pairs with common vocab appear (the twin's inner-join
-    semantics)."""
-    import ray
-    from ray.data.aggregate import AggregateFn
+    combines each token's source set as a fixed-width BITMASK
+    (``functions.bitmask``: ``ceil(#sources/63)`` int64 words with one
+    OR ``AggregateFn`` per word, so ANY source count rides the same
+    plan); per-block pair counts are ONE boolean matmul ``B.T @ B``
+    over the unpacked mask bits (#sources² cells), and the driver
+    reduces #sources² partials — the vocabulary itself NEVER reaches
+    the driver. Jaccard divides exact int64 counts once (IEEE), then
+    the shared half-away 1e-6 quantization; only pairs with common
+    vocab appear (the twin's inner-join semantics)."""
+    from .functions import bitmask as bm
 
     ds = _pq(sf_dir, "documents", ["text", "source"])
 
@@ -602,43 +601,33 @@ def q_source_vocab_overlap(sf_dir: str) -> pd.DataFrame:
     if src.empty:
         return empty
     sources = sorted(src["source"].astype(str))
-    if len(sources) > 63:
-        raise NotImplementedError(
-            "source_vocab_overlap's bitmask path supports <=63 sources; "
-            "use the two-level distinct-census shape beyond that")
-    bit_of = {s: np.int64(1) << i for i, s in enumerate(sources)}
     nsrc = len(sources)
+    nw = bm.n_words(nsrc)
+    code_of = {s: i for i, s in enumerate(sources)}
 
     def pairs(b: pd.DataFrame) -> pd.DataFrame:
         s = b["text"].fillna("").str.split().explode().dropna()
         if s.empty:
-            return pd.DataFrame({"token": pd.Series([], dtype=object),
-                                 "mask": pd.Series([], dtype="int64")})
-        g = pd.DataFrame({"token": s.to_numpy(object),
-                          "mask": b["source"].loc[s.index].map(bit_of)
-                          .to_numpy(np.int64)}).drop_duplicates()
+            return pd.DataFrame(
+                {"token": pd.Series([], dtype=object),
+                 **{c: pd.Series([], dtype="int64")
+                    for c in bm.mask_cols(nw)}})
+        g = pd.DataFrame({
+            "token": s.to_numpy(object),
+            "code": b["source"].loc[s.index].map(code_of)
+            .to_numpy(np.int64)}).drop_duplicates()
         # pre-OR within the batch so the exchange carries one row per
         # (token, batch), not one per (token, source, batch) —
         # vectorized via factorize + sorted reduceat (no per-group
         # Python lambda)
         codes, uniq = pd.factorize(g["token"], sort=False)
-        order = np.argsort(codes, kind="mergesort")
-        m = g["mask"].to_numpy(np.int64)[order]
-        c = codes[order]
-        starts = np.flatnonzero(np.r_[True, c[1:] != c[:-1]])
-        return pd.DataFrame({"token": uniq[c[starts]].astype(object),
-                             "mask": np.bitwise_or.reduceat(m, starts)})
-
-    or_agg = AggregateFn(
-        init=lambda k: 0,
-        accumulate_block=lambda a, blk: a | int(
-            np.bitwise_or.reduce(blk["mask"].to_numpy(), initial=0)),
-        merge=lambda a1, a2: a1 | a2,
-        name="mask")
+        masks = bm.encode_codes(g["code"].to_numpy(np.int64), nw)
+        out = bm.or_by_key(codes, masks, "_tok")
+        out.insert(0, "token", uniq[out.pop("_tok")].astype(object))
+        return out
 
     def block_counts(b: pd.DataFrame) -> pd.DataFrame:
-        m = b["mask"].to_numpy(np.int64)
-        bits = ((m[:, None] >> np.arange(nsrc)) & 1).astype(np.int64)
+        bits = bm.unpack_bits(b, nw, nsrc).astype(np.int64)
         mat = bits.T @ bits  # (nsrc, nsrc) pair counts for this block
         i, j = np.triu_indices(nsrc)
         return pd.DataFrame({"i": i.astype(np.int64),
@@ -647,7 +636,7 @@ def q_source_vocab_overlap(sf_dir: str) -> pd.DataFrame:
 
     with _scoped_parallelism(32):
         per_tok = ds.map_batches(pairs, batch_format="pandas") \
-            .groupby("token").aggregate(or_agg)
+            .groupby("token").aggregate(*bm.or_agg_fns(nw))
         agg = _reduce_partials(
             per_tok.map_batches(block_counts, batch_format="pandas"),
             ["i", "j"], ["n"])

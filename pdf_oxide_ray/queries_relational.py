@@ -1737,12 +1737,13 @@ def q_user_type_breadth(sf_dir: str) -> pd.DataFrame:
     """Engagement-breadth distribution: for each k, how many users
     touched exactly k distinct event types — the histogram
     generalization of ``q_loyal_users``' division (k = #types is the
-    loyal bucket). Same bitmask machinery: per-batch (user, OR-mask)
+    loyal bucket). Same bitmask machinery (``functions.bitmask``,
+    multi-word so ANY #types works): per-batch (user, OR-mask)
     partials, ONE user-keyed ``AggregateFn`` OR exchange, then
     per-block POPCOUNT histograms (k is bounded by #types) reduce to
     #types rows on the driver — per-user rows never leave the
     cluster."""
-    from ray.data.aggregate import AggregateFn
+    from .functions import bitmask as bm
 
     types_ds = _pq(sf_dir, "events", ["event_type"])
     tmap = _reduce_partials(
@@ -1754,41 +1755,25 @@ def q_user_type_breadth(sf_dir: str) -> pd.DataFrame:
     if tmap.empty:
         return _empty_typed(n_types="int64", n_users="int64")
     types = sorted(tmap["event_type"].astype(str))
-    if len(types) > 63:
-        raise NotImplementedError(
-            "user_type_breadth mask path supports <=63 event types")
-    bit_of = {t: np.int64(1) << i for i, t in enumerate(types)}
+    nw = bm.n_words(len(types))
+    code_of = {t: i for i, t in enumerate(types)}
 
     ds = _pq(sf_dir, "events", ["user_id", "event_type"])
 
     def mask_partial(b: pd.DataFrame) -> pd.DataFrame:
-        u = b["user_id"].to_numpy(np.int64)
-        m = b["event_type"].map(bit_of).to_numpy(np.int64)
-        order = np.argsort(u, kind="mergesort")
-        u, m = u[order], m[order]
-        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
-        return pd.DataFrame({"user_id": u[starts],
-                             "mask": np.bitwise_or.reduceat(m, starts)})
-
-    or_agg = AggregateFn(
-        init=lambda k: 0,
-        accumulate_block=lambda a, blk: a | int(
-            np.bitwise_or.reduce(blk["mask"].to_numpy(), initial=0)),
-        merge=lambda a1, a2: a1 | a2,
-        name="mask")
+        codes = b["event_type"].map(code_of).to_numpy(np.int64)
+        return bm.or_by_key(b["user_id"].to_numpy(np.int64),
+                            bm.encode_codes(codes, nw), "user_id")
 
     def popcount_hist(b: pd.DataFrame) -> pd.DataFrame:
-        m = b["mask"].to_numpy(np.int64)
-        k = np.zeros(len(m), np.int64)
-        for i in range(len(types)):  # #types iterations, vectorized rows
-            k += (m >> i) & 1
+        k = bm.popcount(b, nw, len(types))
         h = pd.Series(k).value_counts()
         return pd.DataFrame({"n_types": h.index.to_numpy(np.int64),
                              "n_users": h.to_numpy(np.int64)})
 
     with _scoped_parallelism(32):
         per_user = ds.map_batches(mask_partial, batch_format="pandas") \
-            .groupby("user_id").aggregate(or_agg)
+            .groupby("user_id").aggregate(*bm.or_agg_fns(nw))
         out = _reduce_partials(
             per_user.map_batches(popcount_hist, batch_format="pandas"),
             ["n_types"], ["n_users"])
@@ -1904,19 +1889,19 @@ def q_loyal_users(sf_dir: str) -> pd.DataFrame:
     """Relational DIVISION — count users whose event-type set covers
     ALL observed types (the ``HAVING COUNT(DISTINCT t) = (SELECT
     COUNT(DISTINCT t))`` shape no other query exercises). The type
-    domain is dimension-small, so each user's coverage is an int64
-    BITMASK: per batch, (user, OR-of-type-bits) partials (vectorized
-    ``np.bitwise_or.reduceat`` over the batch sorted by user), then
-    ONE user-keyed distributed exchange combines masks with a custom
-    ``AggregateFn`` (bitwise-OR is associative + commutative — exactly
-    what Ray's combine/aggregate contract needs), and per-block
-    full-mask counts reduce to a driver-side scalar. The full corpus
-    never leaves the cluster: the driver sees #blocks count partials.
-    Type->bit assignment is computed from a first pruned pass over the
-    distinct types (broadcast; <=64 types use the mask path, larger
-    domains would fall back to the grouped-distinct-count shape of
-    ``supplier_part_census``)."""
-    from ray.data.aggregate import AggregateFn
+    domain is dimension-small, so each user's coverage is a fixed-width
+    BITMASK (``functions.bitmask``: ``ceil(#types/63)`` int64 words, so
+    ANY domain size rides the same plan): per batch, (user,
+    OR-of-type-bits) partials (vectorized ``np.bitwise_or.reduceat``
+    over the batch sorted by user), then ONE user-keyed distributed
+    exchange combines masks with per-word OR ``AggregateFn``s
+    (bitwise-OR is associative + commutative — exactly what Ray's
+    combine/aggregate contract needs), and per-block full-mask counts
+    reduce to a driver-side scalar. The full corpus never leaves the
+    cluster: the driver sees #blocks count partials. Type->bit
+    assignment is computed from a first pruned pass over the distinct
+    types (broadcast)."""
+    from .functions import bitmask as bm
 
     types_ds = _pq(sf_dir, "events", ["event_type"])
     tmap = _reduce_partials(
@@ -1928,37 +1913,27 @@ def q_loyal_users(sf_dir: str) -> pd.DataFrame:
     if tmap.empty:
         return pd.DataFrame({"n_loyal": pd.Series([0], dtype="int64")})
     types = sorted(tmap["event_type"].astype(str))
-    if len(types) > 63:
-        raise NotImplementedError(
-            "loyal_users mask path supports <=63 event types; use the "
-            "grouped distinct-count shape for larger domains")
-    bit_of = {t: np.int64(1) << i for i, t in enumerate(types)}
-    full = int(np.bitwise_or.reduce(list(bit_of.values())))
+    nw = bm.n_words(len(types))
+    code_of = {t: i for i, t in enumerate(types)}
+    full = bm.full_mask_values(nw, len(types))
 
     ds = _pq(sf_dir, "events", ["user_id", "event_type"])
 
     def mask_partial(b: pd.DataFrame) -> pd.DataFrame:
-        u = b["user_id"].to_numpy(np.int64)
-        m = b["event_type"].map(bit_of).to_numpy(np.int64)
-        order = np.argsort(u, kind="mergesort")
-        u, m = u[order], m[order]
-        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
-        return pd.DataFrame({"user_id": u[starts],
-                             "mask": np.bitwise_or.reduceat(m, starts)})
+        codes = b["event_type"].map(code_of).to_numpy(np.int64)
+        return bm.or_by_key(b["user_id"].to_numpy(np.int64),
+                            bm.encode_codes(codes, nw), "user_id")
+
+    def full_count(b: pd.DataFrame) -> pd.DataFrame:
+        ok = np.ones(len(b), bool)
+        for w, f in enumerate(full):
+            ok &= b[f"mask_{w}"].to_numpy(np.int64) == f
+        return pd.DataFrame({"c": [int(ok.sum())]})
 
     masked = ds.map_batches(mask_partial, batch_format="pandas")
-    or_agg = AggregateFn(
-        init=lambda k: 0,
-        accumulate_block=lambda a, blk: a | int(
-            np.bitwise_or.reduce(blk["mask"].to_numpy(), initial=0)),
-        merge=lambda a1, a2: a1 | a2,
-        name="mask")
     with _scoped_parallelism(32):
-        per_user = masked.groupby("user_id").aggregate(or_agg)
-        n = per_user.map_batches(
-            lambda b: pd.DataFrame(
-                {"c": [int((b["mask"].to_numpy(np.int64) == full).sum())]}),
-            batch_format="pandas").sum("c")
+        per_user = masked.groupby("user_id").aggregate(*bm.or_agg_fns(nw))
+        n = per_user.map_batches(full_count, batch_format="pandas").sum("c")
     return pd.DataFrame({"n_loyal": pd.Series([int(n or 0)],
                                               dtype="int64")})
 
