@@ -168,11 +168,21 @@ def main(argv: list[str] | None = None) -> int:
             ds.write_parquet(args.output)
             import ray.data as rd
 
-            back = rd.read_parquet(args.output,
-                                   columns=["status"]).to_pandas()
+            # summary counts stay distributed: per-batch (status, n)
+            # partials reduce to <= #statuses x #blocks rows — never the
+            # corpus-sized status column on the driver (SCALE.md)
+            import pandas as pd
+
+            counts = rd.read_parquet(args.output, columns=["status"]) \
+                .map_batches(
+                    lambda b: b.groupby("status", as_index=False)
+                    .agg(n=("status", "size")),
+                    batch_format="pandas").to_pandas()
+            per = (counts.groupby("status")["n"].sum().to_dict()
+                   if len(counts) else {})
             print(json.dumps({
-                "rows": int(len(back)),
-                "errors": int((back["status"] == "error").sum()),
+                "rows": int(sum(per.values())),
+                "errors": int(per.get("error", 0)),
                 "output": args.output}))
         elif args.cmd == "metrics":
             import ray.data as rd

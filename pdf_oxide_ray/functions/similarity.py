@@ -135,10 +135,11 @@ def train_ivf_centroids(sample: np.ndarray, n_lists: int = 16,
 def add_ivf_list(batch: pd.DataFrame, centroids_ref,
                  vec_col: str = "embedding") -> pd.DataFrame:
     """map_batches body: assign each vector to its nearest centroid (the
-    inverted list id). Centroids ride a ray.put broadcast."""
-    import ray
+    inverted list id). Centroids ride a ray.put broadcast fetched via
+    the per-worker ``_get_broadcast`` cache."""
+    from ..stages.joins import _get_broadcast
 
-    centroids = ray.get(centroids_ref)
+    centroids = _get_broadcast(centroids_ref)
     mat = normalize_rows(np.stack(batch[vec_col].to_numpy())
                          .astype(np.float64))
     batch = batch.copy()
@@ -277,7 +278,9 @@ def lsh_near_dup_pairs(ds, tau: float = 0.99, n_planes: int = 12,
     need_ref = ray.put(frozenset(need))
 
     def gather(b: pd.DataFrame) -> pd.DataFrame:
-        keep = b[b["vec_id"].isin(ray.get(need_ref))]
+        from ..stages.joins import _get_broadcast
+
+        keep = b[b["vec_id"].isin(_get_broadcast(need_ref))]
         return keep[["vec_id", "embedding"]]
 
     vecs_df = ds.map_batches(gather, batch_format="pandas").to_pandas()

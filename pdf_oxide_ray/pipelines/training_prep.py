@@ -79,14 +79,21 @@ def run_training_prep(input_path: str, out_dir: str, *,
 
     import hashlib
 
+    from ..stages.joins import _get_broadcast
+
     def filter_and_feature(b: pd.DataFrame) -> pd.DataFrame:
         q = ftext.quality_score(b["text"]).to_numpy(np.float64)
         keep = q >= thr
-        bset = ray.get(bench_ref)
-        if bset:
-            clean = np.array([bset.isdisjoint(grams_of(t))
-                              for t in b["text"]], dtype=bool)
-            keep &= clean
+        # benchmark set fetched through the per-worker broadcast cache
+        # (one deserialize per worker, not per batch); the 8-gram scan
+        # only runs on rows that already passed the quality cut
+        bset = _get_broadcast(bench_ref)
+        if bset and keep.any():
+            idx = np.flatnonzero(keep)
+            texts = b["text"].to_numpy(object)
+            dirty = [i for i in idx
+                     if not bset.isdisjoint(grams_of(texts[i]))]
+            keep[dirty] = False
         b = b[keep]
         h = fdedup.content_hash(b["text"])
         nib = b["doc_id"].map(

@@ -564,20 +564,25 @@ def q_promo_revenue(sf_dir: str) -> pd.DataFrame:
 
 def q_customers_without_orders(sf_dir: str) -> pd.DataFrame:
     """ANTI-join: customers with no orders. The distinct key set of the
-    fact side is collected via a small aggregate and broadcast (key sets
-    are tiny relative to fact rows; for billions of DISTINCT keys use the
-    bucketed join with an anti flag instead)."""
+    fact side is collected via a small aggregate and broadcast ONCE as
+    a sorted int64 array (``ray.put`` + per-worker ``_get_broadcast``
+    cache + ``isin_sorted`` — no per-batch set deserialization; key
+    sets are tiny relative to fact rows; for billions of DISTINCT keys
+    use the bucketed join with an anti flag instead)."""
     import ray
 
+    from .stages.joins import _get_broadcast, isin_sorted
+
     try:
-        keys = set(_pq(sf_dir, "orders", ["o_custkey"]).unique("o_custkey"))
+        keys = _pq(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
     except TypeError:  # zero-block dataset: unique() yields None
-        keys = set()
-    keys_ref = ray.put(keys)
+        keys = []
+    keys_ref = ray.put(np.sort(np.asarray(list(keys), dtype=np.int64)))
 
     def anti(b: pd.DataFrame) -> pd.DataFrame:
-        have = ray.get(keys_ref)
-        return b[~b["c_custkey"].isin(have)][["c_custkey", "c_name"]]
+        have = _get_broadcast(keys_ref)
+        hit = isin_sorted(b["c_custkey"].to_numpy(), have)
+        return b[~hit][["c_custkey", "c_name"]]
 
     out = _pq(sf_dir, "customer", ["c_custkey", "c_name"]) \
         .map_batches(anti, batch_format="pandas").to_pandas()
@@ -589,19 +594,23 @@ def q_customers_without_orders(sf_dir: str) -> pd.DataFrame:
 
 def q_customers_with_orders(sf_dir: str) -> pd.DataFrame:
     """SEMI-join: count customers that placed at least one order per
-    market segment (broadcast key-set membership; one partial-agg row per
-    segment per batch crosses the shuffle)."""
+    market segment (sorted-int64-array broadcast membership via
+    ``_get_broadcast`` + ``isin_sorted`` — fetched once per worker, not
+    per batch; one partial-agg row per segment per batch crosses the
+    shuffle)."""
     import ray
 
+    from .stages.joins import _get_broadcast, isin_sorted
+
     try:
-        keys = set(_pq(sf_dir, "orders", ["o_custkey"]).unique("o_custkey"))
+        keys = _pq(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
     except TypeError:  # zero-block dataset: unique() yields None
-        keys = set()
-    keys_ref = ray.put(keys)
+        keys = []
+    keys_ref = ray.put(np.sort(np.asarray(list(keys), dtype=np.int64)))
 
     def semi(b: pd.DataFrame) -> pd.DataFrame:
-        have = ray.get(keys_ref)
-        hit = b[b["c_custkey"].isin(have)]
+        have = _get_broadcast(keys_ref)
+        hit = b[isin_sorted(b["c_custkey"].to_numpy(), have)]
         return hit.groupby("c_mktsegment", as_index=False).agg(
             n=("c_custkey", "size"))
 
@@ -1030,10 +1039,14 @@ _BENCH_DOC_IDS = 10  # doc_id < 10 plays the role of the benchmark set
 
 def q_decontaminate(sf_dir: str) -> pd.DataFrame:
     """Benchmark decontamination: flag corpus docs sharing any word 8-gram
-    with the (small) benchmark set. The benchmark grams are built once and
-    broadcast via ray.put; the scan is a pure map — no shuffle. At 100 TB
-    the benchmark side stays small by definition (eval sets)."""
+    with the (small) benchmark set. The benchmark grams are built once,
+    broadcast via ray.put and fetched through the per-worker
+    ``_get_broadcast`` cache (one deserialize per worker, not per
+    batch); the scan is a pure map — no shuffle. At 100 TB the
+    benchmark side stays small by definition (eval sets)."""
     import ray
+
+    from .stages.joins import _get_broadcast
 
     token_re = fdedup._TOKEN_RE
 
@@ -1051,7 +1064,7 @@ def q_decontaminate(sf_dir: str) -> pd.DataFrame:
     bench_ref = ray.put(frozenset(bench))
 
     def flag(b: pd.DataFrame) -> pd.DataFrame:
-        bset = ray.get(bench_ref)
+        bset = _get_broadcast(bench_ref)
         contaminated = [not bset.isdisjoint(grams_of(t))
                         for t in b["text"]]
         return pd.DataFrame({"doc_id": b["doc_id"].astype("int64"),
@@ -1755,7 +1768,9 @@ def q_embedding_sim_pairs(sf_dir: str) -> pd.DataFrame:
     ref = ray.put((ids, mat))
 
     def pairs(b: pd.DataFrame) -> pd.DataFrame:
-        all_ids, all_mat = ray.get(ref)
+        from .stages.joins import _get_broadcast
+
+        all_ids, all_mat = _get_broadcast(ref)
         bm = np.stack(b["embedding"].to_numpy()).astype(np.float64)
         bm = bm / np.linalg.norm(bm, axis=1, keepdims=True)
         sims = bm @ all_mat.T

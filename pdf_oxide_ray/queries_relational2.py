@@ -517,9 +517,10 @@ def q_waiting_suppliers(sf_dir: str) -> pd.DataFrame:
         .map_batches(lambda b: b[b["o_orderstatus"] == "F"]
                      [["o_orderkey", "o_orderdate"]],
                      batch_format="pandas")
-    if orders.count() == 0:  # all-filtered slice: Ray's to_pandas() on
-        # zero-row blocks drops the schema, so guard before the join
-        return _empty_typed(s_name=object, numwait="int64")
+    # no pre-count empty guard: adaptive_join's own count() is the only
+    # execution of the filtered orders (it rebuilds the zero-row right
+    # frame from the schema), and an empty join falls through to the
+    # out.empty return below
     joined = adaptive_join(li, orders, left_on="l_orderkey",
                            right_on="o_orderkey",
                            num_buckets=_Q21_BUCKETS)
@@ -1590,8 +1591,10 @@ def q_part_value_share(sf_dir: str) -> pd.DataFrame:
     value_c) partials, and the reduce goes through ``_reduce_partials``
     (bounded by catalog cardinality). The global total is the SUM of
     the reduced per-part table itself (no second pass), and the share
-    gate is the integer compare ``value_c * {den} > total_c`` — both
-    sides exact int64, twin mirrors it, no division anywhere."""
+    gate is the integer compare ``value_c * {den} > total_c`` computed
+    in PYTHON BIG INTS over the catalog-sized per-part table (the twin
+    rides HUGEINT, so neither side can wrap however large the per-part
+    cent sums grow) — exact integers, no division anywhere."""
     import pyarrow.parquet as pq
     import ray
 
@@ -1624,8 +1627,14 @@ def q_part_value_share(sf_dir: str) -> pd.DataFrame:
                          ["p_partkey"], ["value_c"])
     if v.empty:
         return empty
-    total_c = int(v["value_c"].sum())
-    v = v[v["value_c"].to_numpy(np.int64) * _Q11_SHARE_DEN > total_c]
+    # big-int gate over catalog-sized rows: value_c * den can exceed
+    # int64 (~9.2e15 cents per part), and the total can too — Python
+    # ints mirror the twin's HUGEINT exactly
+    vals = [int(x) for x in v["value_c"]]
+    total_c = sum(vals)
+    keep = np.fromiter((x * _Q11_SHARE_DEN > total_c for x in vals),
+                       dtype=bool, count=len(vals))
+    v = v[keep]
     return pd.DataFrame({
         "p_partkey": v["p_partkey"].to_numpy(np.int64),
         "value": v["value_c"].to_numpy(np.float64) / 100.0}) \

@@ -111,7 +111,9 @@ def assemble_salted(extracted_ds, hot_turns_threshold: int = 1000,
     hot_ref = ray.put(hot)
 
     def add_salt(batch: pa.Table) -> pa.Table:
-        hot_set = ray.get(hot_ref)
+        from .joins import _get_broadcast
+
+        hot_set = _get_broadcast(hot_ref)
         conv = batch.column("conv_id").to_pylist()
         tidx = batch.column("turn_idx").to_numpy()
         salt = np.where(
@@ -160,7 +162,9 @@ def assemble_salted(extracted_ds, hot_turns_threshold: int = 1000,
     maps_ref = ray.put((base_map, turns_map))
 
     def rebase(batch: pa.Table) -> pa.Table:
-        bases, turns_tot_map = ray.get(maps_ref)
+        from .joins import _get_broadcast
+
+        bases, turns_tot_map = _get_broadcast(maps_ref)
         conv = batch.column("conv_id").to_pylist()
         salt = batch.column("salt").to_pylist()
         local = batch.column("local_offset").to_numpy()

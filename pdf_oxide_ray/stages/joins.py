@@ -223,7 +223,23 @@ def adaptive_join(left_ds, right_ds, left_on: str, right_on: str,
                  if broadcast_max_bytes is None else broadcast_max_bytes)
     nbytes = right_ds.size_bytes()
     if n <= gate and (nbytes is None or nbytes <= byte_gate):
-        return broadcast_join(left_ds, right_ds.to_pandas(), on=left_on,
+        right_df = right_ds.to_pandas()
+        if n == 0 and not len(right_df.columns):
+            # zero-block to_pandas() drops the schema; rebuild the
+            # column frame from Dataset.schema() so the merge keeps
+            # names/dtypes and callers need no pre-count empty guard
+            import pyarrow as pa
+
+            sch = right_ds.schema()
+            if sch is not None:
+                cols = {}
+                for name, typ in zip(sch.names, sch.types):
+                    if isinstance(typ, pa.DataType):
+                        cols[name] = pa.array([], type=typ).to_pandas()
+                    else:
+                        cols[name] = pd.Series(dtype=object)
+                right_df = pd.DataFrame(cols)
+        return broadcast_join(left_ds, right_df, on=left_on,
                               right_on=right_on, how=how)
     return bucketed_hash_join(left_ds, right_ds, left_on, right_on,
                               num_buckets=num_buckets, how=how)
