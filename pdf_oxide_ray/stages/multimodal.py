@@ -2,10 +2,12 @@
 
 Image/audio/video payloads ride as ``binary`` columns with a metadata
 struct; decode / feature-extract / resize / frame-sample are actor-pool
-``map_batches`` stages. The image/audio codec libraries are NOT in this
-container, so the codec call itself is stubbed (``DecodeUnavailable`` or a
-deterministic fake), while the Ray-side plumbing — schema, batch sizing,
-actor signature, output layout — is real and tested.
+``map_batches`` stages. Decode coverage by format: ``raw`` PDF image
+samples and ``wav`` audio decode for REAL (pure numpy / stdlib
+``wave``); jpeg/png/gif/bmp/webp/tiff decode for real WHEN PIL is
+importable (the ``core/aes.py`` try-import pattern) and raise
+``DecodeUnavailable`` otherwise; video containers stay gated. A
+deterministic fake decoder backs plumbing tests either way.
 
 Scale notes: binary payloads are large; batches must be SMALL (default 16
 rows) so batch x concurrency fits worker heap; blocks stay Arrow throughout
@@ -39,22 +41,68 @@ FEATURE_DIM = 64
 
 
 class DecodeUnavailable(NotImplementedError):
-    """Raised by the real-codec slot: image/audio libs absent in this
-    container. Swap ``_decode_real`` for PIL/ffmpeg bindings in production."""
+    """Raised by the real-codec slot when the needed library is absent
+    in this container (the ``core/aes.py`` pattern: use the real lib
+    when importable, honest gate otherwise)."""
+
+
+try:  # PIL-if-importable (mirrors core/aes.py's `cryptography` gate)
+    from PIL import Image as _PIL_Image  # type: ignore
+except ImportError:  # container has no PIL: jpeg/png decode stays gated
+    _PIL_Image = None
+
+_PIL_FORMATS = ("jpeg", "jpg", "png", "gif", "bmp", "webp", "tiff")
 
 
 def _decode_real(payload: bytes, meta: dict) -> np.ndarray:
-    """Real decode path. format="raw" (decoded PDF image samples) is
-    decoded for real in pure numpy — bit expansion, gray/RGB/CMYK to RGB
-    (core/images.to_rgb_pixels, reference images.rs:206-430). Codec
-    formats (jpeg/png/audio/video) need libraries absent here."""
-    if meta.get("format") == "raw":
+    """Real decode path, by format:
+
+    * ``raw`` (decoded PDF image samples) — pure numpy bit expansion +
+      gray/RGB/CMYK to RGB (core/images.to_rgb_pixels, reference
+      images.rs:206-430); always available.
+    * ``wav`` — stdlib ``wave`` decode to an (n_frames, n_channels)
+      sample array; always available.
+    * jpeg/png/gif/bmp/webp/tiff — PIL when importable (RGB ndarray),
+      ``DecodeUnavailable`` otherwise.
+    * anything else (video containers, exotic codecs) —
+      ``DecodeUnavailable``.
+    """
+    fmt = str(meta.get("format") or "").lower()
+    if fmt == "raw":
         from ..core.images import to_rgb_pixels
 
         return to_rgb_pixels(payload or b"", int(meta.get("width") or 0),
                              int(meta.get("height") or 0),
                              str(meta.get("color_space") or ""),
                              int(meta.get("bits") or 8))
+    if fmt == "wav":
+        import io
+        import wave
+
+        try:
+            with wave.open(io.BytesIO(payload or b"")) as w:
+                nch = w.getnchannels()
+                sw = w.getsampwidth()
+                raw = w.readframes(w.getnframes())
+        except (wave.Error, EOFError) as exc:
+            raise ValueError(f"bad wav payload: {exc}") from exc
+        dt = {1: np.uint8, 2: np.dtype("<i2"), 4: np.dtype("<i4")}.get(sw)
+        if dt is None:
+            raise ValueError(f"unsupported wav sample width {sw}")
+        arr = np.frombuffer(raw, dtype=dt)
+        n = (arr.size // nch) * nch if nch else 0
+        return arr[:n].reshape(-1, max(nch, 1))
+    if fmt in _PIL_FORMATS:
+        if _PIL_Image is None:
+            raise DecodeUnavailable(
+                f"format {fmt!r} needs PIL, not importable here")
+        import io
+
+        try:
+            with _PIL_Image.open(io.BytesIO(payload or b"")) as img:
+                return np.asarray(img.convert("RGB"))
+        except Exception as exc:  # PIL raises many types on bad bytes
+            raise ValueError(f"bad {fmt} payload: {exc}") from exc
     raise DecodeUnavailable(
         f"no codec for {meta.get('format')!r} in this environment")
 
