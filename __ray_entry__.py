@@ -82,8 +82,12 @@ def _flagship_queries() -> dict[str, Callable[[str], Any]]:
 # (hourly_autocorr, daily_trend_test, source_length_ks,
 # daily_changepoint, label_centroid_sim); turn_counts (round-1, oldest
 # green row) tops the list up to 50. After r4 every pre-r4 registry
-# entry has a driver row; the r5 window should front-load queries ADDED
-# in round 4 plus the then-oldest green names.
+# entry has a driver row; the r5 window should front-load the queries
+# ADDED in round 4 (queries_curation.py: mixture_weights,
+# novelty_curve, chunk_plan, hapax_stats, promo_part_suppliers,
+# interarrival_rate — all oracle-backed, sweep-verified bit-exact at
+# sf0.001/0.01/0.1) plus any red r4-window rows, topped up with the
+# then-oldest green names (the round-1 family certified in r1/r2).
 _DRIVER_WINDOW_R4 = [
     "session_intervals", "cluster_topics", "cluster_purity",
     "value_skew_by_type", "loyal_users", "value_winsor_mean",
