@@ -43,6 +43,9 @@ BENCH_QUERIES = [
     "kmeans_assign", "semantic_dedup", "cluster_topics",
     "cluster_purity", "value_quantile_sketch",
     "market_share", "late_shipments", "waiting_suppliers",
+    # round-4 curation family
+    "mixture_weights", "novelty_curve", "chunk_plan", "hapax_stats",
+    "promo_part_suppliers", "interarrival_rate",
 ]
 
 

@@ -576,8 +576,9 @@ def q_customers_without_orders(sf_dir: str) -> pd.DataFrame:
     try:
         keys = _pq(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
     except TypeError:  # zero-block dataset: unique() yields None
-        keys = []
-    keys_ref = ray.put(np.sort(np.asarray(list(keys), dtype=np.int64)))
+        keys = None
+    keys_ref = ray.put(np.sort(np.asarray(list(keys or []),
+                                          dtype=np.int64)))
 
     def anti(b: pd.DataFrame) -> pd.DataFrame:
         have = _get_broadcast(keys_ref)
@@ -605,8 +606,9 @@ def q_customers_with_orders(sf_dir: str) -> pd.DataFrame:
     try:
         keys = _pq(sf_dir, "orders", ["o_custkey"]).unique("o_custkey")
     except TypeError:  # zero-block dataset: unique() yields None
-        keys = []
-    keys_ref = ray.put(np.sort(np.asarray(list(keys), dtype=np.int64)))
+        keys = None
+    keys_ref = ray.put(np.sort(np.asarray(list(keys or []),
+                                          dtype=np.int64)))
 
     def semi(b: pd.DataFrame) -> pd.DataFrame:
         have = _get_broadcast(keys_ref)
