@@ -105,7 +105,21 @@ def main(argv: list[str] | None = None) -> int:
     p_pdf.add_argument("--no-spans", action="store_true")
     p_pdf.add_argument("--batch-size", type=int, default=64)
 
+    p_diag = sub.add_parser("diagnose", help="font/encoding diagnostic "
+                            "for one PDF page (reference "
+                            "tools/diagnose_font_encoding.rs)")
+    p_diag.add_argument("--input", required=True, help=".pdf file path")
+    p_diag.add_argument("--page", type=int, default=0)
+
     args = parser.parse_args(argv)
+    if args.cmd == "diagnose":  # single-process loupe: no Ray session
+        from .core.diagnose import diagnose_page
+
+        with open(args.input, "rb") as f:
+            pdf_bytes = f.read()
+        print(json.dumps(diagnose_page(pdf_bytes, args.page),
+                         ensure_ascii=False, indent=1))
+        return 0
     _ensure_ray()
     import ray
 

@@ -74,3 +74,27 @@ def test_cli_export_and_validate(tmp_path):
     assert tails["n_rows"] > 0
     assert tails["pct_empty"] <= 100.0
     assert tails["pct_control_chars"] <= 100.0
+
+
+def test_cli_diagnose(tmp_path):
+    """diagnose: single-process font/encoding loupe (reference
+    tools/diagnose_font_encoding.rs parity) — runs without Ray."""
+    import pyarrow.parquet as pq
+
+    src = transcripts_path("sf0.001", with_golden=False)
+    t = pq.read_table(src).to_pandas()
+    pdf_rows = t[t["text"].str.lstrip().str.startswith("%PDF")]
+    assert len(pdf_rows) > 0
+    p = tmp_path / "one.pdf"
+    p.write_bytes(pdf_rows.iloc[0]["text"].encode("latin-1",
+                                                  errors="replace"))
+    out = subprocess.run(
+        [sys.executable, "-m", "pdf_oxide_ray.cli", "diagnose",
+         "--input", str(p), "--page", "0"],
+        capture_output=True, text=True, cwd=REPO, timeout=120)
+    assert out.returncode == 0, out.stderr[-2000:]
+    rep = json.loads(out.stdout)
+    assert rep["n_pages"] >= 1 and rep["n_spans"] > 0
+    assert rep["spans"][0]["char_codes"]
+    assert rep["fonts"]
+    assert isinstance(rep["text_head"], str) and rep["text_head"]
