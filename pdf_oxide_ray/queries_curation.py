@@ -416,6 +416,329 @@ def q_interarrival_rate(sf_dir: str) -> pd.DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# contamination by source: per-source eval-overlap rollup
+# ---------------------------------------------------------------------------
+
+
+def q_contamination_by_source(sf_dir: str) -> pd.DataFrame:
+    """Per-source benchmark-contamination report: for each source, how
+    many docs share any word 8-gram with the benchmark set (doc_id <
+    ``queries._BENCH_DOC_IDS``) and the contamination rate — the table
+    a curation run reads to decide which FEEDS leak eval data, not just
+    which docs. Same gram kernel and broadcast discipline as
+    ``decontaminate`` (bench grams built once driver-side — eval sets
+    are small by definition — ray.put once, fetched through the
+    per-worker ``_get_broadcast`` cache); the scan emits per-batch
+    (source, n_docs, n_contaminated) partials that reduce to the
+    source dimension — no corpus-sized exchange anywhere. The final
+    rate divides the two exact int64 counts (one IEEE division,
+    twin-identical)."""
+    import ray
+
+    from .stages.joins import _get_broadcast
+
+    token_re = fdedup._TOKEN_RE
+    k = _qmod._DECONTAM_K
+
+    def grams_of(text: str) -> set:
+        toks = token_re.findall((text or "").lower())
+        return {" ".join(toks[i: i + k])
+                for i in range(len(toks) - k + 1)}
+
+    bench_df = _pq(sf_dir, "documents", ["doc_id", "text"]) \
+        .filter(expr=f"doc_id < {_qmod._BENCH_DOC_IDS}").to_pandas()
+    bench: set = set()
+    if "text" in bench_df.columns:  # zero-block frame has no columns
+        for t in bench_df["text"]:
+            bench |= grams_of(t)
+    bench_ref = ray.put(frozenset(bench))
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        bset = _get_broadcast(bench_ref)
+        hit = np.fromiter(
+            (not bset.isdisjoint(grams_of(t)) for t in b["text"]),
+            dtype=np.int64, count=len(b))
+        return pd.DataFrame({
+            "source": b["source"].to_numpy(object),
+            "n_docs": np.int64(1),
+            "n_contaminated": hit}) \
+            .groupby("source", as_index=False).sum()
+
+    out = _reduce_partials(
+        _pq(sf_dir, "documents", ["source", "text"])
+        .map_batches(partial, batch_format="pandas"),
+        ["source"], ["n_docs", "n_contaminated"])
+    if out.empty:
+        return _empty_typed(source=object, n_docs="int64",
+                            n_contaminated="int64",
+                            contamination_rate="float64")
+    out = out.sort_values("source").reset_index(drop=True)
+    nd = out["n_docs"].to_numpy(np.int64)
+    nc = out["n_contaminated"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "source": out["source"].to_numpy(object),
+        "n_docs": nd, "n_contaminated": nc,
+        "contamination_rate":
+            nc.astype(np.float64) / nd.astype(np.float64)})
+
+
+# ---------------------------------------------------------------------------
+# dedup cluster-size histogram
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_cluster_sizes(sf_dir: str) -> pd.DataFrame:
+    """Exact-dup cluster-size histogram: how many distinct texts occur
+    k times — the curve that tells a crawl operator whether duplication
+    is a few mega-clusters (template spam — route to a blocklist) or a
+    long tail of pairs (route to dedup). Two skinny exchanges: per-batch
+    (content_hash, n) partial counts -> ONE distributed
+    groupby(content_hash) sum (the ``dedup_exact`` exchange: 128-bit
+    hash + count, never text), then each fully-reduced block emits its
+    bounded (cluster_size, n_clusters) histogram partial and
+    ``_reduce_partials`` folds them — the driver holds #distinct-sizes
+    rows, never the hash vocabulary. Hash stands in for text equality
+    (SHA-256/128-bit — same collision assumption ``dedup_exact``
+    documents)."""
+    ds = _pq(sf_dir, "documents", ["text"])
+
+    def hpart(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "content_hash": fdedup.content_hash(b["text"]),
+            "n": np.int64(1)}).groupby("content_hash",
+                                       as_index=False).sum()
+
+    m = ds.map_batches(hpart, batch_format="pandas").materialize()
+    if m.count() == 0:
+        return _empty_typed(cluster_size="int64", n_clusters="int64")
+    from ray.data.aggregate import Sum
+
+    with _scoped_parallelism(32):
+        red = m.groupby("content_hash").aggregate(
+            Sum("n", alias_name="k"))
+        hist = red.map_batches(
+            lambda b: pd.DataFrame({"cluster_size":
+                                    b["k"].astype("int64"),
+                                    "n_clusters": np.int64(1)})
+            .groupby("cluster_size", as_index=False).sum(),
+            batch_format="pandas")
+        out = _reduce_partials(hist, ["cluster_size"], ["n_clusters"])
+    return out.astype({"cluster_size": "int64", "n_clusters": "int64"}) \
+        .sort_values("cluster_size").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# template-prefix detection (web boilerplate screen)
+# ---------------------------------------------------------------------------
+
+_PREFIX_LEN = 32  # chars of leading text that define a "template"
+_TEMPLATE_MIN_DOCS = 3  # prefixes shared by >= this many docs
+
+
+def q_template_prefixes(sf_dir: str) -> pd.DataFrame:
+    """Template/boilerplate screen: leading-{P}-char prefixes shared by
+    >= {M} docs, with doc and distinct-source counts — the standard
+    "same form letter everywhere" web-crawl diagnostic (a prefix seen
+    across many sources is a mirror/template, not content). Prefix
+    cardinality is corpus-sized, so NOTHING per-prefix reaches the
+    driver before the HAVING gate: per-batch (prefix, source, n)
+    partials -> below the gate one driver combine; above it a
+    distributed groupby(prefix, source) sum, per-block per-prefix
+    rollups (each (prefix, source) pair lives in exactly one
+    post-groupby block, so SUM/COUNT partials add), ONE more
+    groupby(prefix) sum, and the >= {M} filter runs distributed so
+    only qualifying templates (a hot SET, not the corpus) come back.
+    All-int counts — hash-exact by construction."""
+    ds = _pq(sf_dir, "documents", ["text", "source"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "prefix": b["text"].fillna("").str.slice(0, _PREFIX_LEN)
+            .to_numpy(object),
+            "source": b["source"].to_numpy(object),
+            "n": np.int64(1)}) \
+            .groupby(["prefix", "source"], as_index=False).sum()
+
+    m = ds.map_batches(partial, batch_format="pandas").materialize()
+    if m.count() == 0:
+        return _empty_typed(prefix=object, n_docs="int64",
+                            n_sources="int64")
+    if m.count() <= _qmod._REDUCE_GATE_ROWS:
+        pairs = m.to_pandas().groupby(["prefix", "source"],
+                                      as_index=False)["n"].sum()
+        agg = pairs.groupby("prefix", as_index=False) \
+            .agg(n_docs=("n", "sum"), n_sources=("n", "size"))
+        out = agg[agg["n_docs"] >= _TEMPLATE_MIN_DOCS]
+    else:  # prefix vocabulary too big for the driver
+        from ray.data.aggregate import Sum
+
+        with _scoped_parallelism(32):
+            red = m.groupby(["prefix", "source"]).aggregate(
+                Sum("n", alias_name="n"))
+            per_pref = red.map_batches(
+                lambda b: b.groupby("prefix", as_index=False)
+                .agg(n_docs=("n", "sum"), n_sources=("n", "size")),
+                batch_format="pandas")
+            red2 = per_pref.groupby("prefix").aggregate(
+                Sum("n_docs", alias_name="n_docs"),
+                Sum("n_sources", alias_name="n_sources"))
+            out = red2.map_batches(
+                lambda b: b[b["n_docs"] >= _TEMPLATE_MIN_DOCS],
+                batch_format="pandas").to_pandas()
+    if out.empty:
+        return _empty_typed(prefix=object, n_docs="int64",
+                            n_sources="int64")
+    return out[["prefix", "n_docs", "n_sources"]] \
+        .astype({"n_docs": "int64", "n_sources": "int64"}) \
+        .sort_values("prefix").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# length x repetition quality grid (filter-threshold tuning)
+# ---------------------------------------------------------------------------
+
+_LEN_BUCKET_CHARS = 256  # n_chars per length bucket
+
+
+def q_length_quality_grid(sf_dir: str) -> pd.DataFrame:
+    """2-D filter-tuning histogram: doc counts over (length bucket =
+    n_chars // {C}, repetition decile = floor(10 * duplicate-2gram
+    fraction)) — the joint distribution a curation run reads to place
+    its length/repetition cut lines BEFORE committing to thresholds
+    (pure marginals hide the correlated corner: short AND repetitive).
+    Pure map + bounded-grid partial reduce (#length-buckets x 10
+    cells), no corpus exchange. The repetition decile is computed in
+    INTEGER arithmetic — (10 * (n2 - n_distinct)) // n2 — so both
+    sides bucket identically with zero float-boundary risk (same trick
+    as the bounded-histogram percentile family)."""
+    token_re = fdedup._TOKEN_RE
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        rb = np.empty(len(b), dtype=np.int64)
+        for j, t in enumerate(b["text"]):
+            toks = token_re.findall((t or "").lower())
+            n2 = len(toks) - 1
+            if n2 <= 0:
+                rb[j] = 0
+            else:
+                grams = {(toks[i], toks[i + 1]) for i in range(n2)}
+                rb[j] = (10 * (n2 - len(grams))) // n2
+        return pd.DataFrame({
+            "len_bucket": b["n_chars"].to_numpy(np.int64)
+            // _LEN_BUCKET_CHARS,
+            "rep_bucket": rb,
+            "n_docs": np.int64(1)}) \
+            .groupby(["len_bucket", "rep_bucket"], as_index=False).sum()
+
+    out = _reduce_partials(
+        _pq(sf_dir, "documents", ["text", "n_chars"])
+        .map_batches(partial, batch_format="pandas"),
+        ["len_bucket", "rep_bucket"], ["n_docs"])
+    if out.empty:
+        return _empty_typed(len_bucket="int64", rep_bucket="int64",
+                            n_docs="int64")
+    return out.astype({"len_bucket": "int64", "rep_bucket": "int64",
+                       "n_docs": "int64"}) \
+        .sort_values(["len_bucket", "rep_bucket"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# token-budget epoch allocation (the mixture_weights consumer)
+# ---------------------------------------------------------------------------
+
+_TOKEN_BUDGET = 10_000_000  # training tokens to allocate across sources
+
+
+def q_token_budget_epochs(sf_dir: str) -> pd.DataFrame:
+    """Epochs-per-source under a fixed training-token budget: allocate
+    ``_TOKEN_BUDGET`` tokens by the tau=0.5 ``mixture_weights`` recipe
+    and report how many PASSES over each source that implies (epochs =
+    weight * budget / n_tokens) — the "how many times does the tail
+    repeat" number that decides whether a mix over-epochs small
+    sources. Identical one-pass partial reduce as mixture_weights
+    (source dimension only); weight rides the same 1e-6-quantized
+    IEEE-sqrt grid, and epochs is ONE double chain over exact int64
+    operands (w6 * budget <= 1e13 is exact in both int64 and double),
+    mirrored term-for-term in the twin; zero-token sources yield NULL
+    epochs on both sides."""
+    ds = _pq(sf_dir, "documents", ["source", "text"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "source": b["source"].to_numpy(object),
+            "n_tokens": ftext.token_count_ws(b["text"]).to_numpy(
+                np.int64)}).groupby("source", as_index=False).sum()
+
+    v = _reduce_partials(ds.map_batches(partial, batch_format="pandas"),
+                         ["source"], ["n_tokens"])
+    if v.empty:
+        return _empty_typed(source=object, n_tokens="int64",
+                            weight="float64", epochs="float64")
+    v = v.sort_values("source").reset_index(drop=True)
+    n = v["n_tokens"].to_numpy(np.int64)
+    total = int(n.sum())
+    share = n.astype(np.float64) / np.float64(total)
+    w6 = _halfaway6(np.sqrt(share))
+    wsum = int(w6.sum())
+    num = (w6 * np.int64(_TOKEN_BUDGET)).astype(np.float64)
+    epochs = np.where(
+        n > 0,
+        num / np.float64(wsum) / np.where(n > 0, n, 1).astype(np.float64),
+        np.nan)
+    return pd.DataFrame({
+        "source": v["source"].to_numpy(object),
+        "n_tokens": n,
+        "weight": w6.astype(np.float64) / np.float64(wsum),
+        "epochs": epochs})
+
+
+# ---------------------------------------------------------------------------
+# quality-keeper canonicalization over the near-dup graph
+# ---------------------------------------------------------------------------
+
+
+def q_dup_canonical(sf_dir: str) -> pd.DataFrame:
+    """Canonical-document election per near-dup cluster: for every
+    connected component of the winnowing dup graph (``dup_components``
+    — distributed min-label propagation), keep the LONGEST member
+    (max n_chars, ties to the smallest doc_id) — the "keep the best
+    duplicate" policy real curation uses instead of keep-first (the
+    longest copy of a mirrored page is usually the least truncated).
+    Scale shape: the component frame and the elected lengths are
+    O(dup-graph nodes) — the skinny tail of the corpus, the documented
+    hot SET — while the corpus-sized documents table is only scanned
+    once with a broadcast sorted-id ``isin_sorted`` filter (ray.put
+    once, per-worker cache) projecting (doc_id, n_chars); no text
+    moves, no corpus materialization."""
+    import ray
+
+    from .stages.joins import _get_broadcast, isin_sorted
+
+    comp = _qmod.q_dup_components(sf_dir)
+    if comp.empty:
+        return _empty_typed(component="int64", doc_id="int64",
+                            n_chars="int64")
+    ids = np.sort(comp["doc_id"].to_numpy(np.int64))
+    ids_ref = ray.put(ids)
+
+    def pick(b: pd.DataFrame) -> pd.DataFrame:
+        keep = isin_sorted(b["doc_id"].to_numpy(np.int64),
+                           _get_broadcast(ids_ref))
+        return pd.DataFrame({
+            "doc_id": b["doc_id"].to_numpy(np.int64)[keep],
+            "n_chars": b["n_chars"].to_numpy(np.int64)[keep]})
+
+    lens = _pq(sf_dir, "documents", ["doc_id", "n_chars"]) \
+        .map_batches(pick, batch_format="pandas").to_pandas()
+    j = comp.merge(lens, on="doc_id")
+    canon = j.sort_values(["component", "n_chars", "doc_id"],
+                          ascending=[True, False, True]) \
+        .groupby("component", as_index=False).head(1)
+    return canon[["component", "doc_id", "n_chars"]].astype("int64") \
+        .sort_values("component").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
 # registration
 # ---------------------------------------------------------------------------
 
@@ -429,6 +752,12 @@ CURATION_QUERIES = {
     "hapax_stats": q_hapax_stats,
     "promo_part_suppliers": q_promo_part_suppliers,
     "interarrival_rate": q_interarrival_rate,
+    "contamination_by_source": q_contamination_by_source,
+    "dedup_cluster_sizes": q_dedup_cluster_sizes,
+    "template_prefixes": q_template_prefixes,
+    "length_quality_grid": q_length_quality_grid,
+    "token_budget_epochs": q_token_budget_epochs,
+    "dup_canonical": q_dup_canonical,
 }
 
 CURATION_ORACLES = {
@@ -545,6 +874,128 @@ CURATION_ORACLES = {
                ELSE NULL END AS rate_per_hour
         FROM p ORDER BY event_type""",
 }
+
+
+def _contamination_by_source_sql() -> str:
+    """Twin of q_contamination_by_source — the decontaminate gram CTEs
+    (word 8-grams over the ASCII token class) rolled up per source."""
+    k = _qmod._DECONTAM_K
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, source,
+                 regexp_extract_all(lower(text), '[0-9A-Za-z_]+') AS t
+          FROM documents),
+        sh AS (
+          SELECT doc_id, source,
+                 CASE WHEN len(t) < {k} THEN []
+                      ELSE list_distinct(list_transform(
+                          range(1, len(t) - {k - 2}),
+                          i -> array_to_string(t[i:i+{k - 1}], ' ')))
+                 END AS grams
+          FROM toks),
+        bench AS (
+          SELECT DISTINCT unnest(grams) AS g FROM sh
+          WHERE doc_id < {_qmod._BENCH_DOC_IDS}),
+        f AS (
+          SELECT source,
+                 EXISTS (SELECT 1 FROM bench b
+                         WHERE list_contains(sh.grams, b.g)) AS c
+          FROM sh)
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_contaminated,
+               CAST(SUM(CASE WHEN c THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS contamination_rate
+        FROM f GROUP BY source ORDER BY source"""
+
+
+def _dup_canonical_sql() -> str:
+    """Twin of q_dup_canonical — the dup_components recursive-CTE
+    reachability over the winnowing edge oracle, then per-component
+    argmax(n_chars, tie -> min doc_id) via row_number."""
+    return f"""
+        WITH RECURSIVE e AS ({_qmod._winnow_oracle_sql()}),
+        sym AS (SELECT id_a AS u, id_b AS v FROM e
+                UNION ALL SELECT id_b, id_a FROM e),
+        reach(node, lab) AS (
+            SELECT u, u FROM sym
+            UNION
+            SELECT s.u, r.lab FROM sym s JOIN reach r ON r.node = s.v),
+        comp AS (SELECT node AS doc_id, MIN(lab) AS component
+                 FROM reach GROUP BY node),
+        canon AS (
+            SELECT c.component, c.doc_id, d.n_chars,
+                   row_number() OVER (
+                       PARTITION BY c.component
+                       ORDER BY d.n_chars DESC, c.doc_id) AS rn
+            FROM comp c JOIN documents d USING (doc_id))
+        SELECT CAST(component AS BIGINT) AS component,
+               CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(n_chars AS BIGINT) AS n_chars
+        FROM canon WHERE rn = 1 ORDER BY component"""
+
+
+CURATION_ORACLES["contamination_by_source"] = _contamination_by_source_sql()
+CURATION_ORACLES["dup_canonical"] = _dup_canonical_sql()
+CURATION_ORACLES["dedup_cluster_sizes"] = """
+    WITH c AS (SELECT text, COUNT(*) AS k FROM documents GROUP BY text)
+    SELECT CAST(k AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM c GROUP BY k ORDER BY cluster_size"""
+CURATION_ORACLES["template_prefixes"] = f"""
+    WITH p AS (
+      SELECT substr(coalesce(text, ''), 1, {_PREFIX_LEN}) AS prefix,
+             source
+      FROM documents),
+    ps AS (SELECT prefix, source, CAST(COUNT(*) AS BIGINT) AS n
+           FROM p GROUP BY 1, 2),
+    agg AS (SELECT prefix, CAST(SUM(n) AS BIGINT) AS n_docs,
+                   CAST(COUNT(*) AS BIGINT) AS n_sources
+            FROM ps GROUP BY prefix)
+    SELECT prefix, n_docs, n_sources FROM agg
+    WHERE n_docs >= {_TEMPLATE_MIN_DOCS} ORDER BY prefix"""
+CURATION_ORACLES["length_quality_grid"] = f"""
+    WITH toks AS (
+      SELECT n_chars,
+             regexp_extract_all(lower(text), '[0-9A-Za-z_]+') AS t
+      FROM documents),
+    g AS (
+      SELECT n_chars, len(t) - 1 AS n2,
+             CASE WHEN len(t) < 2 THEN []
+                  ELSE list_distinct(list_transform(
+                      range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+             END AS grams
+      FROM toks),
+    b AS (
+      SELECT n_chars // {_LEN_BUCKET_CHARS} AS len_bucket,
+             CASE WHEN n2 <= 0 THEN 0
+                  ELSE (10 * (n2 - len(grams))) // n2 END AS rep_bucket
+      FROM g)
+    SELECT CAST(len_bucket AS BIGINT) AS len_bucket,
+           CAST(rep_bucket AS BIGINT) AS rep_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM b GROUP BY 1, 2 ORDER BY 1, 2"""
+CURATION_ORACLES["token_budget_epochs"] = f"""
+    WITH v AS (
+      SELECT source,
+             CAST(SUM(length({_TOKSPLIT})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot FROM v),
+    w AS (
+      SELECT source, n_tokens,
+             CAST(round(SQRT(CAST(n_tokens AS DOUBLE)
+                             / CAST(t.tot AS DOUBLE)) * 1000000)
+                  AS BIGINT) AS w6
+      FROM v, t)
+    SELECT source, n_tokens,
+           CAST(w6 AS DOUBLE)
+           / CAST((SELECT SUM(w6) FROM w) AS DOUBLE) AS weight,
+           CASE WHEN n_tokens = 0 THEN NULL ELSE
+             CAST(w6 * {_TOKEN_BUDGET} AS DOUBLE)
+             / CAST((SELECT SUM(w6) FROM w) AS DOUBLE)
+             / CAST(n_tokens AS DOUBLE)
+           END AS epochs
+    FROM w ORDER BY source"""
 
 
 def _register() -> None:

@@ -83,7 +83,12 @@ def _assert_equal(a: pd.DataFrame, b: pd.DataFrame, name: str):
 @pytest.mark.parametrize("seed", [0, 1, 2, 3])
 @pytest.mark.parametrize("name", ["mixture_weights", "novelty_curve",
                                   "chunk_plan", "hapax_stats",
-                                  "interarrival_rate"])
+                                  "interarrival_rate",
+                                  "contamination_by_source",
+                                  "dedup_cluster_sizes",
+                                  "template_prefixes",
+                                  "length_quality_grid",
+                                  "token_budget_epochs"])
 def test_curation_matches_oracle_on_random_corpus(ray_session, tmp_path,
                                                   seed, name):
     sf_dir = _write_corpus(tmp_path, seed)
@@ -91,6 +96,50 @@ def test_curation_matches_oracle_on_random_corpus(ray_session, tmp_path,
     if not isinstance(ray_df, pd.DataFrame):
         ray_df = ray_df.to_pandas()
     _assert_equal(ray_df, _oracle(sf_dir, ORACLE_SQL[name]), name)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_dup_canonical_matches_oracle(ray_session, tmp_path, seed):
+    """dup_canonical rides the winnow graph + label propagation, the
+    most expensive twin (recursive CTE) — 2 seeds keep the suite lean."""
+    sf_dir = _write_corpus(tmp_path, seed)
+    out = QUERIES["dup_canonical"](sf_dir)
+    _assert_equal(out, _oracle(sf_dir, ORACLE_SQL["dup_canonical"]),
+                  "dup_canonical")
+    # the elected doc must belong to its component and the component
+    # label is the min doc_id of the component, so doc_id >= component
+    assert (out["doc_id"] >= out["component"]).all()
+
+
+def test_template_threshold_and_epochs_null_edges(ray_session, tmp_path):
+    """Hand-built edges: a prefix shared by exactly 3 docs is reported,
+    one shared by 2 is not; a source whose docs are all empty text gets
+    NULL epochs on both sides (and weight 0)."""
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["TEMPLATE: same lead-in here X tail-a",
+                 "TEMPLATE: same lead-in here X tail-b",
+                 "TEMPLATE: same lead-in here X tail-c",
+                 "other lead-in pair shared by two",
+                 "other lead-in pair shared by two!",
+                 ""],
+        "lang": "en",
+        "source": ["s0", "s1", "s0", "s0", "s0", "szero"],
+        "n_chars": np.int64([36, 36, 36, 32, 33, 0])})
+    d = tmp_path / "tmpl-edge"
+    os.makedirs(d, exist_ok=True)
+    docs.to_parquet(d / "documents.parquet", index=False)
+    tp = QUERIES["template_prefixes"](str(d))
+    assert len(tp) == 1 and int(tp["n_docs"].iloc[0]) == 3 \
+        and int(tp["n_sources"].iloc[0]) == 2
+    _assert_equal(tp, _oracle(str(d), ORACLE_SQL["template_prefixes"]),
+                  "template_prefixes_edge")
+    ep = QUERIES["token_budget_epochs"](str(d))
+    z = ep[ep["source"] == "szero"]
+    assert len(z) == 1 and np.isnan(float(z["epochs"].iloc[0])) \
+        and float(z["weight"].iloc[0]) == 0.0
+    _assert_equal(ep, _oracle(str(d), ORACLE_SQL["token_budget_epochs"]),
+                  "token_budget_epochs_edge")
 
 
 def test_chunk_plan_boundaries_exact(ray_session, tmp_path):
@@ -116,6 +165,29 @@ def test_chunk_plan_boundaries_exact(ray_session, tmp_path):
     assert got[4]["n_tok"].tolist() == [128, 16]
     _assert_equal(out, _oracle(str(d), ORACLE_SQL["chunk_plan"]),
                   "chunk_plan_edge")
+
+
+def test_empty_input_parity_curation_r4b(ray_session, tmp_path):
+    """Empty documents table: the six round-4b curation ops mirror the
+    twin's zero-row shape (all are GROUP BYs over an empty relation)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path / "cur-empty"
+    os.makedirs(d, exist_ok=True)
+    # explicit Arrow schema: an empty pandas object column would land as
+    # the parquet NULL type and break string functions in the twin
+    schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                        ("lang", pa.string()), ("source", pa.string()),
+                        ("n_chars", pa.int64())])
+    pq.write_table(schema.empty_table(), d / "documents.parquet")
+    for name in ("contamination_by_source", "dedup_cluster_sizes",
+                 "template_prefixes", "length_quality_grid",
+                 "token_budget_epochs", "dup_canonical"):
+        out = QUERIES[name](str(d))
+        assert len(out) == 0, name
+        _assert_equal(out, _oracle(str(d), ORACLE_SQL[name]),
+                      f"{name}_empty")
 
 
 def test_mixture_weights_sum_to_one(ray_session, tmp_path):
