@@ -3909,6 +3909,108 @@ ORACLE_SQL["curate_corpus"] = r"""
     FROM dedup WHERE rn = 1"""
 
 
+def q_embedding_norm_stats(sf_dir: str) -> pd.DataFrame:
+    """Per-label embedding-norm profile over the int8 quantization grid
+    (the ``embedding_quantize`` grid, so the twin is exact): n_vecs and
+    min/max/sum/mean of the quantized squared L2 norm — the sanity
+    table a vector pipeline reads before cosine ANN (a label whose
+    norms collapse to 0 is a dead embedder; wildly mixed norms mean
+    un-normalized inputs). Pure map + label-dimension partial reduce
+    (#labels x #blocks rows driver-side, documented dimension-sized
+    final) — no shuffle. norm2 <= dims * 127^2 so every sum is exact
+    int64; mean divides the two exact int64s (one IEEE op, twin
+    identical)."""
+    ds = _pq(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        ma = np.abs(mat).max(axis=1)
+        safe = np.where(ma == 0, 1.0, ma)
+        x = (mat * 127.0) / safe[:, None]
+        q = np.copysign(np.floor(np.abs(x) + 0.5), x)  # half-away
+        q[ma == 0] = 0.0
+        norm2 = (q.astype(np.int64) ** 2).sum(axis=1)
+        return pd.DataFrame({"label": b["label"].to_numpy(np.int64),
+                             "norm2": norm2}) \
+            .groupby("label", as_index=False) \
+            .agg(n_vecs=("norm2", "size"), min_norm2=("norm2", "min"),
+                 max_norm2=("norm2", "max"), sum_norm2=("norm2", "sum"))
+
+    m = ds.map_batches(partial, batch_format="pandas").materialize()
+    if m.count() == 0:
+        return _empty_typed(label="int64", n_vecs="int64",
+                            min_norm2="int64", max_norm2="int64",
+                            sum_norm2="int64", mean_norm2="float64")
+    p = m.to_pandas().groupby("label", as_index=False) \
+        .agg(n_vecs=("n_vecs", "sum"), min_norm2=("min_norm2", "min"),
+             max_norm2=("max_norm2", "max"),
+             sum_norm2=("sum_norm2", "sum")) \
+        .sort_values("label").reset_index(drop=True)
+    return pd.DataFrame({
+        "label": p["label"].to_numpy(np.int64),
+        "n_vecs": p["n_vecs"].to_numpy(np.int64),
+        "min_norm2": p["min_norm2"].to_numpy(np.int64),
+        "max_norm2": p["max_norm2"].to_numpy(np.int64),
+        "sum_norm2": p["sum_norm2"].to_numpy(np.int64),
+        "mean_norm2": p["sum_norm2"].to_numpy(np.int64)
+        .astype(np.float64)
+        / p["n_vecs"].to_numpy(np.int64).astype(np.float64)})
+
+
+def q_ivf_recall(sf_dir: str) -> pd.DataFrame:
+    """ANN quality report: per-query recall@k of the approximate IVF
+    configuration (n_probe=6 of 16 lists) against the exhaustive
+    configuration (n_probe=16 == brute force, oracle-pinned) — the
+    accuracy/cost trade-off table that justifies the IVF scale path.
+    Both sides run the SAME deterministic machinery (sample-trained
+    spherical k-means, streamed probes), so the report is
+    deterministic; registered rows-only (k-means is not
+    SQL-expressible) and hash-pinned in tests. Driver holds only
+    2 x #queries x k rows — the documented small-result final."""
+    exact = q_embedding_ivf_exhaustive(sf_dir)
+    if exact.empty:
+        return _empty_typed(query_id="int64", k="int64", n_hit="int64",
+                            recall="float64")
+    approx = q_embedding_ivf_knn(sf_dir)
+    ex = exact.groupby("query_id")["vec_id"].apply(set)
+    ap = approx.groupby("query_id")["vec_id"].apply(set)
+    qids = sorted(ex.index)
+    k = np.asarray([len(ex[q]) for q in qids], dtype=np.int64)
+    hit = np.asarray([len(ex[q] & ap.get(q, set())) for q in qids],
+                     dtype=np.int64)
+    return pd.DataFrame({
+        "query_id": np.asarray(qids, dtype=np.int64),
+        "k": k, "n_hit": hit,
+        "recall": hit.astype(np.float64) / k.astype(np.float64)})
+
+
+QUERIES["embedding_norm_stats"] = q_embedding_norm_stats
+ORACLE_SQL["embedding_norm_stats"] = """
+    WITH m AS (
+      SELECT vec_id, label, embedding,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) AS ma
+      FROM embeddings),
+    qq AS (
+      SELECT vec_id, label,
+             CASE WHEN ma = 0 THEN 0 ELSE
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 127.0 / ma)
+                    AS BIGINT) END AS q
+      FROM m),
+    n2 AS (
+      SELECT vec_id, label, CAST(SUM(q * q) AS BIGINT) AS norm2
+      FROM qq GROUP BY 1, 2)
+    SELECT CAST(label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MIN(norm2) AS BIGINT) AS min_norm2,
+           CAST(MAX(norm2) AS BIGINT) AS max_norm2,
+           CAST(SUM(norm2) AS BIGINT) AS sum_norm2,
+           CAST(SUM(norm2) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS mean_norm2
+    FROM n2 GROUP BY label ORDER BY label"""
+QUERIES["ivf_recall"] = q_ivf_recall  # rows-only: k-means quantizer
+
+
 # second relational/corpus family (Q13/Q15/Q18/Q22 shapes + retention
 # cohorts) self-registers the same way
 from . import queries_relational  # noqa: E402,F401

@@ -44,6 +44,9 @@ PINNED = {
     # zlib level 6 is deterministic per doc; confirmed at num_cpus=4/16
     # in fresh sessions before pinning
     "compression_ratio": "e42650a31503837ba76e6934418b8818",
+    # both IVF configurations are seeded + order-invariant (exact-int
+    # partial top-k merge); confirmed at num_cpus=4/16 in fresh sessions
+    "ivf_recall": "01e71f5a23be25ac288ae8ed8be88dc0",
 }
 
 
