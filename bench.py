@@ -46,6 +46,10 @@ BENCH_QUERIES = [
     # round-4 curation family
     "mixture_weights", "novelty_curve", "chunk_plan", "hapax_stats",
     "promo_part_suppliers", "interarrival_rate",
+    # round-4b web-curation + embedding additions
+    "contamination_by_source", "dedup_cluster_sizes",
+    "template_prefixes", "length_quality_grid", "dup_canonical",
+    "embedding_norm_stats",
 ]
 
 
