@@ -4021,3 +4021,4 @@ from . import queries_relational2  # noqa: E402,F401
 # report, df histogram, lang x source MI) self-registers the same way
 from . import queries_corpus  # noqa: E402,F401
 from . import queries_curation  # noqa: E402,F401
+from . import queries_curation2  # noqa: E402,F401
