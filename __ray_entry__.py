@@ -85,7 +85,12 @@ def _flagship_queries() -> dict[str, Callable[[str], Any]]:
 # entry has a driver row; the r5 window should front-load the queries
 # ADDED in round 4 (queries_curation.py: mixture_weights,
 # novelty_curve, chunk_plan, hapax_stats, promo_part_suppliers,
-# interarrival_rate — all oracle-backed, sweep-verified bit-exact at
+# interarrival_rate, contamination_by_source, dedup_cluster_sizes,
+# template_prefixes, length_quality_grid, token_budget_epochs,
+# dup_canonical, embedding_norm_stats, ivf_recall;
+# queries_curation2.py: split_contamination, rfm_segments,
+# hourly_top_event, heaps_law_curve, lineitem_value_corr,
+# session_overlap_peak — all sweep-verified bit-exact at
 # sf0.001/0.01/0.1) plus any red r4-window rows, topped up with the
 # then-oldest green names (the round-1 family certified in r1/r2).
 _DRIVER_WINDOW_R4 = [

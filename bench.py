@@ -50,6 +50,9 @@ BENCH_QUERIES = [
     "contamination_by_source", "dedup_cluster_sizes",
     "template_prefixes", "length_quality_grid", "dup_canonical",
     "embedding_norm_stats",
+    # round-4c family
+    "split_contamination", "rfm_segments", "hourly_top_event",
+    "heaps_law_curve", "lineitem_value_corr", "session_overlap_peak",
 ]
 
 

@@ -686,6 +686,186 @@ CURATION2_ORACLES["session_overlap_peak"] = """
     ORDER BY ts LIMIT 1"""
 
 
+# ---------------------------------------------------------------------------
+# bigram-LM fluency score: the perplexity-filter shape
+# ---------------------------------------------------------------------------
+
+
+def q_doc_perplexity(sf_dir: str) -> pd.DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    MLE bigram LM — the perplexity-style fluency filter (the CCNet /
+    Gopher quality-screen shape; `unigram_logprob` is its order-1
+    sibling). Two streamed passes: (1) bigram counts via per-batch
+    value_counts partials (bigram-vocabulary-bounded reduce, the
+    `bigram_pmi` exchange scale; left-context totals derive from the
+    reduced table — no second corpus pass); (2) the bigram->lp6 map
+    broadcasts once (`ray.put` + per-worker cache) and each doc scores
+    in a pure map. Exactness: ln(nb/nl) quantizes to the int 1e-6 grid
+    on BOTH sides, so a doc's score is an int64 sum over its bigram
+    occurrences divided by its bigram count — order-independent.
+    Unseen bigrams cannot occur (the LM trains on the same corpus);
+    docs with <2 tokens score NULL on both sides."""
+    import ray
+
+    from .stages.joins import _get_broadcast
+
+    ds = _pq(sf_dir, "documents", ["doc_id", "text"])
+
+    def big_counts(b: pd.DataFrame) -> pd.DataFrame:
+        toks = b["text"].fillna("").str.split()
+        grams = [f"{r[i]} {r[i + 1]}" for r in toks
+                 for i in range(len(r) - 1)]
+        c = pd.Series(grams, dtype=object).value_counts()
+        return pd.DataFrame({"bg": c.index.astype(object),
+                             "nb": c.to_numpy(np.int64)})
+
+    vocab = _reduce_partials(
+        ds.map_batches(big_counts, batch_format="pandas"),
+        ["bg"], ["nb"])
+    empty = _empty_typed(doc_id="int64", n_bigrams="int64",
+                         logprob="float64")
+    if vocab.empty:
+        ids = _pq(sf_dir, "documents", ["doc_id"]).to_pandas()
+        if ids.empty:
+            return empty
+        return pd.DataFrame({"doc_id": ids["doc_id"].astype("int64"),
+                             "n_bigrams": np.int64(0),
+                             "logprob": np.nan}) \
+            .sort_values("doc_id").reset_index(drop=True)
+    left = vocab["bg"].str.split(" ", n=1).str[0]
+    nl = vocab.groupby(left.to_numpy(object))["nb"].transform("sum") \
+        .to_numpy(np.int64)
+    raw = np.log(vocab["nb"].to_numpy(np.float64)
+                 / nl.astype(np.float64)) * 1e6
+    lp6 = np.copysign(np.floor(np.abs(raw) + 0.5), raw).astype(np.int64)
+    lut_ref = ray.put(dict(zip(vocab["bg"], lp6)))
+
+    def score(b: pd.DataFrame) -> pd.DataFrame:
+        lut = _get_broadcast(lut_ref)
+        toks = b["text"].fillna("").str.split()
+        n = np.maximum(toks.str.len().to_numpy(np.int64) - 1, 0)
+        s = np.fromiter(
+            (sum(lut[f"{r[i]} {r[i + 1]}"] for i in range(len(r) - 1))
+             for r in toks), dtype=np.int64, count=len(toks))
+        v = s.astype(np.float64) / np.maximum(n, 1)
+        lp = np.where(n > 0,
+                      np.copysign(np.floor(np.abs(v) + 0.5), v) / 1e6,
+                      np.nan)
+        return pd.DataFrame({"doc_id": b["doc_id"].to_numpy(np.int64),
+                             "n_bigrams": n, "logprob": lp})
+
+    return ds.map_batches(score, batch_format="pandas").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+
+CURATION2_QUERIES["doc_perplexity"] = q_doc_perplexity
+CURATION2_ORACLES["doc_perplexity"] = r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(coalesce(text, ''),
+                                               '\s+'),
+                         x -> x <> '') AS t
+      FROM documents),
+    big AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(t) < 2 THEN []
+                         ELSE list_transform(range(1, len(t)),
+                                             i -> t[i] || ' ' || t[i+1])
+                    END) AS bg
+      FROM toks),
+    bcnt AS (SELECT bg, COUNT(*) AS nb FROM big GROUP BY bg),
+    lcnt AS (SELECT split_part(bg, ' ', 1) AS w1,
+                    CAST(SUM(nb) AS BIGINT) AS nl
+             FROM bcnt GROUP BY 1),
+    lp AS (
+      SELECT bg,
+             CAST(round(ln(CAST(nb AS DOUBLE) / CAST(nl AS DOUBLE))
+                        * 1000000) AS BIGINT) AS lp6
+      FROM bcnt JOIN lcnt ON split_part(bcnt.bg, ' ', 1) = lcnt.w1),
+    per_doc AS (
+      SELECT b.doc_id, COUNT(*) AS n_bigrams, SUM(l.lp6) AS s
+      FROM big b JOIN lp l USING (bg) GROUP BY b.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(p.s AS DOUBLE) / p.n_bigrams, 0) / 1000000.0
+               AS logprob
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)"""
+
+
+# ---------------------------------------------------------------------------
+# ship latency percentiles: fact-fact join + grouped exact percentiles
+# ---------------------------------------------------------------------------
+
+
+def q_ship_latency_percentiles(sf_dir: str) -> pd.DataFrame:
+    """Order-to-ship latency SLA report: per order month, exact
+    p50/p90/p99 of (l_shipdate - o_orderdate) in days. Plan: lineitem
+    joins the skinny (orderkey, orderdate) side through
+    ``adaptive_join`` (broadcast under the gate, bucketed above); the
+    percentile rides the bounded (month, latency-day) value histogram —
+    one skinny reduce, quantiles read off cumulative counts with the
+    percentile_disc index rule ``sorted[ceil(n*p)-1]`` — never a global
+    sort (the `source_length_quantiles` plan)."""
+    from .stages.joins import adaptive_join
+
+    li = _pq(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+    orders = _pq(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    joined = adaptive_join(li, orders, left_on="l_orderkey",
+                           right_on="o_orderkey")
+    day = 86_400_000_000
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        od = b["o_orderdate"].to_numpy("datetime64[us]")
+        lat = (b["l_shipdate"].to_numpy("datetime64[us]")
+               .astype(np.int64) // day - od.astype(np.int64) // day)
+        return pd.DataFrame({
+            "month": od.astype("datetime64[M]").astype("datetime64[us]")
+            .astype(np.int64),
+            "lat": lat, "cnt": np.int64(1)}) \
+            .groupby(["month", "lat"], as_index=False).sum()
+
+    hist = _reduce_partials(
+        joined.map_batches(partial, batch_format="pandas"),
+        ["month", "lat"], ["cnt"])
+    if hist.empty:
+        return _empty_typed(month="datetime64[us]", n="int64",
+                            p50_days="int64", p90_days="int64",
+                            p99_days="int64")
+    rows = []
+    for month, g in hist.groupby("month"):
+        g = g.sort_values("lat")
+        cum = g["cnt"].cumsum().to_numpy()
+        vals = g["lat"].to_numpy()
+        n = int(cum[-1])
+        qs = []
+        for p in (0.5, 0.9, 0.99):
+            idx = min(max(int(np.ceil(n * np.float64(p))) - 1, 0), n - 1)
+            qs.append(int(vals[np.searchsorted(cum, idx + 1)]))
+        rows.append((month, n, *qs))
+    out = pd.DataFrame(rows, columns=["month", "n", "p50_days",
+                                      "p90_days", "p99_days"]) \
+        .sort_values("month").reset_index(drop=True)
+    out["month"] = out["month"].astype("datetime64[us]")
+    return out.astype({"n": "int64", "p50_days": "int64",
+                       "p90_days": "int64", "p99_days": "int64"})
+
+
+CURATION2_QUERIES["ship_latency_percentiles"] = q_ship_latency_percentiles
+CURATION2_ORACLES["ship_latency_percentiles"] = """
+    WITH j AS (
+      SELECT date_trunc('month', o.o_orderdate) AS month,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS lat
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+    SELECT month, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY lat)
+                AS BIGINT) AS p50_days,
+           CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY lat)
+                AS BIGINT) AS p90_days,
+           CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY lat)
+                AS BIGINT) AS p99_days
+    FROM j GROUP BY month ORDER BY month"""
+
+
 def _register() -> None:
     from . import queries as _q
 

@@ -59,7 +59,10 @@ def _write_tables(tmp_path, seed: int) -> str:
         "l_quantity": rs.randint(1, 51, n_li).astype(np.float64),
         "l_extendedprice": np.round(rs.rand(n_li) * 90000, 2),
         "l_discount": np.round(rs.randint(0, 11, n_li) / 100, 2),
-        "l_tax": np.round(rs.randint(0, 9, n_li) / 100, 2)})
+        "l_tax": np.round(rs.randint(0, 9, n_li) / 100, 2),
+        # hour-granular so negative latencies and same-day ties occur
+        "l_shipdate": pd.to_datetime("1995-03-01")
+        + pd.to_timedelta(rs.randint(0, 300 * 24, n_li), unit="h")})
     d = tmp_path / f"cur2-{seed}"
     os.makedirs(d, exist_ok=True)
     docs.to_parquet(d / "documents.parquet", index=False)
@@ -98,7 +101,8 @@ def _assert_equal(a: pd.DataFrame, b: pd.DataFrame, name: str):
 
 _NEW = ["split_contamination", "rfm_segments", "hourly_top_event",
         "heaps_law_curve", "lineitem_value_corr",
-        "session_overlap_peak"]
+        "session_overlap_peak", "doc_perplexity",
+        "ship_latency_percentiles"]
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
@@ -148,10 +152,12 @@ def test_empty_input_parity_curation2(ray_session, tmp_path):
                   "o_totalprice": pd.Series([], dtype="float64"),
                   "o_orderdate": pd.Series([], dtype="datetime64[us]")}) \
         .to_parquet(d / "orders.parquet", index=False)
-    pd.DataFrame({"l_quantity": pd.Series([], dtype="float64"),
+    pd.DataFrame({"l_orderkey": pd.Series([], dtype="int64"),
+                  "l_quantity": pd.Series([], dtype="float64"),
                   "l_extendedprice": pd.Series([], dtype="float64"),
                   "l_discount": pd.Series([], dtype="float64"),
-                  "l_tax": pd.Series([], dtype="float64")}) \
+                  "l_tax": pd.Series([], dtype="float64"),
+                  "l_shipdate": pd.Series([], dtype="datetime64[us]")}) \
         .to_parquet(d / "lineitem.parquet", index=False)
     sd = str(d)
     assert len(QUERIES["split_contamination"](sd)) == 0
