@@ -93,6 +93,33 @@ def _flagship_queries() -> dict[str, Callable[[str], Any]]:
 # session_overlap_peak — all sweep-verified bit-exact at
 # sf0.001/0.01/0.1) plus any red r4-window rows, topped up with the
 # then-oldest green names (the round-1 family certified in r1/r2).
+# Precomputed round-5 rotation (swap for _DRIVER_WINDOW_R4 at the r5
+# session start): the 22 round-4-added names with no possible driver row
+# yet, then any RED rows from CORRECTNESS_r04.json (substitute them for
+# top-ups), topped up to 50 with the oldest r1-certified greens.
+_DRIVER_WINDOW_R5_PRECOMPUTED = [
+    # round-4 additions (never in any driver window)
+    "mixture_weights", "novelty_curve", "chunk_plan", "hapax_stats",
+    "promo_part_suppliers", "interarrival_rate",
+    "contamination_by_source", "dedup_cluster_sizes",
+    "template_prefixes", "length_quality_grid", "token_budget_epochs",
+    "dup_canonical", "embedding_norm_stats", "ivf_recall",
+    "split_contamination", "rfm_segments", "hourly_top_event",
+    "heaps_law_curve", "lineitem_value_corr", "session_overlap_peak",
+    "doc_perplexity", "ship_latency_percentiles", "label_scatter",
+    "reorder_gap_percentiles",
+    # top-ups: oldest (r1-certified) greens — replace from the front
+    # with any red CORRECTNESS_r04 rows before shipping the r5 window
+    "category_stats", "revenue_by_flag", "top_events",
+    "ordered_assembly", "join_customer_orders", "join_lineitem_orders",
+    "dedup_exact", "minhash_dedup", "embedding_knn", "token_counts",
+    "quality_score", "events_sliding", "user_sessions",
+    "asof_purchase_click", "range_purchase_views", "normalize_text",
+    "redact_pii", "lang_id", "doc_stats", "fingerprint_md5",
+    "quantity_quantiles", "top_customers", "supplier_nation_region",
+    "events_hourly", "distinct_event_types", "simhash_buckets",
+]
+
 _DRIVER_WINDOW_R4 = [
     "session_intervals", "cluster_topics", "cluster_purity",
     "value_skew_by_type", "loyal_users", "value_winsor_mean",

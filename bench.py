@@ -53,6 +53,8 @@ BENCH_QUERIES = [
     # round-4c family
     "split_contamination", "rfm_segments", "hourly_top_event",
     "heaps_law_curve", "lineitem_value_corr", "session_overlap_peak",
+    "doc_perplexity", "ship_latency_percentiles", "label_scatter",
+    "reorder_gap_percentiles",
 ]
 
 

@@ -781,8 +781,37 @@ def _connected_components(edges) -> pd.DataFrame:
 
     _CC_BUCKETS = 64
 
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return _empty_typed(doc_id="int64", component="int64")
+    if n_edges <= _REDUCE_GATE_ROWS:
+        # Below the reduce gate the edge list is driver-sized (the same
+        # philosophy as _reduce_partials): per-iteration Ray exchanges
+        # cost seconds each and a CHAIN-shaped component needs diameter
+        # iterations — measured 164s at sf0.1 for a graph whose driver
+        # CC takes milliseconds. Vectorized hook + shortcut (pointer
+        # jumping) converges in O(log n) numpy passes.
+        e = edges.to_pandas()
+        a = e["a"].to_numpy(np.int64)
+        b = e["b"].to_numpy(np.int64)
+        nodes, inv = np.unique(np.concatenate([a, b]),
+                               return_inverse=True)
+        ia, ib = inv[: len(a)], inv[len(a):]
+        lab = nodes.copy()
+        for _ in range(_CC_MAX_ITERS):
+            old = lab.copy()
+            m = np.minimum(lab[ia], lab[ib])  # hook: edge min, both ways
+            np.minimum.at(lab, ia, m)
+            np.minimum.at(lab, ib, m)
+            # shortcut: labels are node ids, so one pointer jump per
+            # pass (lab <- lab[lab]) halves chain depth
+            lab = np.minimum(lab, lab[np.searchsorted(nodes, lab)])
+            if np.array_equal(lab, old):
+                break
+        else:
+            raise RuntimeError("dup_components did not converge")
+        return pd.DataFrame({"doc_id": nodes, "component": lab}) \
+            .astype("int64").sort_values("doc_id").reset_index(drop=True)
 
     def sym_msgs(b: pd.DataFrame) -> pd.DataFrame:
         # both directions: key owns an out-neighbor list, bucketed by key

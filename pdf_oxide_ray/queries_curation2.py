@@ -43,6 +43,7 @@ order, then the shared half-away 1e-6 grid. Self-registers into
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -864,6 +865,199 @@ CURATION2_ORACLES["ship_latency_percentiles"] = """
            CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY lat)
                 AS BIGINT) AS p99_days
     FROM j GROUP BY month ORDER BY month"""
+
+
+# ---------------------------------------------------------------------------
+# label scatter: within-cluster cohesion over the int8 grid
+# ---------------------------------------------------------------------------
+
+
+def q_label_scatter(sf_dir: str) -> pd.DataFrame:
+    """Within-cluster scatter per label — the cluster-cohesion report a
+    semantic-dedup / clustering pipeline reads next to
+    ``label_centroid_sim`` (between-cluster) and
+    ``embedding_norm_stats`` (norm sanity): scatter_l = sum_i ||q_i -
+    mu_l||^2 = (n * sum||q||^2 - ||sum q||^2) / n on the shared int8
+    quantization grid, so both sides are exact integers until ONE final
+    divide. Pure map + label-dimension partial reduce (n, sum q^2, and
+    one per-dim component sum column — dims are schema-fixed); the
+    numerator recombines in Python big ints (per-row q2 <= dims*127^2
+    ~ 1e6 keeps the int64 reduce safe to ~9e12 rows)."""
+    ds = _pq(sf_dir, "embeddings", ["label", "embedding"])
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        if not len(b):  # zero-row block: np.stack needs >= 1 array
+            return pd.DataFrame({"label": pd.Series([], dtype="int64"),
+                                 "q2": pd.Series([], dtype="int64"),
+                                 "n": pd.Series([], dtype="int64")})
+        mat = np.stack(b["embedding"].to_numpy()).astype(np.float64)
+        ma = np.abs(mat).max(axis=1) if mat.shape[1] else \
+            np.zeros(len(mat))
+        safe = np.where(ma == 0, 1.0, ma)
+        x = (mat * 127.0) / safe[:, None]
+        q = np.copysign(np.floor(np.abs(x) + 0.5), x)
+        q[ma == 0] = 0.0
+        q = q.astype(np.int64)
+        f = pd.DataFrame(q, columns=[f"s{i}"
+                                     for i in range(q.shape[1])])
+        f.insert(0, "label", b["label"].to_numpy(np.int64))
+        f["q2"] = (q * q).sum(axis=1)
+        f["n"] = np.int64(1)
+        return f.groupby("label", as_index=False).sum()
+
+    m = ds.map_batches(partial, batch_format="pandas").materialize()
+    if m.count() == 0:
+        return _empty_typed(label="int64", n_vecs="int64",
+                            sum_norm2="int64", scatter="float64")
+    agg = m.to_pandas()
+    dim_cols = [c for c in agg.columns if c.startswith("s")]
+    agg = agg.groupby("label", as_index=False).sum() \
+        .sort_values("label").reset_index(drop=True)
+    rows = []
+    for _, r in agg.iterrows():
+        n, q2 = int(r["n"]), int(r["q2"])
+        ss2 = sum(int(r[c]) ** 2 for c in dim_cols)
+        num = n * q2 - ss2
+        rows.append((int(r["label"]), n, q2,
+                     float(num) / np.float64(n)))
+    return pd.DataFrame(rows, columns=["label", "n_vecs", "sum_norm2",
+                                       "scatter"]) \
+        .astype({"label": "int64", "n_vecs": "int64",
+                 "sum_norm2": "int64", "scatter": "float64"})
+
+
+CURATION2_QUERIES["label_scatter"] = q_label_scatter
+CURATION2_ORACLES["label_scatter"] = """
+    WITH m AS (
+      SELECT vec_id, label, embedding,
+             list_max(list_transform(embedding,
+                      x -> abs(CAST(x AS DOUBLE)))) AS ma
+      FROM embeddings),
+    qq AS (
+      SELECT vec_id, label,
+             unnest(range(1, len(embedding) + 1)) AS i,
+             CASE WHEN ma = 0 THEN 0 ELSE
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 127.0 / ma)
+                    AS BIGINT) END AS q
+      FROM m),
+    dimsum AS (
+      SELECT label, i, SUM(q) AS s, SUM(q * q) AS s2
+      FROM qq GROUP BY 1, 2),
+    lab AS (
+      SELECT label, SUM(s * s) AS ss2, SUM(s2) AS sumq2
+      FROM dimsum GROUP BY label),
+    nn AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings
+           GROUP BY label)
+    SELECT CAST(nn.label AS BIGINT) AS label,
+           CAST(n_vecs AS BIGINT) AS n_vecs,
+           CAST(COALESCE(sumq2, 0) AS BIGINT) AS sum_norm2,
+           CAST(n_vecs * COALESCE(sumq2, 0) - COALESCE(ss2, 0)
+                AS DOUBLE) / CAST(n_vecs AS DOUBLE) AS scatter
+    FROM nn LEFT JOIN lab USING (label) ORDER BY nn.label"""
+
+
+# ---------------------------------------------------------------------------
+# reorder gap percentiles: repeat-purchase latency by market segment
+# ---------------------------------------------------------------------------
+
+
+def q_reorder_gap_percentiles(sf_dir: str) -> pd.DataFrame:
+    """Repeat-purchase latency: per market segment, exact p50/p90 of the
+    per-customer gap (days) between CONSECUTIVE orders — the retention
+    diagnostic next to ``retention_cohorts``. Plan: ONE
+    ``custkey % 64`` bucket exchange; inside a bucket the gaps are one
+    vectorized sorted diff with customer-boundary masking (the
+    ``user_sessions`` scan); segments come from the broadcast customer
+    dim (sorted-key searchsorted, the fk_audit idiom — ray.put once,
+    per-worker cache); percentiles ride the bounded (segment, gap-day)
+    histogram with the percentile_disc index rule — never a global
+    sort."""
+    import pyarrow.parquet as pq
+    import ray
+
+    from .stages.joins import _get_broadcast
+
+    cust = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey", "c_mktsegment"]) \
+        .to_pandas().sort_values("c_custkey")
+    keys_ref = ray.put(cust["c_custkey"].to_numpy(np.int64))
+    seg_ref = ray.put(cust["c_mktsegment"].to_numpy(object))
+    ds = _pq(sf_dir, "orders", ["o_custkey", "o_orderdate",
+                                "o_orderkey"])
+    day = 86_400_000_000
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["__bucket"] = (b["o_custkey"] % 64).astype(np.int64)
+        return b
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["o_custkey", "o_orderdate", "o_orderkey"],
+                          kind="mergesort")
+        u = g["o_custkey"].to_numpy(np.int64)
+        d = g["o_orderdate"].to_numpy("datetime64[us]") \
+            .astype(np.int64) // day
+        if not len(u):
+            return pd.DataFrame({
+                "segment": pd.Series([], dtype=object),
+                "gap": pd.Series([], dtype="int64"),
+                "cnt": pd.Series([], dtype="int64")})
+        same = np.concatenate([[False], u[1:] == u[:-1]])
+        gaps = np.concatenate([[0], np.diff(d)])[same]
+        cu = u[same]
+        keys = _get_broadcast(keys_ref)
+        segs = _get_broadcast(seg_ref)
+        seg = segs[np.searchsorted(keys, cu)]
+        return pd.DataFrame({"segment": seg, "gap": gaps,
+                             "cnt": np.int64(1)}) \
+            .groupby(["segment", "gap"], as_index=False).sum()
+
+    with _scoped_parallelism(64):
+        hist = _reduce_partials(
+            ds.map_batches(add_bucket, batch_format="pandas")
+            .groupby("__bucket").map_groups(per_bucket,
+                                            batch_format="pandas"),
+            ["segment", "gap"], ["cnt"])
+    if hist.empty:
+        return _empty_typed(segment=object, n="int64",
+                            p50_days="int64", p90_days="int64")
+    rows = []
+    for segment, g in hist.groupby("segment"):
+        g = g.sort_values("gap")
+        cum = g["cnt"].cumsum().to_numpy()
+        vals = g["gap"].to_numpy()
+        n = int(cum[-1])
+        qs = []
+        for p in (0.5, 0.9):
+            idx = min(max(int(np.ceil(n * np.float64(p))) - 1, 0), n - 1)
+            qs.append(int(vals[np.searchsorted(cum, idx + 1)]))
+        rows.append((segment, n, *qs))
+    return pd.DataFrame(rows, columns=["segment", "n", "p50_days",
+                                       "p90_days"]) \
+        .sort_values("segment").reset_index(drop=True) \
+        .astype({"n": "int64", "p50_days": "int64", "p90_days": "int64"})
+
+
+CURATION2_QUERIES["reorder_gap_percentiles"] = q_reorder_gap_percentiles
+CURATION2_ORACLES["reorder_gap_percentiles"] = """
+    WITH g AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate,
+                                                       o_orderkey),
+                       o_orderdate) AS gap
+      FROM orders),
+    j AS (
+      SELECT c.c_mktsegment AS segment, g.gap
+      FROM g JOIN customer c ON g.o_custkey = c.c_custkey
+      WHERE g.gap IS NOT NULL)
+    SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY gap)
+                AS BIGINT) AS p50_days,
+           CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY gap)
+                AS BIGINT) AS p90_days
+    FROM j GROUP BY segment ORDER BY segment"""
 
 
 def _register() -> None:

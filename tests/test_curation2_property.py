@@ -63,18 +63,36 @@ def _write_tables(tmp_path, seed: int) -> str:
         # hour-granular so negative latencies and same-day ties occur
         "l_shipdate": pd.to_datetime("1995-03-01")
         + pd.to_timedelta(rs.randint(0, 300 * 24, n_li), unit="h")})
+    customer = pd.DataFrame({
+        "c_custkey": np.arange(1, 41, dtype=np.int64),
+        "c_name": [f"c{i}" for i in range(1, 41)],
+        "c_nationkey": np.int32(0), "c_acctbal": 0.0,
+        "c_mktsegment": [["AUTO", "BUILDING", "MACHINERY"][i % 3]
+                         for i in range(40)]})
+    n_vec = int(rs.randint(5, 60))
+    dim = int(rs.randint(2, 9))
+    emb = rs.randn(n_vec, dim).astype(np.float32)
+    if n_vec >= 3:
+        emb[2] = 0.0  # all-zero vector: the ma == 0 grid edge
+    embeddings = pd.DataFrame({
+        "vec_id": np.arange(n_vec, dtype=np.int64),
+        "embedding": [r for r in emb],
+        "label": rs.randint(0, 4, n_vec).astype(np.int32)})
     d = tmp_path / f"cur2-{seed}"
     os.makedirs(d, exist_ok=True)
     docs.to_parquet(d / "documents.parquet", index=False)
     events.to_parquet(d / "events.parquet", index=False)
     orders.to_parquet(d / "orders.parquet", index=False)
     lineitem.to_parquet(d / "lineitem.parquet", index=False)
+    customer.to_parquet(d / "customer.parquet", index=False)
+    embeddings.to_parquet(d / "embeddings.parquet", index=False)
     return str(d)
 
 
 def _oracle(sf_dir: str, sql: str) -> pd.DataFrame:
     con = duckdb.connect()
-    for t in ("documents", "events", "orders", "lineitem"):
+    for t in ("documents", "events", "orders", "lineitem", "customer",
+              "embeddings"):
         if os.path.exists(os.path.join(sf_dir, f"{t}.parquet")):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                         f"read_parquet('{sf_dir}/{t}.parquet')")
@@ -102,7 +120,8 @@ def _assert_equal(a: pd.DataFrame, b: pd.DataFrame, name: str):
 _NEW = ["split_contamination", "rfm_segments", "hourly_top_event",
         "heaps_law_curve", "lineitem_value_corr",
         "session_overlap_peak", "doc_perplexity",
-        "ship_latency_percentiles"]
+        "ship_latency_percentiles", "label_scatter",
+        "reorder_gap_percentiles"]
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2])
@@ -159,6 +178,12 @@ def test_empty_input_parity_curation2(ray_session, tmp_path):
                   "l_tax": pd.Series([], dtype="float64"),
                   "l_shipdate": pd.Series([], dtype="datetime64[us]")}) \
         .to_parquet(d / "lineitem.parquet", index=False)
+    pd.DataFrame({"c_custkey": [1], "c_mktsegment": ["AUTO"]}) \
+        .to_parquet(d / "customer.parquet", index=False)
+    pd.DataFrame({"vec_id": pd.Series([], dtype="int64"),
+                  "embedding": pd.Series([], dtype=object),
+                  "label": pd.Series([], dtype="int32")}) \
+        .to_parquet(d / "embeddings.parquet", index=False)
     sd = str(d)
     assert len(QUERIES["split_contamination"](sd)) == 0
     assert len(QUERIES["rfm_segments"](sd)) == 0
@@ -168,3 +193,7 @@ def test_empty_input_parity_curation2(ray_session, tmp_path):
     corr = QUERIES["lineitem_value_corr"](sd)
     assert len(corr) == 6
     assert (corr["n"] == 0).all() and corr["r"].isna().all()
+    assert len(QUERIES["doc_perplexity"](sd)) == 0
+    assert len(QUERIES["ship_latency_percentiles"](sd)) == 0
+    assert len(QUERIES["label_scatter"](sd)) == 0
+    assert len(QUERIES["reorder_gap_percentiles"](sd)) == 0
