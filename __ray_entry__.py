@@ -94,7 +94,7 @@ def _flagship_queries() -> dict[str, Callable[[str], Any]]:
 # sf0.001/0.01/0.1) plus any red r4-window rows, topped up with the
 # then-oldest green names (the round-1 family certified in r1/r2).
 # Precomputed round-5 rotation (swap for _DRIVER_WINDOW_R4 at the r5
-# session start): the 22 round-4-added names with no possible driver row
+# session start): the 27 round-4-added names with no possible driver row
 # yet, then any RED rows from CORRECTNESS_r04.json (substitute them for
 # top-ups), topped up to 50 with the oldest r1-certified greens.
 _DRIVER_WINDOW_R5_PRECOMPUTED = [
@@ -107,7 +107,8 @@ _DRIVER_WINDOW_R5_PRECOMPUTED = [
     "split_contamination", "rfm_segments", "hourly_top_event",
     "heaps_law_curve", "lineitem_value_corr", "session_overlap_peak",
     "doc_perplexity", "ship_latency_percentiles", "label_scatter",
-    "reorder_gap_percentiles",
+    "reorder_gap_percentiles", "split_token_kl", "quota_allocation",
+    "rank_normalize_by_source",
     # top-ups: oldest (r1-certified) greens — replace from the front
     # with any red CORRECTNESS_r04 rows before shipping the r5 window
     "category_stats", "revenue_by_flag", "top_events",
@@ -117,7 +118,6 @@ _DRIVER_WINDOW_R5_PRECOMPUTED = [
     "asof_purchase_click", "range_purchase_views", "normalize_text",
     "redact_pii", "lang_id", "doc_stats", "fingerprint_md5",
     "quantity_quantiles", "top_customers", "supplier_nation_region",
-    "events_hourly", "distinct_event_types", "simhash_buckets",
 ]
 
 _DRIVER_WINDOW_R4 = [
