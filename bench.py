@@ -55,6 +55,11 @@ BENCH_QUERIES = [
     "heaps_law_curve", "lineitem_value_corr", "session_overlap_peak",
     "doc_perplexity", "ship_latency_percentiles", "label_scatter",
     "reorder_gap_percentiles",
+    # round-4d family
+    "split_token_kl", "quota_allocation", "rank_normalize_by_source",
+    # round-4e family
+    "kmv_distinct", "padding_waste", "token_fertility",
+    "curriculum_schedule",
 ]
 
 

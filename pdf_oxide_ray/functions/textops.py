@@ -41,6 +41,22 @@ _LANG_STOPWORDS = {
 }
 
 
+# DuckDB twin of Python str.split(): whitespace tokens, empties dropped.
+# Lives here (a LEAF module — no queries import) so the query-family
+# modules can share it at top level without a circular import: a worker
+# whose first import is one queries_* module must never resolve a symbol
+# from a sibling queries_* module mid-initialization.
+TOK_SQL = (r"unnest(list_filter(regexp_split_to_array("
+           r"coalesce(text, ''), '\s+'), x -> x <> ''))")
+
+
+def halfaway6(raw: np.ndarray) -> np.ndarray:
+    """Quantize to the int 1e-6 grid with half-AWAY rounding (DuckDB
+    ``round()``), the shared convention for every ln()-twinned value."""
+    v = raw * 1e6
+    return np.copysign(np.floor(np.abs(v) + 0.5), v).astype(np.int64)
+
+
 def token_count_ws(texts: pd.Series) -> pd.Series:
     """Whitespace token count (vectorized)."""
     return texts.fillna("").str.split().str.len().astype("int64")

@@ -58,20 +58,17 @@ import pandas as pd
 
 from . import queries as _qmod
 from .functions import dedup as fdedup
+from .functions import textops as _ftext
 from .queries import (_empty_typed, _pq, _reduce_partials,
                       _scoped_parallelism)
 
 # The whitespace tokenizer shared with unigram_logprob / tfidf_keywords:
 # str.split() on the engine side == this fragment on the DuckDB side.
-_TOK_SQL = (r"unnest(list_filter(regexp_split_to_array("
-            r"coalesce(text, ''), '\s+'), x -> x <> ''))")
-
-
-def _halfaway6(raw: np.ndarray) -> np.ndarray:
-    """Quantize to the int 1e-6 grid with half-AWAY rounding (DuckDB
-    ``round()``), the shared convention for every ln()-twinned value."""
-    v = raw * 1e6
-    return np.copysign(np.floor(np.abs(v) + 0.5), v).astype(np.int64)
+# canonical definitions live in functions/textops.py (a leaf module) so
+# sibling query families can import them without a circular-import risk;
+# these aliases keep this module's established names working
+_TOK_SQL = _ftext.TOK_SQL
+_halfaway6 = _ftext.halfaway6
 
 
 # ---------------------------------------------------------------------------

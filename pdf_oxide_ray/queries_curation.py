@@ -53,7 +53,7 @@ from .functions import textops as ftext
 from .functions import dedup as fdedup
 from .queries import (_cents, _empty_typed, _pq, _reduce_partials,
                       _scoped_parallelism)
-from .queries_corpus import _halfaway6
+from .functions.textops import halfaway6 as _halfaway6
 
 # ---------------------------------------------------------------------------
 # mixture weights: temperature-scaled source sampling (tau = 0.5)

@@ -40,7 +40,8 @@ import numpy as np
 import pandas as pd
 
 from .queries import _empty_typed, _pq, _reduce_partials
-from .queries_corpus import _TOK_SQL, _halfaway6
+from .functions.textops import TOK_SQL as _TOK_SQL
+from .functions.textops import halfaway6 as _halfaway6
 
 CURATION3_QUERIES: dict = {}
 CURATION3_ORACLES: dict = {}
