@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     # round-4e family
     "kmv_distinct", "padding_waste", "token_fertility",
     "curriculum_schedule",
+    # round-4f family
+    "gopher_rules", "dsir_weights", "soft_dedup_weights",
 ]
 
 
