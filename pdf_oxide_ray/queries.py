@@ -307,16 +307,34 @@ def q_top_events(sf_dir: str) -> pd.DataFrame:
 
 
 def q_top_customers(sf_dir: str) -> pd.DataFrame:
-    """Grouped sum then top-10 (partial agg -> small groupby -> sort+limit)."""
+    """Grouped sum then top-10. Below the reduce gate the per-batch
+    (custkey, cents) partials combine on the driver and the top-10 is
+    a local nlargest — the two Ray all-to-alls (groupby + sort) cost
+    seconds of pure exchange overhead on kilorow partials (the
+    `_reduce_partials` lesson). Above the gate (huge key cardinality)
+    the distributed groupby + sort + limit path stands."""
     ds = _pq(sf_dir, "orders", ["o_custkey", "o_totalprice"])
     partial = ds.map_batches(
         lambda b: b.assign(spent_c=_cents(b["o_totalprice"]))
         .groupby("o_custkey", as_index=False).agg(spent_c=("spent_c", "sum")),
-        batch_format="pandas")
-    agg = partial.groupby("o_custkey").aggregate(
-        Sum("spent_c", alias_name="spent_c"))
-    out = agg.sort(["spent_c", "o_custkey"],
-                   descending=[True, False]).limit(10).to_pandas()
+        batch_format="pandas").materialize()
+    npart = partial.count()
+    if npart == 0:
+        return _empty_typed(o_custkey="int64", total_spent="float64")
+    if npart <= _REDUCE_GATE_ROWS:
+        agg = partial.to_pandas().groupby("o_custkey", as_index=False) \
+            ["spent_c"].sum()
+        agg = agg.sort_values(["spent_c", "o_custkey"],
+                              ascending=[False, True],
+                              kind="mergesort").head(10) \
+            .reset_index(drop=True)
+        agg["total_spent"] = agg["spent_c"].astype(np.float64) / 100.0
+        return agg.drop(columns=["spent_c"])
+    with _scoped_parallelism(32):
+        agg = partial.groupby("o_custkey").aggregate(
+            Sum("spent_c", alias_name="spent_c"))
+        out = agg.sort(["spent_c", "o_custkey"],
+                       descending=[True, False]).limit(10).to_pandas()
     if out.empty:
         return _empty_typed(o_custkey="int64", total_spent="float64")
     out["total_spent"] = out["spent_c"].astype(np.float64) / 100.0

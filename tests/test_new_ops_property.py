@@ -99,7 +99,7 @@ def test_new_op_matches_oracle_on_random_corpus(ray_session, tmp_path,
                                   "latest_order_per_customer",
                                   "chunk_dedup", "quality_filter",
                                   "event_type_pivot", "length_cdf",
-                                  "revenue_rollup"])
+                                  "revenue_rollup", "top_customers"])
 def test_above_gate_distributed_path(ray_session, monkeypatch, name):
     """Force the above-_REDUCE_GATE_ROWS branch (distributed reduce,
     driver never sees the full key space) and check it returns the same
