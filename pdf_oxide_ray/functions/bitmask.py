@@ -63,6 +63,36 @@ def or_by_key(keys: np.ndarray, masks: dict[str, np.ndarray],
     return pd.DataFrame(out)
 
 
+def fold_or(df: pd.DataFrame, key_name: str, nw: int) -> pd.DataFrame:
+    """Driver-side final OR fold over concatenated per-batch partials:
+    one row per key, each word OR-combined via ``or_by_key``'s sorted
+    ``reduceat`` (no per-group Python)."""
+    return or_by_key(df[key_name].to_numpy(),
+                     {c: df[c].to_numpy(np.int64) for c in mask_cols(nw)},
+                     key_name)
+
+
+def or_reduce_gated(masked_ds, key_name: str, nw: int, gate: int):
+    """Gated keyed OR-reduce over per-batch pre-OR'd (key, mask words)
+    partials — the `_reduce_partials` convention for bitmask exchanges:
+    a Ray keyed ``AggregateFn`` exchange costs seconds of pure overhead
+    on kilorow partials (measured ~12s on the sf0.1 events masks), so
+    below ``gate`` partial rows the fold runs on the driver. Returns
+    ``(materialized_partials, folded_df_or_None)`` — ``None`` means the
+    caller must run the distributed per-word OR exchange on the
+    returned dataset (huge key cardinality; the driver never sees the
+    key space)."""
+    m = masked_ds.materialize()
+    n = m.count()
+    if n == 0:
+        return m, pd.DataFrame(
+            {key_name: [], **{c: pd.Series([], dtype="int64")
+                              for c in mask_cols(nw)}})
+    if n <= gate:
+        return m, fold_or(m.to_pandas(), key_name, nw)
+    return m, None
+
+
 def or_agg_fns(nw: int) -> list:
     """One bitwise-OR ``AggregateFn`` per mask word (the keyed-exchange
     combiner)."""

@@ -631,12 +631,18 @@ def q_source_vocab_overlap(sf_dir: str) -> pd.DataFrame:
                              "j": j.astype(np.int64),
                              "n": mat[i, j].astype(np.int64)})
 
-    with _scoped_parallelism(32):
-        per_tok = ds.map_batches(pairs, batch_format="pandas") \
-            .groupby("token").aggregate(*bm.or_agg_fns(nw))
-        agg = _reduce_partials(
-            per_tok.map_batches(block_counts, batch_format="pandas"),
-            ["i", "j"], ["n"])
+    m, folded = bm.or_reduce_gated(
+        ds.map_batches(pairs, batch_format="pandas"), "token", nw,
+        _qmod._REDUCE_GATE_ROWS)
+    if folded is not None:
+        agg = (block_counts(folded) if len(folded)
+               else _empty_typed(i="int64", j="int64", n="int64"))
+    else:
+        with _scoped_parallelism(32):
+            per_tok = m.groupby("token").aggregate(*bm.or_agg_fns(nw))
+            agg = _reduce_partials(
+                per_tok.map_batches(block_counts, batch_format="pandas"),
+                ["i", "j"], ["n"])
     if agg.empty:
         return empty
     diag = {int(r["i"]): int(r["n"]) for _, r in agg.iterrows()

@@ -1771,12 +1771,19 @@ def q_user_type_breadth(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"n_types": h.index.to_numpy(np.int64),
                              "n_users": h.to_numpy(np.int64)})
 
-    with _scoped_parallelism(32):
-        per_user = ds.map_batches(mask_partial, batch_format="pandas") \
-            .groupby("user_id").aggregate(*bm.or_agg_fns(nw))
-        out = _reduce_partials(
-            per_user.map_batches(popcount_hist, batch_format="pandas"),
-            ["n_types"], ["n_users"])
+    masked = ds.map_batches(mask_partial, batch_format="pandas")
+    m, folded = bm.or_reduce_gated(masked, "user_id", nw,
+                                   _qmod._REDUCE_GATE_ROWS)
+    if folded is not None:
+        out = (popcount_hist(folded).groupby("n_types", as_index=False)
+               ["n_users"].sum() if len(folded)
+               else _empty_typed(n_types="int64", n_users="int64"))
+    else:
+        with _scoped_parallelism(32):
+            per_user = m.groupby("user_id").aggregate(*bm.or_agg_fns(nw))
+            out = _reduce_partials(
+                per_user.map_batches(popcount_hist, batch_format="pandas"),
+                ["n_types"], ["n_users"])
     return out.astype({"n_types": "int64", "n_users": "int64"}) \
         .sort_values("n_types").reset_index(drop=True)
 
@@ -1893,12 +1900,14 @@ def q_loyal_users(sf_dir: str) -> pd.DataFrame:
     BITMASK (``functions.bitmask``: ``ceil(#types/63)`` int64 words, so
     ANY domain size rides the same plan): per batch, (user,
     OR-of-type-bits) partials (vectorized ``np.bitwise_or.reduceat``
-    over the batch sorted by user), then ONE user-keyed distributed
-    exchange combines masks with per-word OR ``AggregateFn``s
-    (bitwise-OR is associative + commutative — exactly what Ray's
-    combine/aggregate contract needs), and per-block full-mask counts
-    reduce to a driver-side scalar. The full corpus never leaves the
-    cluster: the driver sees #blocks count partials. Type->bit
+    over the batch sorted by user), then the GATED keyed OR-reduce
+    (`bm.or_reduce_gated`): kilorow partials fold on the driver (a Ray
+    keyed AggregateFn exchange costs ~12s of pure overhead there);
+    above the gate ONE user-keyed distributed exchange combines masks
+    with per-word OR ``AggregateFn``s (bitwise-OR is associative +
+    commutative — exactly what Ray's combine/aggregate contract
+    needs), and per-block full-mask counts reduce to a driver-side
+    scalar — the full corpus never leaves the cluster. Type->bit
     assignment is computed from a first pruned pass over the distinct
     types (broadcast)."""
     from .functions import bitmask as bm
@@ -1931,8 +1940,13 @@ def q_loyal_users(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"c": [int(ok.sum())]})
 
     masked = ds.map_batches(mask_partial, batch_format="pandas")
+    m, folded = bm.or_reduce_gated(masked, "user_id", nw,
+                                   _qmod._REDUCE_GATE_ROWS)
+    if folded is not None:
+        n = int(full_count(folded)["c"].iloc[0]) if len(folded) else 0
+        return pd.DataFrame({"n_loyal": pd.Series([n], dtype="int64")})
     with _scoped_parallelism(32):
-        per_user = masked.groupby("user_id").aggregate(*bm.or_agg_fns(nw))
+        per_user = m.groupby("user_id").aggregate(*bm.or_agg_fns(nw))
         n = per_user.map_batches(full_count, batch_format="pandas").sum("c")
     return pd.DataFrame({"n_loyal": pd.Series([int(n or 0)],
                                               dtype="int64")})
