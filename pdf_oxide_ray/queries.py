@@ -719,29 +719,57 @@ def _winnow_pair_counts_ds(sf_dir: str):
                              .astype("int64")})
 
     def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        # per-fingerprint pair generation, vectorized inside one bucket
-        # group (grouping by the raw fp would mean one map_groups task per
-        # fingerprint — measured pathological)
+        # per-fingerprint pair generation, vectorized by GROUP-SIZE
+        # CLASS inside one bucket: sort the distinct (fp, doc) rows
+        # once, then for each co-occurrence size s in 2..16 reshape
+        # that size-class's members to (groups, s) and emit all pairs
+        # with one fancy-index — no per-fingerprint Python iteration
+        # (a loop over ~6k fp groups per bucket measured ~2 min of
+        # pure pandas group overhead at sf0.1)
+        f = g[["fp", "doc_id"]].drop_duplicates() \
+            .sort_values(["fp", "doc_id"], kind="mergesort")
+        fp = f["fp"].to_numpy()
+        ids = f["doc_id"].to_numpy(np.int64)
+        starts = np.flatnonzero(np.r_[True, fp[1:] != fp[:-1]])
+        counts = np.diff(np.r_[starts, len(fp)])
         out_a: list = []
         out_b: list = []
-        for _, sub in g.groupby("fp", sort=False):
-            ids = np.sort(sub["doc_id"].unique())
-            if 2 <= len(ids) <= 16:  # hot fingerprint guard
-                ia, ib = np.triu_indices(len(ids), k=1)
-                out_a.extend(ids[ia].tolist())
-                out_b.extend(ids[ib].tolist())
+        for s in range(2, 17):  # hot fingerprint guard: skip > 16
+            sel = starts[counts == s]
+            if not sel.size:
+                continue
+            mat = ids[sel[:, None] + np.arange(s)]
+            ia, ib = np.triu_indices(s, k=1)
+            out_a.append(mat[:, ia].ravel())
+            out_b.append(mat[:, ib].ravel())
         if not out_a:
             return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                                  "id_b": pd.Series(dtype="int64"),
                                  "n": pd.Series(dtype="int64")})
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b}) \
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b)}) \
             .groupby(["id_a", "id_b"], as_index=False).size() \
             .rename(columns={"size": "n"})
 
-    return ds.map_batches(explode, batch_format="pandas") \
+    per_bucket = ds.map_batches(explode, batch_format="pandas") \
         .groupby("bucket").map_groups(pairs_in_bucket,
                                       batch_format="pandas") \
-        .groupby(["id_a", "id_b"]).sum("n")
+        .materialize()
+    # final cross-bucket pair-count reduce, gated like _reduce_partials:
+    # the per-bucket outputs are already reduced, so below the gate the
+    # driver combine replaces a whole Ray exchange (returned as a
+    # one-block Dataset so both consumers keep their Dataset flow)
+    n = per_bucket.count()
+    if n <= _REDUCE_GATE_ROWS:
+        df = (per_bucket.to_pandas()
+              .groupby(["id_a", "id_b"], as_index=False)["n"].sum()
+              .rename(columns={"n": "sum(n)"})
+              if n else pd.DataFrame({"id_a": [], "id_b": [],
+                                      "sum(n)": []}))
+        import ray
+
+        return ray.data.from_pandas(df)
+    return per_bucket.groupby(["id_a", "id_b"]).sum("n")
 
 
 def q_winnow_dup_pairs(sf_dir: str) -> pd.DataFrame:
