@@ -94,7 +94,7 @@ def _flagship_queries() -> dict[str, Callable[[str], Any]]:
 # sf0.001/0.01/0.1) plus any red r4-window rows, topped up with the
 # then-oldest green names (the round-1 family certified in r1/r2).
 # Precomputed round-5 rotation (swap for _DRIVER_WINDOW_R4 at the r5
-# session start): the 37 round-4-added names with no possible driver row
+# session start): the 38 round-4-added names with no possible driver row
 # yet, then any RED rows from CORRECTNESS_r04.json (substitute them for
 # top-ups), topped up to 50 with the oldest r1-certified greens.
 _DRIVER_WINDOW_R5_PRECOMPUTED = [
@@ -111,13 +111,13 @@ _DRIVER_WINDOW_R5_PRECOMPUTED = [
     "rank_normalize_by_source", "kmv_distinct", "padding_waste",
     "token_fertility", "curriculum_schedule", "gopher_rules",
     "dsir_weights", "soft_dedup_weights", "lang_confusion",
-    "neyman_allocation", "chao1_vocab",
+    "neyman_allocation", "chao1_vocab", "event_burstiness",
     # top-ups: oldest (r1-certified) greens — replace from the front
     # with any red CORRECTNESS_r04 rows before shipping the r5 window
     "category_stats", "revenue_by_flag", "top_events",
     "ordered_assembly", "join_customer_orders", "join_lineitem_orders",
     "dedup_exact", "minhash_dedup", "embedding_knn", "token_counts",
-    "quality_score", "events_sliding", "user_sessions",
+    "quality_score", "events_sliding",
 ]
 
 _DRIVER_WINDOW_R4 = [

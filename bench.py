@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "gopher_rules", "dsir_weights", "soft_dedup_weights",
     # round-4g family
     "lang_confusion", "neyman_allocation", "chao1_vocab",
+    "event_burstiness",
     # round-4 perf-gated fixes (driver-visible walls for the record)
     "top_customers", "loyal_users", "user_type_breadth",
     "winnow_dup_pairs", "dup_components",
