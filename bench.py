@@ -65,6 +65,8 @@ BENCH_QUERIES = [
     # round-4g family
     "lang_confusion", "neyman_allocation", "chao1_vocab",
     "event_burstiness",
+    # round-4i family
+    "event_runs", "oov_rate", "bm25_search",
     # round-4 perf-gated fixes (driver-visible walls for the record)
     "top_customers", "loyal_users", "user_type_breadth",
     "winnow_dup_pairs", "dup_components",

@@ -2,7 +2,7 @@
 oracle side-by-side at a given sf, compare row count + schema + value hash
 (columns sorted by name, rows sorted by all columns — mirrors the driver).
 
-Usage: python tools/correctness_sweep.py [sf_dir]
+Usage: python tools/correctness_sweep.py [sf_dir] [--only name1,name2,...]
 """
 
 from __future__ import annotations
@@ -37,7 +37,13 @@ def normalize(obj) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = list(sys.argv[1:])
+    only: set[str] | None = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = set(argv[i + 1].split(","))
+        del argv[i:i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     import ray
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=16, include_dashboard=False)
@@ -48,6 +54,13 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
                     f"read_parquet('{sf_dir}/{t}.parquet')")
+
+    if only is not None:
+        missing = only - set(qs)
+        if missing:
+            print(f"unknown query names: {sorted(missing)}")
+            return 1
+        qs = {k: v for k, v in qs.items() if k in only}
 
     n_fail = 0
     for name, fn in qs.items():
