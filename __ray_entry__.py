@@ -112,12 +112,13 @@ _DRIVER_WINDOW_R5_PRECOMPUTED = [
     "token_fertility", "curriculum_schedule", "gopher_rules",
     "dsir_weights", "soft_dedup_weights", "lang_confusion",
     "neyman_allocation", "chao1_vocab", "event_burstiness",
+    "event_runs", "oov_rate", "bm25_search",
+    "boilerplate_ngrams", "prefix_containment", "good_turing",
+    "weighted_median_price",
     # top-ups: oldest (r1-certified) greens — replace from the front
     # with any red CORRECTNESS_r04 rows before shipping the r5 window
     "category_stats", "revenue_by_flag", "top_events",
-    "ordered_assembly", "join_customer_orders", "join_lineitem_orders",
-    "dedup_exact", "minhash_dedup", "embedding_knn", "token_counts",
-    "quality_score", "events_sliding",
+    "ordered_assembly", "join_customer_orders",
 ]
 
 _DRIVER_WINDOW_R4 = [

@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     "event_burstiness",
     # round-4i family
     "event_runs", "oov_rate", "bm25_search",
+    # round-4j family
+    "boilerplate_ngrams", "prefix_containment", "good_turing",
+    "weighted_median_price",
     # round-4 perf-gated fixes (driver-visible walls for the record)
     "top_customers", "loyal_users", "user_type_breadth",
     "winnow_dup_pairs", "dup_components",

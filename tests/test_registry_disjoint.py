@@ -24,6 +24,7 @@ _FAMILIES = [
     ("queries_curation6", "CURATION6_QUERIES"),
     ("queries_curation7", "CURATION7_QUERIES"),
     ("queries_curation8", "CURATION8_QUERIES"),
+    ("queries_curation9", "CURATION9_QUERIES"),
 ]
 
 
