@@ -115,10 +115,13 @@ _DRIVER_WINDOW_R5_PRECOMPUTED = [
     "event_runs", "oov_rate", "bm25_search",
     "boilerplate_ngrams", "prefix_containment", "good_turing",
     "weighted_median_price",
-    # top-ups: oldest (r1-certified) greens — replace from the front
-    # with any red CORRECTNESS_r04 rows before shipping the r5 window
-    "category_stats", "revenue_by_flag", "top_events",
-    "ordered_assembly", "join_customer_orders",
+    "subsample_weights", "char_coverage", "vocab_coverage",
+    "order_backlog",
+    # top-up: oldest (r1-certified) green. Any red CORRECTNESS_r04
+    # rows replace entries from THIS END (top-up first, then the
+    # newest families above — those stay judge-sweep-verified even
+    # without a driver row).
+    "category_stats",
 ]
 
 _DRIVER_WINDOW_R4 = [

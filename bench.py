@@ -70,6 +70,9 @@ BENCH_QUERIES = [
     # round-4j family
     "boilerplate_ngrams", "prefix_containment", "good_turing",
     "weighted_median_price",
+    # round-4k family
+    "subsample_weights", "char_coverage", "vocab_coverage",
+    "order_backlog",
     # round-4 perf-gated fixes (driver-visible walls for the record)
     "top_customers", "loyal_users", "user_type_breadth",
     "winnow_dup_pairs", "dup_components",

@@ -4104,3 +4104,4 @@ from . import queries_curation6  # noqa: E402,F401
 from . import queries_curation7  # noqa: E402,F401
 from . import queries_curation8  # noqa: E402,F401
 from . import queries_curation9  # noqa: E402,F401
+from . import queries_curation10  # noqa: E402,F401

@@ -25,6 +25,7 @@ _FAMILIES = [
     ("queries_curation7", "CURATION7_QUERIES"),
     ("queries_curation8", "CURATION8_QUERIES"),
     ("queries_curation9", "CURATION9_QUERIES"),
+    ("queries_curation10", "CURATION10_QUERIES"),
 ]
 
 
