@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     # round-4k family
     "subsample_weights", "char_coverage", "vocab_coverage",
     "order_backlog",
+    # round-4l family
+    "knn_label_consistency", "embedding_margin",
     # round-4 perf-gated fixes (driver-visible walls for the record)
     "top_customers", "loyal_users", "user_type_breadth",
     "winnow_dup_pairs", "dup_components",

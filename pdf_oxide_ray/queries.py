@@ -4105,3 +4105,4 @@ from . import queries_curation7  # noqa: E402,F401
 from . import queries_curation8  # noqa: E402,F401
 from . import queries_curation9  # noqa: E402,F401
 from . import queries_curation10  # noqa: E402,F401
+from . import queries_curation11  # noqa: E402,F401

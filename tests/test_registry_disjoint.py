@@ -26,6 +26,7 @@ _FAMILIES = [
     ("queries_curation8", "CURATION8_QUERIES"),
     ("queries_curation9", "CURATION9_QUERIES"),
     ("queries_curation10", "CURATION10_QUERIES"),
+    ("queries_curation11", "CURATION11_QUERIES"),
 ]
 
 
