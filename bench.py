@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "order_backlog",
     # round-4l family
     "knn_label_consistency", "embedding_margin",
+    # round-4m family
+    "geo_mean_by_type", "bpe_train_steps", "kcenter_coreset",
     # round-4 perf-gated fixes (driver-visible walls for the record)
     "top_customers", "loyal_users", "user_type_breadth",
     "winnow_dup_pairs", "dup_components",

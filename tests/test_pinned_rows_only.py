@@ -47,6 +47,12 @@ PINNED = {
     # both IVF configurations are seeded + order-invariant (exact-int
     # partial top-k merge); confirmed at num_cpus=4/16 in fresh sessions
     "ivf_recall": "01e71f5a23be25ac288ae8ed8be88dc0",
+    # vocab-census int sums + total-order merge tie-breaks; confirmed
+    # at num_cpus=4/16 in fresh sessions before pinning
+    "bpe_train_steps": "c9763145fd35178c70bc9fa1136d008c",
+    # exact int64 quantized distances + min-vec_id tie-breaks; confirmed
+    # at num_cpus=4/16 in fresh sessions before pinning
+    "kcenter_coreset": "ec9efa5e2c6957989198263c74a832c2",
 }
 
 

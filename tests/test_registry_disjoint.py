@@ -27,6 +27,7 @@ _FAMILIES = [
     ("queries_curation9", "CURATION9_QUERIES"),
     ("queries_curation10", "CURATION10_QUERIES"),
     ("queries_curation11", "CURATION11_QUERIES"),
+    ("queries_curation12", "CURATION12_QUERIES"),
 ]
 
 
