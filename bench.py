@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "knn_label_consistency", "embedding_margin",
     # round-4m family
     "geo_mean_by_type", "bpe_train_steps", "kcenter_coreset",
+    # round-4n family
+    "exchange_skew_census", "debounce_census",
     # round-4 perf-gated fixes (driver-visible walls for the record)
     "top_customers", "loyal_users", "user_type_breadth",
     "winnow_dup_pairs", "dup_components",

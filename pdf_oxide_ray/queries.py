@@ -4107,3 +4107,4 @@ from . import queries_curation9  # noqa: E402,F401
 from . import queries_curation10  # noqa: E402,F401
 from . import queries_curation11  # noqa: E402,F401
 from . import queries_curation12  # noqa: E402,F401
+from . import queries_curation13  # noqa: E402,F401

@@ -28,6 +28,7 @@ _FAMILIES = [
     ("queries_curation10", "CURATION10_QUERIES"),
     ("queries_curation11", "CURATION11_QUERIES"),
     ("queries_curation12", "CURATION12_QUERIES"),
+    ("queries_curation13", "CURATION13_QUERIES"),
 ]
 
 
