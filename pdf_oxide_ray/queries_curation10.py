@@ -186,6 +186,8 @@ CURATION10_ORACLES["char_coverage"] = """
 
 _COV_TARGETS = (0.5, 0.9, 0.95, 0.99)
 
+_OB_GATE_ROWS = 5_000_000  # order-key partial-row gate (order_backlog)
+
 
 def q_vocab_coverage(sf_dir: str) -> pd.DataFrame:
     """Minimal vocab size reaching each target token coverage — module
@@ -268,7 +270,7 @@ def q_order_backlog(sf_dir: str) -> pd.DataFrame:
     # inputs); above it the reduce stays a distributed groupby whose
     # output folds straight into day-bounded count partials.
     parts = li.map_batches(omax, batch_format="pandas").materialize()
-    if parts.count() <= 5_000_000:
+    if parts.count() <= _OB_GATE_ROWS:
         pc = parts.to_pandas()
         cm = pd.DataFrame({"day": pc.groupby("l_orderkey")["md"].max()
                            .dt.floor("D").to_numpy(), "n": np.int64(1)}) \

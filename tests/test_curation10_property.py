@@ -134,6 +134,21 @@ def test_order_backlog_matches_oracle_random(ray_session, tmp_path,
     assert int(mine["backlog"].iloc[-1]) > 0
 
 
+def test_order_backlog_above_gate_distributed_path(ray_session,
+                                                   tmp_path,
+                                                   monkeypatch):
+    """Force the distributed groupby-Max branch (gate -> 1) and
+    verify it is hash-identical to the oracle on the same input."""
+    import pdf_oxide_ray.queries_curation10 as c10
+
+    d = _write_orderbook(tmp_path, 21, 500)
+    monkeypatch.setattr(c10, "_OB_GATE_ROWS", 1)
+    mine = QUERIES["order_backlog"](d)
+    gold = _oracle(d, ORACLE_SQL["order_backlog"],
+                   ["orders", "lineitem"])
+    _assert_equal(mine, gold, "order_backlog[above-gate]")
+
+
 def test_empty_input_parity_curation_r4k(ray_session, tmp_path):
     d = tmp_path / "empty10"
     os.makedirs(d, exist_ok=True)
