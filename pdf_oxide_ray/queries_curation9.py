@@ -212,11 +212,14 @@ def q_prefix_containment(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"text": vc.index.to_numpy(object),
                              "c": vc.to_numpy(np.int64)})
 
-    parts = ds.map_batches(dcount, batch_format="pandas").materialize()
     empty = _empty_typed(source=object, n_docs="int64", n_dup_eq="int64",
                          n_prefix="int64", prefix_rate="float64")
-    if parts.count() == 0:
+    # metadata-only row count on the parquet scan — the empty guard
+    # costs no execution pass (materializing the partials just to
+    # count them would add a full extra pipeline run)
+    if ds.count() == 0:
         return empty
+    parts = ds.map_batches(dcount, batch_format="pandas")
     with _scoped_parallelism(32):
         dist = parts.groupby("text").aggregate(Sum("c", alias_name="c"))
         sorted_ds = dist.sort("text")
