@@ -3180,12 +3180,13 @@ _SIMHASH_SQL_CTES = """toks AS (
           FROM acc GROUP BY doc_id)"""
 
 
-def _winnow_oracle_sql(k: int = 16, window: int = 8) -> str:
-    """DuckDB twin of q_winnow_dup_pairs: reconstructs the uint64
+def _winnow_fps_ctes(k: int = 16, window: int = 8) -> str:
+    """CTE chain ``d/kh/wm/fps`` ending in ``fps(doc_id, fp)`` — the
+    DISTINCT winnow fingerprints per doc, reconstructing the uint64
     polynomial rolling hash of functions/textops.py::winnow_fingerprints
     exactly (P^j mod 2^64 coefficient constants, HUGEINT sums, explicit
-    mod 2^64), takes per-doc window minima with MIN() OVER, and applies
-    the same 2..16 docs-per-fingerprint guard and pair threshold."""
+    mod 2^64) with per-doc window minima via MIN() OVER. Shared by the
+    winnow_dup_pairs / dup_components / dup_coverage oracles."""
     m = 1 << 64
     p = 1000003
     c = [pow(p, j, m) for j in range(k)]
@@ -3193,8 +3194,7 @@ def _winnow_oracle_sql(k: int = 16, window: int = 8) -> str:
         f"ord(substr(text, CAST(gi + {j} AS INT), 1))::HUGEINT"
         f" * {c[k - 1 - j]}::HUGEINT" for j in range(k))
     powers = "[" + ", ".join(f"{v}::HUGEINT" for v in c) + "]"
-    return f"""
-        WITH d AS (SELECT doc_id, text, length(text) AS L FROM documents
+    return f"""d AS (SELECT doc_id, text, length(text) AS L FROM documents
                    WHERE length(text) > 0),
         kh AS (
           SELECT doc_id, gi, L - {k - 1} AS n,
@@ -3217,7 +3217,14 @@ def _winnow_oracle_sql(k: int = 16, window: int = 8) -> str:
                  % {m}::HUGEINT AS UBIGINT) AS fp
           FROM (SELECT doc_id, text, L, unnest(range(1, L + 1)) AS i
                 FROM d WHERE L < {k})
-          GROUP BY doc_id),
+          GROUP BY doc_id)"""
+
+
+def _winnow_oracle_sql(k: int = 16, window: int = 8) -> str:
+    """DuckDB twin of q_winnow_dup_pairs: the shared fps CTE chain plus
+    the same 2..16 docs-per-fingerprint guard and pair threshold."""
+    return f"""
+        WITH {_winnow_fps_ctes(k, window)},
         fpc AS (SELECT fp, count(*) AS c FROM fps GROUP BY fp),
         pairs AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n
@@ -4108,3 +4115,4 @@ from . import queries_curation10  # noqa: E402,F401
 from . import queries_curation11  # noqa: E402,F401
 from . import queries_curation12  # noqa: E402,F401
 from . import queries_curation13  # noqa: E402,F401
+from . import queries_curation14  # noqa: E402,F401
