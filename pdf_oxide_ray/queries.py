@@ -4116,3 +4116,4 @@ from . import queries_curation11  # noqa: E402,F401
 from . import queries_curation12  # noqa: E402,F401
 from . import queries_curation13  # noqa: E402,F401
 from . import queries_curation14  # noqa: E402,F401
+from . import queries_curation15  # noqa: E402,F401

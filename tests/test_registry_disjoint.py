@@ -29,6 +29,8 @@ _FAMILIES = [
     ("queries_curation11", "CURATION11_QUERIES"),
     ("queries_curation12", "CURATION12_QUERIES"),
     ("queries_curation13", "CURATION13_QUERIES"),
+    ("queries_curation14", "CURATION14_QUERIES"),
+    ("queries_curation15", "CURATION15_QUERIES"),
 ]
 
 
