@@ -4117,3 +4117,4 @@ from . import queries_curation12  # noqa: E402,F401
 from . import queries_curation13  # noqa: E402,F401
 from . import queries_curation14  # noqa: E402,F401
 from . import queries_curation15  # noqa: E402,F401
+from . import queries_curation16  # noqa: E402,F401

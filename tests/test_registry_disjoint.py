@@ -31,6 +31,7 @@ _FAMILIES = [
     ("queries_curation13", "CURATION13_QUERIES"),
     ("queries_curation14", "CURATION14_QUERIES"),
     ("queries_curation15", "CURATION15_QUERIES"),
+    ("queries_curation16", "CURATION16_QUERIES"),
 ]
 
 
