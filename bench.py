@@ -79,6 +79,17 @@ BENCH_QUERIES = [
     "geo_mean_by_type", "bpe_train_steps", "kcenter_coreset",
     # round-4n family
     "exchange_skew_census", "debounce_census",
+    # round-4o family
+    "dup_coverage", "interarrival_percentiles", "split_balance",
+    "user_event_entropy",
+    # round-4p family
+    "decayed_event_popularity", "dedup_method_agreement",
+    "readability_scores", "supplier_reliability",
+    # round-4q family
+    "token_heavy_hitters", "near_dup_split_safety", "dedup_prf",
+    # round-4r family
+    "dup_transitivity_gap", "activity_tier_migration",
+    "user_acquisition_curve",
     # round-4 perf-gated fixes (driver-visible walls for the record)
     "top_customers", "loyal_users", "user_type_breadth",
     "winnow_dup_pairs", "dup_components",

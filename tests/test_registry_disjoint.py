@@ -32,6 +32,7 @@ _FAMILIES = [
     ("queries_curation14", "CURATION14_QUERIES"),
     ("queries_curation15", "CURATION15_QUERIES"),
     ("queries_curation16", "CURATION16_QUERIES"),
+    ("queries_curation17", "CURATION17_QUERIES"),
 ]
 
 
