@@ -90,6 +90,9 @@ BENCH_QUERIES = [
     # round-4r family
     "dup_transitivity_gap", "activity_tier_migration",
     "user_acquisition_curve",
+    # round-4s family
+    "corpus_datacard", "nation_value_percentiles",
+    "top_decile_share_by_source",
     # round-4 perf-gated fixes (driver-visible walls for the record)
     "top_customers", "loyal_users", "user_type_breadth",
     "winnow_dup_pairs", "dup_components",

@@ -33,6 +33,7 @@ _FAMILIES = [
     ("queries_curation15", "CURATION15_QUERIES"),
     ("queries_curation16", "CURATION16_QUERIES"),
     ("queries_curation17", "CURATION17_QUERIES"),
+    ("queries_curation18", "CURATION18_QUERIES"),
 ]
 
 
