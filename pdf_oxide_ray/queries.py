@@ -4120,3 +4120,4 @@ from . import queries_curation15  # noqa: E402,F401
 from . import queries_curation16  # noqa: E402,F401
 from . import queries_curation17  # noqa: E402,F401
 from . import queries_curation18  # noqa: E402,F401
+from . import queries_curation19  # noqa: E402,F401

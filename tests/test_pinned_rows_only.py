@@ -53,6 +53,10 @@ PINNED = {
     # exact int64 quantized distances + min-vec_id tie-breaks; confirmed
     # at num_cpus=4/16 in fresh sessions before pinning
     "kcenter_coreset": "ec9efa5e2c6957989198263c74a832c2",
+    # exact int64 moment sums make the covariance (hence the driver
+    # eigh spectrum) batching-invariant; confirmed at num_cpus=4/16
+    # in fresh sessions before pinning
+    "embedding_pca_evr": "9dcd9e901a86ba6cb64cde8bc2b2814c",
 }
 
 

@@ -34,6 +34,7 @@ _FAMILIES = [
     ("queries_curation16", "CURATION16_QUERIES"),
     ("queries_curation17", "CURATION17_QUERIES"),
     ("queries_curation18", "CURATION18_QUERIES"),
+    ("queries_curation19", "CURATION19_QUERIES"),
 ]
 
 
