@@ -35,6 +35,7 @@ _FAMILIES = [
     ("queries_curation17", "CURATION17_QUERIES"),
     ("queries_curation18", "CURATION18_QUERIES"),
     ("queries_curation19", "CURATION19_QUERIES"),
+    ("queries_curation20", "CURATION20_QUERIES"),
 ]
 
 
