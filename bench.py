@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "source_fp_overlap", "user_activity_gini", "embedding_pca_evr",
     # round-4u family
     "theil_sen_daily_trend", "spearman_qty_price",
+    # round-4v family
+    "fuzzy_decontam_rate", "reorder_survival",
     # round-4 perf-gated fixes (driver-visible walls for the record)
     "top_customers", "loyal_users", "user_type_breadth",
     "winnow_dup_pairs", "dup_components",

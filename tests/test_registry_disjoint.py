@@ -36,6 +36,7 @@ _FAMILIES = [
     ("queries_curation18", "CURATION18_QUERIES"),
     ("queries_curation19", "CURATION19_QUERIES"),
     ("queries_curation20", "CURATION20_QUERIES"),
+    ("queries_curation21", "CURATION21_QUERIES"),
 ]
 
 
