@@ -4123,3 +4123,4 @@ from . import queries_curation18  # noqa: E402,F401
 from . import queries_curation19  # noqa: E402,F401
 from . import queries_curation20  # noqa: E402,F401
 from . import queries_curation21  # noqa: E402,F401
+from . import queries_curation22  # noqa: E402,F401
