@@ -4124,3 +4124,4 @@ from . import queries_curation19  # noqa: E402,F401
 from . import queries_curation20  # noqa: E402,F401
 from . import queries_curation21  # noqa: E402,F401
 from . import queries_curation22  # noqa: E402,F401
+from . import queries_curation23  # noqa: E402,F401
