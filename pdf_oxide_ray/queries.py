@@ -4125,3 +4125,4 @@ from . import queries_curation20  # noqa: E402,F401
 from . import queries_curation21  # noqa: E402,F401
 from . import queries_curation22  # noqa: E402,F401
 from . import queries_curation23  # noqa: E402,F401
+from . import queries_curation24  # noqa: E402,F401
