@@ -4126,3 +4126,4 @@ from . import queries_curation21  # noqa: E402,F401
 from . import queries_curation22  # noqa: E402,F401
 from . import queries_curation23  # noqa: E402,F401
 from . import queries_curation24  # noqa: E402,F401
+from . import queries_curation25  # noqa: E402,F401
