@@ -11,33 +11,21 @@ import os
 
 import pdf_oxide_ray.queries as q
 
-_FAMILIES = [
-    ("queries_analytic", "ANALYTIC_QUERIES"),
-    ("queries_relational", "RELATIONAL_QUERIES"),
-    ("queries_relational2", "RELATIONAL2_QUERIES"),
-    ("queries_corpus", "CORPUS_QUERIES"),
-    ("queries_curation", "CURATION_QUERIES"),
-    ("queries_curation2", "CURATION2_QUERIES"),
-    ("queries_curation3", "CURATION3_QUERIES"),
-    ("queries_curation4", "CURATION4_QUERIES"),
-    ("queries_curation5", "CURATION5_QUERIES"),
-    ("queries_curation6", "CURATION6_QUERIES"),
-    ("queries_curation7", "CURATION7_QUERIES"),
-    ("queries_curation8", "CURATION8_QUERIES"),
-    ("queries_curation9", "CURATION9_QUERIES"),
-    ("queries_curation10", "CURATION10_QUERIES"),
-    ("queries_curation11", "CURATION11_QUERIES"),
-    ("queries_curation12", "CURATION12_QUERIES"),
-    ("queries_curation13", "CURATION13_QUERIES"),
-    ("queries_curation14", "CURATION14_QUERIES"),
-    ("queries_curation15", "CURATION15_QUERIES"),
-    ("queries_curation16", "CURATION16_QUERIES"),
-    ("queries_curation17", "CURATION17_QUERIES"),
-    ("queries_curation18", "CURATION18_QUERIES"),
-    ("queries_curation19", "CURATION19_QUERIES"),
-    ("queries_curation20", "CURATION20_QUERIES"),
-    ("queries_curation21", "CURATION21_QUERIES"),
-]
+def _families() -> list:
+    """Auto-discover every query-family module (queries_*.py next to
+    queries.py) so a new family is guarded without editing this test.
+    Dict naming convention: queries_foo -> FOO_QUERIES."""
+    pkg_dir = os.path.dirname(q.__file__)
+    fams = []
+    for fn in sorted(os.listdir(pkg_dir)):
+        if fn.startswith("queries_") and fn.endswith(".py"):
+            mod = fn[:-3]
+            fams.append((mod, mod[len("queries_"):].upper() + "_QUERIES"))
+    assert len(fams) >= 25, "family discovery is broken"
+    return fams
+
+
+_FAMILIES = _families()
 
 
 def _base_names() -> set:
