@@ -4128,3 +4128,4 @@ from . import queries_curation23  # noqa: E402,F401
 from . import queries_curation24  # noqa: E402,F401
 from . import queries_curation25  # noqa: E402,F401
 from . import queries_curation26  # noqa: E402,F401
+from . import queries_curation27  # noqa: E402,F401
