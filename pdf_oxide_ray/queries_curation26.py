@@ -205,34 +205,9 @@ def q_event_markov_stationary(sf_dir: str) -> pd.DataFrame:
 
 
 def _markov_sql() -> str:
-    stages = ", ".join(
-        f"it{k} AS MATERIALIZED (SELECT a.j AS j, "
-        f"CAST(SUM((p.v * a.n) // rt.tot) AS BIGINT) AS v "
-        f"FROM it{k - 1} p JOIN aug a ON a.i = p.j "
-        f"JOIN rt ON rt.i = a.i GROUP BY a.j)"
-        for k in range(1, _MARKOV_ITERS + 1))
-    return f"""
-    WITH
-    tr0 AS (SELECT event_type AS j,
-                   lag(event_type) OVER (PARTITION BY user_id
-                                         ORDER BY ts, event_id) AS i
-            FROM events),
-    tr AS MATERIALIZED (SELECT i, j, count(*) AS n FROM tr0
-                        WHERE i IS NOT NULL GROUP BY 1, 2),
-    states AS MATERIALIZED (SELECT DISTINCT i AS s FROM tr
-                            UNION SELECT DISTINCT j FROM tr),
-    aug AS MATERIALIZED (
-      SELECT i, j, n FROM tr
-      UNION ALL
-      SELECT s, s, CAST(1 AS BIGINT) FROM states
-      WHERE s NOT IN (SELECT DISTINCT i FROM tr)),
-    rt AS MATERIALIZED (SELECT i, CAST(SUM(n) AS BIGINT) AS tot
-                        FROM aug GROUP BY 1),
-    it0 AS MATERIALIZED (
-      SELECT s AS j, CAST({_MARKOV_PREC}
-                          // (SELECT count(*) FROM states) AS BIGINT) AS v
-      FROM states),
-    {stages}
+    from .functions.markov_sql import markov_chain_cte
+
+    return markov_chain_cte(_MARKOV_PREC, _MARKOV_ITERS) + f"""
     SELECT j AS event_type,
            CAST(v AS DOUBLE) / {_MARKOV_PREC}.0 AS stat_prob
     FROM it{_MARKOV_ITERS} ORDER BY event_type"""
