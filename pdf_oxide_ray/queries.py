@@ -4132,3 +4132,4 @@ from . import queries_curation27  # noqa: E402,F401
 from . import queries_curation28  # noqa: E402,F401
 from . import queries_curation29  # noqa: E402,F401
 from . import queries_curation30  # noqa: E402,F401
+from . import queries_curation31  # noqa: E402,F401
