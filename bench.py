@@ -99,6 +99,28 @@ BENCH_QUERIES = [
     "theil_sen_daily_trend", "spearman_qty_price",
     # round-4v family
     "fuzzy_decontam_rate", "reorder_survival",
+    # round-4w family
+    "tokens_chars_ols", "source_js_matrix", "candidate_jaccard_hist",
+    # round-4x family
+    "split_embedding_drift", "hubness_census",
+    # round-4y family
+    "shuffle_autocorr", "dp_source_counts", "quality_dup_lift",
+    # round-4z family
+    "value_psi_weekly", "glove_cooc_topk",
+    # round-4aa family
+    "dow_seasonality", "lineitem_fanout_hist",
+    "event_markov_stationary",
+    # round-4ab family
+    "source_length_wasserstein", "cluster_silhouette",
+    # round-4ac family
+    "median_user_value_by_type", "revenue_drawdown",
+    "markov_entropy_rate",
+    # round-4ad family
+    "bounce_rate", "negative_sampling_table", "funnel_latency",
+    # round-4ae family
+    "casefold_dup_gain", "bow_dup_census",
+    # round-4af family
+    "audience_overlap", "sentence_length_profile",
     # round-4 perf-gated fixes (driver-visible walls for the record)
     "top_customers", "loyal_users", "user_type_breadth",
     "winnow_dup_pairs", "dup_components",
