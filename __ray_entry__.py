@@ -123,6 +123,11 @@ _DRIVER_WINDOW_R5_PRECOMPUTED = [
     # without a driver row).
     "category_stats",
 ]
+# Still never-certified after an r5 swap: the ~40 queries of rounds
+# 4l-4af (curation11-31, e.g. knn_label_consistency ..
+# sentence_length_profile). All are dual-scale sweep-green
+# (tools/correctness_sweep.py at sf0.01 AND sf0.1, round-4 close);
+# they are the natural r6 window if one exists.
 
 _DRIVER_WINDOW_R4 = [
     "session_intervals", "cluster_topics", "cluster_purity",
