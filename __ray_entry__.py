@@ -93,11 +93,11 @@ def _flagship_queries() -> dict[str, Callable[[str], Any]]:
 # session_overlap_peak — all sweep-verified bit-exact at
 # sf0.001/0.01/0.1) plus any red r4-window rows, topped up with the
 # then-oldest green names (the round-1 family certified in r1/r2).
-# Precomputed round-5 rotation (swap for _DRIVER_WINDOW_R4 at the r5
-# session start): the 38 round-4-added names with no possible driver row
-# yet, then any RED rows from CORRECTNESS_r04.json (substitute them for
-# top-ups), topped up to 50 with the oldest r1-certified greens.
-_DRIVER_WINDOW_R5_PRECOMPUTED = [
+# Round-5 active window (swapped in at the r5 session start, per the
+# r4 verdict): the round-4-added names with no driver row through r4.
+# CORRECTNESS_r04 had no red rows (4 expected no_oracle rows-only), so
+# no substitutions were needed.
+_DRIVER_WINDOW_R5 = [
     # round-4 additions (never in any driver window)
     "mixture_weights", "novelty_curve", "chunk_plan", "hapax_stats",
     "promo_part_suppliers", "interarrival_rate",
@@ -123,31 +123,36 @@ _DRIVER_WINDOW_R5_PRECOMPUTED = [
     # without a driver row).
     "category_stats",
 ]
-# Still never-certified after an r5 swap: the ~40 queries of rounds
-# 4l-4af (curation11-31, e.g. knn_label_consistency ..
-# sentence_length_profile). All are dual-scale sweep-green
-# (tools/correctness_sweep.py at sf0.01 AND sf0.1, round-4 close);
-# they are the natural r6 window if one exists.
-
-_DRIVER_WINDOW_R4 = [
-    "session_intervals", "cluster_topics", "cluster_purity",
-    "value_skew_by_type", "loyal_users", "value_winsor_mean",
-    "priority_month_chi2", "benford_screen", "user_type_breadth",
-    "forecast_revenue", "market_share", "product_profit",
-    "late_shipments", "supplier_part_census", "small_qty_revenue",
-    "disjunctive_revenue", "waiting_suppliers", "customer_order_ranks",
-    "hourly_gapfill", "event_cooccurrence", "dominant_suppliers",
-    "bigram_pmi", "revenue_cube", "pareto_orders", "fuzzy_part_pairs",
-    "cooccurrence_triangles", "embedding_gram", "hourly_ffill",
-    "daily_trending", "min_cost_supplier", "part_value_share",
-    "token_zipf_fit", "source_gini", "source_dup_stats",
-    "df_histogram", "lang_source_mi", "revenue_concentration",
-    "bpe_pair_counts", "ngram_diversity", "source_vocab_overlap",
-    "compression_ratio", "heading_stats", "image_thumbnails",
-    "value_quantile_sketch",
-    "hourly_autocorr", "daily_trend_test", "source_length_ks",
-    "daily_changepoint", "label_centroid_sim",
-    "turn_counts",
+# Precomputed round-6 rotation (swap for _DRIVER_WINDOW_R5 at the r6
+# session start, if an r6 exists): the 56 queries of rounds 4l-4af
+# (curation11-31) still never driver-certified after the r5 swap, in
+# registry order. All are dual-scale sweep-green
+# (tools/correctness_sweep.py at sf0.01 AND sf0.1). The list exceeds
+# the 50-cap by 6 — take the FIRST 50; any RED rows in
+# CORRECTNESS_r05.json substitute for names from the TAIL of this list
+# (the tail 6 stay judge-sweep-verified either way).
+_DRIVER_WINDOW_R6_PRECOMPUTED = [
+    "knn_label_consistency", "embedding_margin", "geo_mean_by_type",
+    "bpe_train_steps", "kcenter_coreset", "exchange_skew_census",
+    "debounce_census", "dup_coverage", "interarrival_percentiles",
+    "split_balance", "user_event_entropy", "decayed_event_popularity",
+    "dedup_method_agreement", "readability_scores",
+    "supplier_reliability", "token_heavy_hitters",
+    "near_dup_split_safety", "dedup_prf", "dup_transitivity_gap",
+    "activity_tier_migration", "user_acquisition_curve",
+    "corpus_datacard", "nation_value_percentiles",
+    "top_decile_share_by_source", "source_fp_overlap",
+    "user_activity_gini", "embedding_pca_evr", "theil_sen_daily_trend",
+    "spearman_qty_price", "fuzzy_decontam_rate", "reorder_survival",
+    "tokens_chars_ols", "source_js_matrix", "candidate_jaccard_hist",
+    "split_embedding_drift", "hubness_census", "shuffle_autocorr",
+    "dp_source_counts", "quality_dup_lift", "value_psi_weekly",
+    "glove_cooc_topk", "dow_seasonality", "lineitem_fanout_hist",
+    "event_markov_stationary", "source_length_wasserstein",
+    "cluster_silhouette", "median_user_value_by_type",
+    "revenue_drawdown", "markov_entropy_rate", "bounce_rate",
+    "negative_sampling_table", "funnel_latency", "casefold_dup_gain",
+    "bow_dup_census", "audience_overlap", "sentence_length_profile",
 ]
 
 
@@ -156,7 +161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     full: dict[str, Callable[[str], Any]] = dict(QUERIES)
     full.update(_flagship_queries())
-    out = {n: full.pop(n) for n in _DRIVER_WINDOW_R4 if n in full}
+    out = {n: full.pop(n) for n in _DRIVER_WINDOW_R5 if n in full}
     out.update(full)
     return out
 
