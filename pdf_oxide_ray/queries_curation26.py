@@ -207,10 +207,16 @@ def q_event_markov_stationary(sf_dir: str) -> pd.DataFrame:
 def _markov_sql() -> str:
     from .functions.markov_sql import markov_chain_cte
 
+    # LEFT JOIN the full state space onto the last iteration: a state
+    # with no incoming transitions (a type that only opens streams)
+    # carries stationary mass 0 but must still be emitted — the chain's
+    # GROUP BY a.j drops it, while the engine keeps its v=0 row.
     return markov_chain_cte(_MARKOV_PREC, _MARKOV_ITERS) + f"""
-    SELECT j AS event_type,
-           CAST(v AS DOUBLE) / {_MARKOV_PREC}.0 AS stat_prob
-    FROM it{_MARKOV_ITERS} ORDER BY event_type"""
+    SELECT s.s AS event_type,
+           CAST(COALESCE(p.v, 0) AS DOUBLE) / {_MARKOV_PREC}.0
+               AS stat_prob
+    FROM states s LEFT JOIN it{_MARKOV_ITERS} p ON p.j = s.s
+    ORDER BY event_type"""
 
 
 CURATION26_QUERIES["event_markov_stationary"] = q_event_markov_stationary

@@ -58,7 +58,10 @@ _SIL_SLICE = 8192
 
 def q_source_length_wasserstein(sf_dir: str) -> pd.DataFrame:
     """Pairwise W1 between source token-length distributions — module
-    docstring."""
+    docstring. Engine transport integral rides Python big ints; the
+    twin casts the ca*nb / cb*na cum terms (bounded by na*nb) and the
+    final na*nb denominator to HUGEINT, so neither side overflows at
+    any source size."""
     ds = _pq(sf_dir, "documents", ["source", "text"])
 
     def part(b: pd.DataFrame) -> pd.DataFrame:
@@ -129,11 +132,15 @@ CURATION27_ORACLES["source_length_wasserstein"] = r"""
               CAST(SUM(db) OVER w AS BIGINT) AS cb,
               lead(t) OVER w AS nt
             FROM pts WINDOW w AS (PARTITION BY sa, sb ORDER BY t)),
-    ws AS (SELECT sa, sb, SUM(abs(ca * nb - cb * na) * (nt - t)) AS num
+    ws AS (SELECT sa, sb,
+                  SUM(abs(CAST(ca AS HUGEINT) * nb
+                          - CAST(cb AS HUGEINT) * na)
+                      * (nt - t)) AS num
            FROM cum WHERE nt IS NOT NULL GROUP BY 1, 2)
     SELECT p.sa AS source_a, p.sb AS source_b,
            CAST(CAST(COALESCE(ws.num, 0) AS VARCHAR) AS DOUBLE)
-             / CAST(CAST(p.na * p.nb AS VARCHAR) AS DOUBLE) AS w1
+             / CAST(CAST(CAST(p.na AS HUGEINT) * p.nb AS VARCHAR)
+                    AS DOUBLE) AS w1
     FROM pairs p LEFT JOIN ws ON ws.sa = p.sa AND ws.sb = p.sb
     ORDER BY source_a, source_b"""
 

@@ -34,6 +34,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from .functions.bitmask import (BITS, encode_codes, mask_cols, n_words,
+                                or_by_key)
 from .queries import (_empty_typed, _pq, _reduce_partials,
                       _scoped_parallelism)
 
@@ -63,16 +65,18 @@ def q_audience_overlap(sf_dir: str) -> pd.DataFrame:
         g = g.drop_duplicates(["user_id", "event_type"])
         types = np.array(sorted(g["event_type"].unique()), dtype=object)
         code = {t: i for i, t in enumerate(types)}
-        bits = g["event_type"].map(code).to_numpy(np.int64)
-        masks = pd.DataFrame({"u": g["user_id"].to_numpy(np.int64),
-                              "m": np.int64(1) << bits}) \
-            .groupby("u")["m"].agg(lambda s: np.bitwise_or.reduce(
-                s.to_numpy(np.int64)))
-        hist = masks.value_counts()
+        # Multi-word masks (functions/bitmask.py): any domain size, no
+        # silent int64 shift wrap past 63 distinct types.
+        nw = n_words(len(types))
+        codes = g["event_type"].map(code).to_numpy(np.int64)
+        folded = or_by_key(g["user_id"].to_numpy(np.int64),
+                           encode_codes(codes, nw), "u")
+        hist = folded.groupby(mask_cols(nw)).size()
         rows = []
         for mask, c in hist.items():
-            on = [i for i in range(len(types))
-                  if (int(mask) >> i) & 1]
+            words = (mask,) if nw == 1 else mask
+            on = [w * BITS + b for w, wd in enumerate(words)
+                  for b in range(BITS) if (int(wd) >> b) & 1]
             for ii, i in enumerate(on):
                 rows.append((types[i], types[i], int(c)))  # diagonal
                 for j in on[ii + 1:]:

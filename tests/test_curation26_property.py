@@ -160,3 +160,20 @@ def test_markov_absorbing_and_cycle(ray_session, tmp_path):
     # mass concentrates in the absorbing state
     end = mine.set_index("event_type")["stat_prob"]
     assert end["end"] > end["a"] and end["end"] > end["b"]
+
+
+def test_markov_entry_only_state(ray_session, tmp_path):
+    """'start' only ever OPENS streams (no incoming transition): the
+    engine keeps it with stationary mass 0, and the twin's final
+    LEFT JOIN onto the state space must emit the same zero row
+    instead of dropping it (row-count parity break otherwise)."""
+    d = tmp_path / "markov-entry-only"
+    user = [0, 0, 0, 1, 1, 2, 2, 2]
+    typ = ["start", "x", "x", "start", "x", "start", "x", "x"]
+    _write_events(d, user, typ)
+    mine = QUERIES["event_markov_stationary"](str(d))
+    gold = _oracle(str(d), ORACLE_SQL["event_markov_stationary"])
+    _assert_equal(mine, gold, "event_markov_stationary-entry-only")
+    probs = mine.set_index("event_type")["stat_prob"]
+    assert set(probs.index) == {"start", "x"}
+    assert probs["start"] == 0.0 and probs["x"] > 0.99

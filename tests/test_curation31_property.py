@@ -100,6 +100,25 @@ def test_audience_overlap_forced(ray_session, tmp_path):
     assert len(mine) == 3
 
 
+def test_audience_overlap_wide_domain(ray_session, tmp_path):
+    """>63 distinct event types in one bucket: the single-int64 shift
+    would silently wrap; the multi-word bitmask path must stay exact.
+    All users share user_id%64, forcing every type into one bucket."""
+    rng = np.random.default_rng(7)
+    n_types = 70
+    types_pool = [f"t{i:02d}" for i in range(n_types)]
+    users = rng.integers(0, 50, 1200) * 64 + 5  # one %64 bucket
+    typ = rng.choice(types_pool, 1200)
+    # guarantee every type appears
+    users = np.r_[users, np.arange(n_types, dtype=np.int64) * 64 + 5]
+    typ = np.r_[typ, np.array(types_pool, dtype=object)]
+    d = _write_events(tmp_path / "ao-wide", users, list(typ))
+    mine = QUERIES["audience_overlap"](d)
+    gold = _oracle(d, ORACLE_SQL["audience_overlap"])
+    _assert_equal(mine, gold, "audience_overlap-wide")
+    assert len(mine) == n_types * (n_types - 1) // 2
+
+
 @pytest.mark.parametrize("seed", [3, 47])
 def test_sentence_profile_random(ray_session, tmp_path, seed):
     rng = np.random.default_rng(seed)
