@@ -1703,10 +1703,12 @@ def q_simhash_buckets(sf_dir: str) -> pd.DataFrame:
     return out[["doc_id", "simhash"]]
 
 
-def q_ngram_dup_pairs(sf_dir: str) -> pd.DataFrame:
-    """Character-3-gram Jaccard >= 0.9 pairs among same-simhash-prefix
-    buckets (cheap near-dup verify; exact DuckDB twin via the md5-based
-    simhash reconstruction + substr 3-gram sets)."""
+def _ngram_dup_pairs_ds(sf_dir: str):
+    """Lazy Dataset of char-3-gram Jaccard >= 0.9 pairs (id_a, id_b,
+    sim) — the shared upstream of q_ngram_dup_pairs (driver-side
+    report) and q_dedup_method_agreement (distributed pair-set
+    intersection). Pairs are distinct by construction: each doc has
+    ONE simhash prefix, so a pair can only form in one bucket."""
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
     sh = ds.map_batches(fdedup.add_simhash, batch_format="pandas")
 
@@ -1736,7 +1738,14 @@ def q_ngram_dup_pairs(sf_dir: str) -> pd.DataFrame:
                           "sim": pd.Series(dtype="float64")})
 
     return sh.map_batches(bucket, batch_format="pandas") \
-        .groupby("bucket").map_groups(pairs, batch_format="pandas").to_pandas()
+        .groupby("bucket").map_groups(pairs, batch_format="pandas")
+
+
+def q_ngram_dup_pairs(sf_dir: str) -> pd.DataFrame:
+    """Character-3-gram Jaccard >= 0.9 pairs among same-simhash-prefix
+    buckets (cheap near-dup verify; exact DuckDB twin via the md5-based
+    simhash reconstruction + substr 3-gram sets)."""
+    return _ngram_dup_pairs_ds(sf_dir).to_pandas()
 
 
 # ---------------------------------------------------------------------------

@@ -27,10 +27,11 @@ Distributed plans (shuffle budgets — also in SCALE.md):
 partials -> ONE dimension-bounded reduce (≤ #types × 63 rows); the
 exact power-of-two fold runs on driver-held Python bigints.
 
-`dedup_method_agreement`: composes the two existing pair pipelines
-(each documented: skinny (fp|bucket, id) exchanges, hot-key guards,
-pair lists bounded by true-dup counts) and does set algebra on the
-driver-held pair lists — no new exchange.
+`dedup_method_agreement`: composes the two existing pair Datasets
+(each documented: skinny (fp|bucket, id) exchanges, hot-key guards)
+lazily — tagged union, ONE bucketed (id_a, id_b) exchange (64 hash
+buckets), per-bucket scalar (nw, ng, nb) partials; only <= 64 count
+rows reach the driver, never the pair sets.
 
 `readability_scores`: pure map over documents (compiled-regex
 vectorized counts), no shuffle; doc-sized final like quality_score.
@@ -131,20 +132,67 @@ CURATION15_ORACLES["decayed_event_popularity"] = f"""
 
 def q_dedup_method_agreement(sf_dir: str) -> pd.DataFrame:
     """Pair-set agreement between the winnowing and char-3-gram
-    near-dup detectors — module docstring."""
-    from .queries import q_ngram_dup_pairs, q_winnow_dup_pairs
+    near-dup detectors — module docstring. The intersection is a
+    bucketed (id_a, id_b) exchange: each detector's pair Dataset is
+    tagged (w/g indicator), unioned, hashed to 64 buckets, and each
+    bucket emits only three scalar counts — the full pair sets never
+    reach the driver (a dup-heavy corpus's pair list is not
+    driver-sized)."""
+    from .queries import (_WINNOW_PAIR_THRESHOLD, _ngram_dup_pairs_ds,
+                          _scoped_parallelism, _winnow_pair_counts_ds)
 
-    w = q_winnow_dup_pairs(sf_dir)
-    g = q_ngram_dup_pairs(sf_dir)
-    wset = set(zip(w["id_a"].astype("int64"),
-                   w["id_b"].astype("int64"))) if len(w) else set()
-    gset = set(zip(g["id_a"].astype("int64"),
-                   g["id_b"].astype("int64"))) if len(g) else set()
-    nb = len(wset & gset)
-    nu = len(wset | gset)
+    cols = {"id_a": "int64", "id_b": "int64", "w": "int64",
+            "g": "int64"}
+
+    def _typed_empty() -> pd.DataFrame:
+        return pd.DataFrame({c: pd.Series([], dtype=t)
+                             for c, t in cols.items()})
+
+    def w_tag(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return _typed_empty()
+        k = b[b["sum(n)"] >= _WINNOW_PAIR_THRESHOLD]
+        return pd.DataFrame({"id_a": k["id_a"].to_numpy(np.int64),
+                             "id_b": k["id_b"].to_numpy(np.int64),
+                             "w": np.int64(1), "g": np.int64(0)})
+
+    def g_tag(b: pd.DataFrame) -> pd.DataFrame:
+        if len(b) == 0:
+            return _typed_empty()
+        return pd.DataFrame({"id_a": b["id_a"].to_numpy(np.int64),
+                             "id_b": b["id_b"].to_numpy(np.int64),
+                             "w": np.int64(0), "g": np.int64(1)})
+
+    def add_bucket(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.copy()
+        b["bucket"] = (b["id_a"].to_numpy(np.int64) * 1000003
+                       + b["id_b"].to_numpy(np.int64)) % 64
+        return b
+
+    def per_bucket(gr: pd.DataFrame) -> pd.DataFrame:
+        s = gr.groupby(["id_a", "id_b"], as_index=False)[["w", "g"]] \
+            .sum()
+        both = (s["w"] > 0) & (s["g"] > 0)
+        return pd.DataFrame({"nw": [np.int64((s["w"] > 0).sum())],
+                             "ng": [np.int64((s["g"] > 0).sum())],
+                             "nb": [np.int64(both.sum())]})
+
+    with _scoped_parallelism(32):
+        u = _winnow_pair_counts_ds(sf_dir) \
+            .map_batches(w_tag, batch_format="pandas") \
+            .union(_ngram_dup_pairs_ds(sf_dir)
+                   .map_batches(g_tag, batch_format="pandas"))
+        parts = u.map_batches(add_bucket, batch_format="pandas") \
+            .groupby("bucket").map_groups(per_bucket,
+                                          batch_format="pandas") \
+            .to_pandas()  # <= 64 scalar rows: driver-contract final
+    nw = int(parts["nw"].sum()) if len(parts) else 0
+    ng = int(parts["ng"].sum()) if len(parts) else 0
+    nb = int(parts["nb"].sum()) if len(parts) else 0
+    nu = nw + ng - nb
     return pd.DataFrame({
-        "n_winnow": pd.Series([len(wset)], dtype="int64"),
-        "n_ngram": pd.Series([len(gset)], dtype="int64"),
+        "n_winnow": pd.Series([nw], dtype="int64"),
+        "n_ngram": pd.Series([ng], dtype="int64"),
         "n_both": pd.Series([nb], dtype="int64"),
         "agreement": [float(nb) / float(nu) if nu else np.nan]})
 

@@ -136,6 +136,30 @@ def test_doc_ops_match_oracle(ray_session, tmp_path, seed):
         _assert_equal(mine, gold, name)
 
 
+def test_agreement_elevated_dup_rate(ray_session, tmp_path):
+    """Dup-heavy corpus (20 clusters x 6 identical docs -> hundreds of
+    pairs per detector): the bucketed distributed intersection must
+    match the oracle exactly — this is the regime where driver-side
+    pair sets would not be driver-sized at scale."""
+    rs = np.random.RandomState(5)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    templates = [" ".join(rs.choice(words, 30)) for _ in range(20)]
+    texts = [templates[i % 20] for i in range(120)]
+    d = tmp_path / "cur15-dupheavy"
+    os.makedirs(d, exist_ok=True)
+    pd.DataFrame({
+        "doc_id": np.arange(120, dtype=np.int64),
+        "text": pd.Series(texts, dtype=object),
+        "lang": "en",
+        "source": pd.Series(["s0"] * 120, dtype=object),
+        "n_chars": pd.Series([len(t) for t in texts], dtype="int64"),
+    }).to_parquet(d / "documents.parquet", index=False)
+    mine = QUERIES["dedup_method_agreement"](str(d))
+    gold = _oracle(str(d), ORACLE_SQL["dedup_method_agreement"])
+    _assert_equal(mine, gold, "dedup_method_agreement-dupheavy")
+    assert int(mine["n_both"].iloc[0]) >= 50  # detectors both fire
+
+
 def test_readability_edge_docs(ray_session, tmp_path):
     """Empty text, vowel-free text, and no-punctuation text: flesch is
     NULL only for wordless docs; syllables >= words otherwise."""
