@@ -17,13 +17,15 @@ percentiles behind a dimension join, and length concentration:
 
 Distributed plans (shuffle budgets — also in SCALE.md):
 
-`corpus_datacard`: four column-pruned streamed scans (two touch
-text): (1) per-batch scalar partials (1 row/block) driver-summed;
-(2) the `dedup_exact` (hash, n) exchange with the distinct COUNT
-taken distributedly (`Dataset.count()` after the groupby — the
-hash vocabulary never lands on the driver); (3) per-batch unique
-(source, lang) pairs -> dimension-bounded reduce; (4) the bounded
-n_chars histogram for the exact median (the `length_deciles` plan).
+`corpus_datacard`: ONE column-pruned streamed scan emitting a tagged
+union of partials (scalar counters, (hash, n) counts, distinct
+sources/langs, the bounded n_chars histogram) on one shared
+(kind, k1, ki, n) schema -> ONE keyed reduce. Below the gate the
+combine runs on the driver; above it the reduce is a distributed
+groupby whose blocks collapse hash/source/lang rows to per-block
+COUNTS before the driver sees anything — the hash vocabulary never
+lands on the driver, and the release-summary job reads the corpus
+exactly once instead of four times.
 
 `nation_value_percentiles`: customer (custkey -> nationkey) rides
 `adaptive_join` (broadcast under its byte+row gate, bucketed above);
@@ -47,6 +49,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from . import queries as _qmod
 from .functions import dedup as fdedup
 from .functions.textops import TOK_SQL
 from .queries import (_empty_typed, _pq, _reduce_partials,
@@ -59,61 +62,97 @@ CURATION18_ORACLES: dict = {}
 # ------------------------------------------------------ corpus datacard
 
 def q_corpus_datacard(sf_dir: str) -> pd.DataFrame:
-    """One-row corpus release summary — module docstring."""
+    """One-row corpus release summary — module docstring. ONE scan:
+    every batch emits a tagged union of partials (scalar counters,
+    content-hash counts, distinct sources/langs, length histogram) on
+    a shared (kind, k1, ki, n) schema; ONE keyed reduce (driver-combine
+    below the gate, distributed above — the hash vocabulary is
+    corpus-sized, so above the gate it collapses to per-block counts
+    before anything reaches the driver)."""
     ds = _pq(sf_dir, "documents",
-             ["doc_id", "text", "source", "lang", "n_chars"])
+             ["text", "source", "lang", "n_chars"])
 
-    def scalars(b: pd.DataFrame) -> pd.DataFrame:
+    def tag_part(b: pd.DataFrame) -> pd.DataFrame:
         text = b["text"].fillna("")
-        return pd.DataFrame({
-            "n_docs": [np.int64(len(b))],
-            "n_empty": [np.int64((text.str.len() == 0).sum())],
-            "n_tokens": [np.int64(text.str.split().str.len().sum())]})
+        sc = pd.DataFrame({
+            "kind": pd.Series(["s_docs", "s_empty", "s_tokens"],
+                              dtype=object),
+            "k1": pd.Series(["", "", ""], dtype=object),
+            "ki": np.int64(0),
+            "n": np.array([len(b),
+                           int((text.str.len() == 0).sum()),
+                           int(text.str.split().str.len().sum())],
+                          np.int64)})
+        hv = fdedup.content_hash(b["text"]).value_counts()
+        hp = pd.DataFrame({"kind": "h",
+                           "k1": hv.index.to_numpy(object),
+                           "ki": np.int64(0),
+                           "n": hv.to_numpy(np.int64)})
+        dsrc = pd.DataFrame({"kind": "ds",
+                             "k1": b["source"].drop_duplicates()
+                             .to_numpy(object),
+                             "ki": np.int64(0), "n": np.int64(1)})
+        dlang = pd.DataFrame({"kind": "dl",
+                              "k1": b["lang"].drop_duplicates()
+                              .to_numpy(object),
+                              "ki": np.int64(0), "n": np.int64(1)})
+        lv = b["n_chars"].value_counts(sort=False)
+        lh = pd.DataFrame({"kind": "l", "k1": "",
+                           "ki": lv.index.to_numpy(np.int64),
+                           "n": lv.to_numpy(np.int64)})
+        return pd.concat([sc, hp, dsrc, dlang, lh],
+                         ignore_index=True)
 
-    sc = ds.map_batches(scalars, batch_format="pandas").to_pandas()
-    n_docs = int(sc["n_docs"].sum()) if len(sc) else 0
-    n_empty = int(sc["n_empty"].sum()) if len(sc) else 0
-    n_tokens = int(sc["n_tokens"].sum()) if len(sc) else 0
-
-    def hpart(b: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({"h": fdedup.content_hash(b["text"]),
-                             "n": np.int64(1)}) \
-            .groupby("h", as_index=False).sum()
+    def collapse(b: pd.DataFrame) -> pd.DataFrame:
+        """Per-block: distinct-key kinds (hash / source / lang) become
+        counts; scalar + length-histogram rows pass through. After the
+        keyed reduce every key is globally unique, so per-block counts
+        sum exactly on the driver."""
+        big = b["kind"].isin(("h", "ds", "dl"))
+        keep = b.loc[~big, ["kind", "ki", "sum(n)"]]
+        vc = b.loc[big, "kind"].value_counts()
+        extra = pd.DataFrame({
+            "kind": pd.Series(["hc", "dsc", "dlc"], dtype=object),
+            "ki": np.int64(0),
+            "sum(n)": np.array([vc.get("h", 0), vc.get("ds", 0),
+                                vc.get("dl", 0)], np.int64)})
+        return pd.concat([keep, extra], ignore_index=True)
 
     with _scoped_parallelism(32):
-        hp = ds.map_batches(hpart, batch_format="pandas") \
-            .materialize()
-        # zero-block guard: groupby on an empty pipeline raises
-        n_distinct = int(hp.groupby("h").sum("n").count()) \
-            if hp.count() else 0
+        tagged = ds.map_batches(tag_part,
+                                batch_format="pandas").materialize()
+        ntag = tagged.count()
+        if ntag == 0:  # zero blocks: column-less frame; groupby raises
+            parts = pd.DataFrame({"kind": pd.Series([], dtype=object),
+                                  "ki": pd.Series([], dtype="int64"),
+                                  "sum(n)": pd.Series([],
+                                                      dtype="int64")})
+        elif ntag <= _qmod._REDUCE_GATE_ROWS:
+            parts = collapse(
+                tagged.to_pandas()
+                .groupby(["kind", "k1", "ki"], as_index=False)["n"]
+                .sum().rename(columns={"n": "sum(n)"}))
+        else:
+            parts = tagged.groupby(["kind", "k1", "ki"]).sum("n") \
+                .map_batches(collapse, batch_format="pandas") \
+                .to_pandas()
 
-    def dims(b: pd.DataFrame) -> pd.DataFrame:
-        u = b[["source", "lang"]].drop_duplicates()
-        return pd.DataFrame({"source": u["source"].to_numpy(object),
-                             "lang": u["lang"].to_numpy(object),
-                             "n": np.int64(1)})
+    def tot(kind: str) -> int:
+        return int(parts.loc[parts["kind"] == kind, "sum(n)"].sum())
 
-    dm = _reduce_partials(ds.map_batches(dims, batch_format="pandas"),
-                          ["source", "lang"], ["n"])
-    n_sources = int(dm["source"].nunique()) if len(dm) else 0
-    n_langs = int(dm["lang"].nunique()) if len(dm) else 0
-
-    def lhist(b: pd.DataFrame) -> pd.DataFrame:
-        vc = b["n_chars"].value_counts(sort=False)
-        return pd.DataFrame({"len": vc.index.to_numpy(np.int64),
-                             "cnt": vc.to_numpy(np.int64)})
-
-    h = _reduce_partials(ds.map_batches(lhist, batch_format="pandas"),
-                         ["len"], ["cnt"])
+    n_docs, n_empty, n_tokens = tot("s_docs"), tot("s_empty"), \
+        tot("s_tokens")
+    n_distinct, n_sources, n_langs = tot("hc"), tot("dsc"), tot("dlc")
+    h = parts[parts["kind"] == "l"]
     if len(h):
-        h = h.sort_values("len")
-        cum = h["cnt"].to_numpy(np.int64).cumsum()
+        h = h.sort_values("ki")
+        cum = h["sum(n)"].to_numpy(np.int64).cumsum()
         n = int(cum[-1])
         idx = int(np.ceil(n * 0.5)) - 1
-        p50 = float(h["len"].to_numpy(np.int64)
+        p50 = float(h["ki"].to_numpy(np.int64)
                     [np.searchsorted(cum, idx + 1)])
-        sum_chars = int((h["len"].to_numpy(np.int64)
-                         * h["cnt"].to_numpy(np.int64)).sum())
+        sum_chars = int((h["ki"].to_numpy(np.int64)
+                         * h["sum(n)"].to_numpy(np.int64)).sum())
     else:
         p50, sum_chars = np.nan, 0
 

@@ -117,6 +117,20 @@ def test_datacard_matches_oracle(ray_session, tmp_path, seed):
     assert 0.0 < r["dup_rate"] < 1.0
 
 
+def test_datacard_above_gate_branch(ray_session, tmp_path,
+                                    monkeypatch):
+    """Force the distributed keyed reduce + per-block collapse path
+    (the 100 TB branch where the hash vocabulary must never land on
+    the driver)."""
+    import pdf_oxide_ray.queries as Q
+
+    monkeypatch.setattr(Q, "_REDUCE_GATE_ROWS", 1)
+    d = _write_docs(tmp_path, 3, 90)
+    mine = QUERIES["corpus_datacard"](d)
+    gold = _oracle(d, ORACLE_SQL["corpus_datacard"])
+    _assert_equal(mine, gold, "corpus_datacard-gate")
+
+
 @pytest.mark.parametrize("seed", [1, 8])
 def test_source_decile_matches_oracle(ray_session, tmp_path, seed):
     d = _write_docs(tmp_path, seed, 140)
