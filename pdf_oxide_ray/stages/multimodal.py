@@ -6,8 +6,10 @@ struct; decode / feature-extract / resize / frame-sample are actor-pool
 samples and ``wav`` audio decode for REAL (pure numpy / stdlib
 ``wave``); jpeg/png/gif/bmp/webp/tiff decode for real WHEN PIL is
 importable (the ``core/aes.py`` try-import pattern) and raise
-``DecodeUnavailable`` otherwise; video containers stay gated. A
-deterministic fake decoder backs plumbing tests either way.
+``DecodeUnavailable`` otherwise; video containers decode for real when
+PyAV is importable or an ffmpeg binary is on PATH
+(`decode_video_frames`), gated honestly otherwise. A deterministic
+fake decoder backs plumbing tests either way.
 
 Scale notes: binary payloads are large; batches must be SMALL (default 16
 rows) so batch x concurrency fits worker heap; blocks stay Arrow throughout
@@ -52,6 +54,89 @@ except ImportError:  # container has no PIL: jpeg/png decode stays gated
     _PIL_Image = None
 
 _PIL_FORMATS = ("jpeg", "jpg", "png", "gif", "bmp", "webp", "tiff")
+
+try:  # PyAV-if-importable (ffmpeg bindings; same gate pattern)
+    import av as _PY_AV  # type: ignore
+except ImportError:  # no PyAV: fall through to the ffmpeg CLI probe
+    _PY_AV = None
+
+import shutil as _shutil
+
+_FFMPEG_BIN = _shutil.which("ffmpeg")  # CLI fallback when PyAV absent
+
+_VIDEO_FORMATS = ("mp4", "mkv", "webm", "avi", "mov", "mpeg", "mpegts")
+
+
+def _frames_via_av(payload: bytes, every_ms: int) -> list:
+    """PyAV decode: sample the first frame at or after each every_ms
+    tick. Returns [(ts_ms, rgb24 ndarray), ...]."""
+    import io
+
+    out = []
+    try:
+        with _PY_AV.open(io.BytesIO(payload)) as container:
+            stream = next((s for s in container.streams
+                           if s.type == "video"), None)
+            if stream is None:
+                raise ValueError("no video stream in container")
+            tb = float(stream.time_base or 0) or 1e-6
+            next_t = 0
+            for frame in container.decode(stream):
+                t_ms = int((frame.pts or 0) * tb * 1000)
+                if t_ms >= next_t:
+                    out.append((t_ms, frame.to_ndarray(format="rgb24")))
+                    while next_t <= t_ms:
+                        next_t += max(every_ms, 1)
+    except _PY_AV.error.FFmpegError as exc:  # type: ignore[union-attr]
+        raise ValueError(f"bad video payload: {exc}") from exc
+    return out
+
+
+def _frames_via_ffmpeg_cli(payload: bytes, meta: dict,
+                           every_ms: int) -> list:
+    """ffmpeg-binary decode: rawvideo rgb24 at fps=1000/every_ms,
+    scaled to the metadata dimensions (64x64 when absent). Returns
+    [(ts_ms, rgb24 ndarray), ...]."""
+    import subprocess
+    import tempfile
+
+    w = int(meta.get("width") or 0) or 64
+    h = int(meta.get("height") or 0) or 64
+    fps = 1000.0 / max(every_ms, 1)
+    with tempfile.NamedTemporaryFile(suffix=".bin") as f:
+        f.write(payload)
+        f.flush()
+        p = subprocess.run(
+            [_FFMPEG_BIN, "-v", "error", "-i", f.name,
+             "-vf", f"fps={fps},scale={w}:{h}",
+             "-f", "rawvideo", "-pix_fmt", "rgb24", "pipe:1"],
+            capture_output=True)
+    if p.returncode != 0:
+        raise ValueError(
+            f"ffmpeg decode failed: {p.stderr[:200]!r}")
+    raw = np.frombuffer(p.stdout, np.uint8)
+    n = raw.size // (w * h * 3)
+    frames = raw[: n * w * h * 3].reshape(n, h, w, 3)
+    return [(k * every_ms, frames[k]) for k in range(n)]
+
+
+def decode_video_frames(payload: bytes, meta: dict,
+                        every_ms: int = 1000) -> list:
+    """Real video frame sampling: PyAV when importable, the ffmpeg
+    binary when on PATH, ``DecodeUnavailable`` otherwise (the honest
+    gate — neither ships in this container). Returns
+    [(ts_ms, rgb24 ndarray), ...] sampled every ``every_ms``."""
+    fmt = str(meta.get("format") or "").lower()
+    if fmt not in _VIDEO_FORMATS:
+        raise DecodeUnavailable(
+            f"format {fmt!r} is not a known video container")
+    if _PY_AV is not None:
+        return _frames_via_av(payload or b"", every_ms)
+    if _FFMPEG_BIN:
+        return _frames_via_ffmpeg_cli(payload or b"", meta, every_ms)
+    raise DecodeUnavailable(
+        f"format {fmt!r} needs PyAV or an ffmpeg binary, "
+        "neither available here")
 
 
 def _decode_real(payload: bytes, meta: dict) -> np.ndarray:
@@ -170,30 +255,75 @@ class MediaFeatures:
 
 
 class FrameSampler:
-    """Actor-pool stage shape for video: emit every k-th frame's feature.
-    Decode stubbed like MediaFeatures; output is one row per sampled frame
-    (flat layout, ready for a downstream embedding model pool)."""
+    """Actor-pool stage for video: emit one row per sampled frame (flat
+    layout, ready for a downstream embedding model pool).
+
+    Fake mode (default — the deterministic plumbing path): schedule
+    rows derived from duration_ms, schema (media_id, frame_idx, ts_ms)
+    — unchanged, so pinned row hashes stay stable. Real mode
+    (``use_fake_decoder=False``): `decode_video_frames` (PyAV /
+    ffmpeg-CLI when available, gated otherwise) with row-level error
+    absorption like MediaFeatures; schema adds (status, error,
+    mean_luma_q6) — a failed/gated payload yields ONE status='error'
+    row with frame_idx=-1, never a task failure."""
 
     def __init__(self, every_ms: int = 1000, use_fake_decoder: bool = True):
         self.every_ms = every_ms
+        self.use_fake_decoder = use_fake_decoder
         self.decode = _decode_fake if use_fake_decoder else _decode_real
 
+    def _schedule_rows(self, mid: int, meta: dict, cols: dict) -> None:
+        duration = int(meta.get("duration_ms") or 0)
+        for k, t in enumerate(range(0, max(duration, 1), self.every_ms)):
+            cols["media_id"].append(mid)
+            cols["frame_idx"].append(k)
+            cols["ts_ms"].append(t)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, frame_idx, ts_ms = [], [], []
         payloads = batch.column("payload").to_pylist()
         metas = batch.column("meta").to_pylist()
-        for mid, payload, meta in zip(batch.column("media_id").to_pylist(),
-                                      payloads, metas):
+        mids = batch.column("media_id").to_pylist()
+        if self.use_fake_decoder:
+            cols: dict = {"media_id": [], "frame_idx": [], "ts_ms": []}
+            for mid, meta in zip(mids, metas):
+                self._schedule_rows(mid, meta or {}, cols)
+            return pa.table({
+                "media_id": pa.array(cols["media_id"], pa.int64()),
+                "frame_idx": pa.array(cols["frame_idx"], pa.int32()),
+                "ts_ms": pa.array(cols["ts_ms"], pa.int32()),
+            })
+        ids, frame_idx, ts_ms = [], [], []
+        statuses, errors, lumas = [], [], []
+        for mid, payload, meta in zip(mids, payloads, metas):
             meta = meta or {}
-            duration = int(meta.get("duration_ms") or 0)
-            for k, t in enumerate(range(0, max(duration, 1), self.every_ms)):
+            try:
+                frames = decode_video_frames(payload or b"", meta,
+                                             self.every_ms)
+                for k, (t, arr) in enumerate(frames):
+                    ids.append(mid)
+                    frame_idx.append(k)
+                    ts_ms.append(t)
+                    statuses.append("ok")
+                    errors.append("")
+                    # ITU-R 601 luma, 1e-6 grid (cf. ImageResize)
+                    luma = (0.299 * arr[:, :, 0].astype(np.float64)
+                            + 0.587 * arr[:, :, 1]
+                            + 0.114 * arr[:, :, 2]).mean()
+                    lumas.append(int(round(luma * 1e6)))
+            except (NotImplementedError, ValueError) as exc:
                 ids.append(mid)
-                frame_idx.append(k)
-                ts_ms.append(t)
+                frame_idx.append(-1)
+                ts_ms.append(0)
+                statuses.append("error")
+                errors.append(str(exc)[:200])
+                lumas.append(0)
         return pa.table({
             "media_id": pa.array(ids, pa.int64()),
             "frame_idx": pa.array(frame_idx, pa.int32()),
             "ts_ms": pa.array(ts_ms, pa.int32()),
+            "status": pa.array(statuses, pa.string()),
+            "error": pa.array(errors, pa.string()),
+            "mean_luma_q6": pa.array(lumas, pa.int64()),
         })
 
 
