@@ -784,9 +784,14 @@ def q_value_quantile_sketch(sf_dir: str) -> pd.DataFrame:
     sum_b(s_b - 1) < eps*N — the bound the property test asserts.
     Bucketing by a hash of the ROW ID makes each bucket's multiset —
     hence the whole summary — invariant to batching/parallelism, so
-    the result is pinnable. No SQL twin (the coreset fold is
-    iterative); pinned in tests/test_pinned_rows_only.py plus the
-    error-bound property test in tests/test_queries.py."""
+    the result is pinnable AND SQL-twinnable: the Fibonacci bucket
+    hash ((id * 0x9E3779B97F4A7C15) mod 2^64 >> 32) is HUGEINT math
+    in DuckDB (exact for ids >= -2.9e18 — beyond that the 128-bit
+    product overflows; synthetic ids are nonnegative), and the
+    coreset keep-rule/fold is window functions, so the twin
+    reproduces the sketch bit-for-bit. Also pinned in
+    tests/test_pinned_rows_only.py plus the error-bound property
+    test in tests/test_queries.py."""
     from .stages.joins import _bucket_of
 
     ds = _pq(sf_dir, "events", ["event_id", "event_type", "value"])
@@ -2156,6 +2161,54 @@ RELATIONAL_ORACLES = {
         SELECT event_type, CAST(v6 AS DOUBLE) / 1000000.0 AS mode_value,
                CAST(cnt AS BIGINT) AS n
         FROM r WHERE rn = 1""",
+    # Bit-exact twin of the Munro-Paterson coreset sketch: the
+    # Fibonacci bucket hash rides HUGEINT (uint64 wrap via +2^64
+    # mod 2^64; exact for ids >= -2.9e18), the keep-rule is
+    # row_number/lag windows, the global fold a running SUM — see
+    # q_value_quantile_sketch's docstring.
+    "value_quantile_sketch": """
+        WITH v AS (
+          SELECT event_type, value,
+                 CAST((((CAST(event_id AS HUGEINT)
+                         + 18446744073709551616)
+                        % 18446744073709551616
+                        * 11400714819323198485)
+                       % 18446744073709551616) // 4294967296
+                      AS BIGINT) % 64 AS bucket
+          FROM events WHERE value IS NOT NULL),
+        r AS (
+          SELECT event_type, bucket, value,
+                 row_number() OVER (PARTITION BY event_type, bucket
+                                    ORDER BY value) AS rk,
+                 count(*) OVER (PARTITION BY event_type, bucket)
+                   AS n_b
+          FROM v),
+        k AS (
+          SELECT *, GREATEST(1, CAST(FLOOR(0.01 * n_b) AS BIGINT))
+                      AS s
+          FROM r),
+        kept AS (
+          SELECT event_type, bucket, value, rk,
+                 lag(rk, 1, 0) OVER (PARTITION BY event_type, bucket
+                                     ORDER BY rk) AS prev_rk
+          FROM k WHERE rk % s = 0 OR rk = n_b),
+        ordered AS (
+          SELECT event_type, value, bucket, rk,
+                 SUM(rk - prev_rk) OVER (PARTITION BY event_type
+                                         ORDER BY value, bucket, rk)
+                   AS cum
+          FROM kept),
+        tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+                FROM v GROUP BY 1),
+        tgt AS (
+          SELECT event_type, n, p,
+                 GREATEST(CAST(CEIL(n * p) AS BIGINT), 1) AS r
+          FROM tot, (VALUES (0.5), (0.9), (0.99)) t(p))
+        SELECT t.event_type, CAST(t.p AS DOUBLE) AS p,
+               (SELECT o.value FROM ordered o
+                WHERE o.event_type = t.event_type AND o.cum >= t.r
+                ORDER BY o.cum LIMIT 1) AS value
+        FROM tgt t ORDER BY event_type, p""",
     "incremental_dedup": """
         WITH half AS (
           SELECT CAST(COUNT(*) // 2 AS BIGINT) AS h FROM documents)
