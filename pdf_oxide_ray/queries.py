@@ -4142,3 +4142,4 @@ from . import queries_curation28  # noqa: E402,F401
 from . import queries_curation29  # noqa: E402,F401
 from . import queries_curation30  # noqa: E402,F401
 from . import queries_curation31  # noqa: E402,F401
+from . import queries_curation32  # noqa: E402,F401
