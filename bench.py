@@ -121,6 +121,10 @@ BENCH_QUERIES = [
     "casefold_dup_gain", "bow_dup_census",
     # round-4af family
     "audience_overlap", "sentence_length_profile",
+    # round-5a family
+    "repetition_census", "ccnet_buckets",
+    # round-5b family
+    "substring_dup_pairs", "winnow_threshold_curve",
     # round-4 perf-gated fixes (driver-visible walls for the record)
     "top_customers", "loyal_users", "user_type_breadth",
     "winnow_dup_pairs", "dup_components",
