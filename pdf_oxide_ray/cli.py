@@ -105,6 +105,15 @@ def main(argv: list[str] | None = None) -> int:
     p_pdf.add_argument("--no-spans", action="store_true")
     p_pdf.add_argument("--batch-size", type=int, default=64)
 
+    p_jl = sub.add_parser("ingest-jsonl",
+                          help="parse a directory/glob of .jsonl files "
+                          "into the documents parquet layout (one "
+                          "streaming pass, bad lines quarantined "
+                          "under status=error/)")
+    p_jl.add_argument("--input", required=True,
+                      help="directory or glob of .jsonl files")
+    p_jl.add_argument("--output", required=True)
+
     p_diag = sub.add_parser("diagnose", help="font/encoding diagnostic "
                             "for one PDF page (reference "
                             "tools/diagnose_font_encoding.rs)")
@@ -172,6 +181,12 @@ def main(argv: list[str] | None = None) -> int:
 
             print(json.dumps(run_training_prep(
                 args.input, args.output, quality_p=args.quality_p)))
+        elif args.cmd == "ingest-jsonl":
+            from .sources.jsonl_docs import ingest_jsonl_dir
+
+            summary = ingest_jsonl_dir(args.input, args.output)
+            summary["output"] = args.output
+            print(json.dumps(summary))
         elif args.cmd == "extract-pdfs":
             from .sources.pdf_files import extract_pdf_dir
 
