@@ -129,8 +129,8 @@ BENCH_QUERIES = [
     "anchor_stride_recall", "join_size_estimate",
     # round-5d family
     "heldout_perplexity",
-    # round-5e family
-    "pq_distortion",
+    # round-5e/5f families
+    "pq_distortion", "pq_adc_recall",
     # round-4 perf-gated fixes (driver-visible walls for the record)
     "top_customers", "loyal_users", "user_type_breadth",
     "winnow_dup_pairs", "dup_components",

@@ -35,16 +35,14 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from .functions.pq_sql import PQ_D, PQ_ITERS, PQ_K, PQ_M, pq_chain
 from .queries import (_KMEANS_SCALE, _empty_typed, _pq,
                       _reduce_partials)
 
 CURATION36_QUERIES: dict = {}
 CURATION36_ORACLES: dict = {}
 
-_PQ_M = 4          # subspaces
-_PQ_D = 16         # dims per subspace (4 x 16 = the 64-d embedding)
-_PQ_K = 8          # centroids per subspace codebook
-_PQ_ITERS = 5
+_PQ_M, _PQ_D, _PQ_K, _PQ_ITERS = PQ_M, PQ_D, PQ_K, PQ_ITERS
 _S = _KMEANS_SCALE
 
 
@@ -58,19 +56,19 @@ def _argmin(mat: np.ndarray, c: np.ndarray) -> np.ndarray:
     return np.argmin(d2, axis=1)
 
 
-def q_pq_distortion(sf_dir: str) -> pd.DataFrame:
-    """PQ codebooks + per-subspace reconstruction MSE — module
-    docstring."""
+def train_pq_codebooks(sf_dir: str) -> list[np.ndarray] | None:
+    """Train the m=4 subspace codebooks (shared by `pq_distortion`
+    and `pq_adc_recall` so the twins' CTE chains mirror exactly one
+    training path — the `_kmeans_centroids` convention). None on an
+    empty corpus."""
     import ray
 
     from .stages.joins import _get_broadcast
 
     ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
-    empty = _empty_typed(subspace="int64", n_vectors="int64",
-                         mse="float64")
     seed = ds.filter(expr=f"vec_id < {_PQ_K}").to_pandas()
     if seed.empty:
-        return empty
+        return None
     seed_mat = _quant(np.stack(
         seed.sort_values("vec_id")["embedding"].to_numpy()))
     cents = [seed_mat[:, s * _PQ_D:(s + 1) * _PQ_D].copy()
@@ -112,6 +110,22 @@ def q_pq_distortion(sf_dir: str) -> pd.DataFrame:
                     sums = g.loc[cl, sum_cols].to_numpy(np.int64)
                     upd[cl] = (sums.astype(np.float64) / n) / _S
             cents[s] = upd
+    return cents
+
+
+def q_pq_distortion(sf_dir: str) -> pd.DataFrame:
+    """PQ codebooks + per-subspace reconstruction MSE — module
+    docstring."""
+    import ray
+
+    from .stages.joins import _get_broadcast
+
+    ds = _pq(sf_dir, "embeddings", ["vec_id", "embedding"])
+    empty = _empty_typed(subspace="int64", n_vectors="int64",
+                         mse="float64")
+    cents = train_pq_codebooks(sf_dir)
+    if cents is None:
+        return empty
 
     ref = ray.put(cents)
 
@@ -148,70 +162,9 @@ def q_pq_distortion(sf_dir: str) -> pd.DataFrame:
         .sort_values("subspace").reset_index(drop=True)
 
 
-def _pq_chain(s: int) -> str:
-    """One subspace's unrolled Lloyd chain (prefixed CTE names),
-    mirroring `_kmeans_cte_chain` with an offset slice."""
-    o = s * _PQ_D
-    S = repr(_S)
-    parts = [f"""
-q{s} AS (SELECT vec_id, j,
-             round_even(embedding[j + 1 + {o}] * {S}, 0) / {S} AS x
-      FROM embeddings, dims),
-c{s}_0 AS (SELECT vec_id AS cluster, j, x AS c FROM q{s}
-           WHERE vec_id < {_PQ_K})"""]
-    for t in range(1, _PQ_ITERS + 1):
-        p = t - 1
-        parts.append(f"""
-d{s}_{t} AS (SELECT q.vec_id, c.cluster,
-              SUM(q.x * q.x) - 2 * SUM(q.x * c.c) + SUM(c.c * c.c)
-                AS d2
-       FROM q{s} q JOIN c{s}_{p} c USING (j)
-       GROUP BY q.vec_id, c.cluster),
-a{s}_{t} AS (SELECT vec_id, cluster FROM (
-         SELECT vec_id, cluster,
-                row_number() OVER (PARTITION BY vec_id
-                                   ORDER BY d2, cluster) AS rn
-         FROM d{s}_{t}) WHERE rn = 1),
-u{s}_{t} AS (SELECT a.cluster, q.j,
-              (CAST(SUM(CAST(round_even(q.x * {S}, 0) AS BIGINT))
-                    AS DOUBLE) / COUNT(*)) / {S} AS c
-       FROM q{s} q JOIN a{s}_{t} a USING (vec_id)
-       GROUP BY a.cluster, q.j),
-c{s}_{t} AS (SELECT c{s}_{p}.cluster, c{s}_{p}.j,
-                    COALESCE(u{s}_{t}.c, c{s}_{p}.c) AS c
-       FROM c{s}_{p} LEFT JOIN u{s}_{t}
-         ON u{s}_{t}.cluster = c{s}_{p}.cluster
-        AND u{s}_{t}.j = c{s}_{p}.j)""")
-    f = _PQ_ITERS + 1
-    parts.append(f"""
-d{s}_{f} AS (SELECT q.vec_id, c.cluster,
-              SUM(q.x * q.x) - 2 * SUM(q.x * c.c) + SUM(c.c * c.c)
-                AS d2
-       FROM q{s} q JOIN c{s}_{_PQ_ITERS} c USING (j)
-       GROUP BY q.vec_id, c.cluster),
-a{s}_f AS (SELECT vec_id, cluster FROM (
-  SELECT vec_id, cluster,
-         row_number() OVER (PARTITION BY vec_id
-                            ORDER BY d2, cluster) AS rn
-  FROM d{s}_{f}) WHERE rn = 1),
-sq{s} AS (SELECT q.vec_id,
-              CAST(round((q.x - c.c) * (q.x - c.c) * 1000000000)
-                   AS BIGINT) AS sq9
-       FROM q{s} q
-       JOIN a{s}_f a USING (vec_id)
-       JOIN c{s}_{_PQ_ITERS} c ON c.cluster = a.cluster
-                              AND c.j = q.j),
-ds{s} AS (SELECT vec_id, CAST(SUM(sq9) AS BIGINT) AS d2q
-          FROM sq{s} GROUP BY 1),
-res{s} AS (SELECT CAST({s} AS BIGINT) AS subspace,
-                  CAST(count(*) AS BIGINT) AS n_vectors,
-                  CAST(SUM(d2q) AS BIGINT) AS sd
-           FROM ds{s})""")
-    return ",".join(parts)
-
 
 def _pq_oracle_sql() -> str:
-    chains = ",".join(_pq_chain(s) for s in range(_PQ_M))
+    chains = ",".join(pq_chain(s, _S) for s in range(_PQ_M))
     unions = " UNION ALL ".join(
         f"SELECT * FROM res{s}" for s in range(_PQ_M))
     return f"""
