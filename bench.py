@@ -131,6 +131,8 @@ BENCH_QUERIES = [
     "heldout_perplexity",
     # round-5e/5f families
     "pq_distortion", "pq_adc_recall",
+    # round-5g family
+    "ngram_coverage_curve", "unicode_nfc_census",
     # round-4 perf-gated fixes (driver-visible walls for the record)
     "top_customers", "loyal_users", "user_type_breadth",
     "winnow_dup_pairs", "dup_components",
