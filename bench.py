@@ -133,6 +133,8 @@ BENCH_QUERIES = [
     "pq_distortion", "pq_adc_recall",
     # round-5g family
     "ngram_coverage_curve", "unicode_nfc_census",
+    # round-5h family
+    "semantic_decontam",
     # round-4 perf-gated fixes (driver-visible walls for the record)
     "top_customers", "loyal_users", "user_type_breadth",
     "winnow_dup_pairs", "dup_components",

@@ -4149,3 +4149,4 @@ from . import queries_curation35  # noqa: E402,F401
 from . import queries_curation36  # noqa: E402,F401
 from . import queries_curation37  # noqa: E402,F401
 from . import queries_curation38  # noqa: E402,F401
+from . import queries_curation39  # noqa: E402,F401
