@@ -135,6 +135,8 @@ BENCH_QUERIES = [
     "ngram_coverage_curve", "unicode_nfc_census",
     # round-5h family
     "semantic_decontam",
+    # round-5i family
+    "norm_label_auc", "welch_ttest",
     # round-4 perf-gated fixes (driver-visible walls for the record)
     "top_customers", "loyal_users", "user_type_breadth",
     "winnow_dup_pairs", "dup_components",

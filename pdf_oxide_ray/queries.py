@@ -4150,3 +4150,4 @@ from . import queries_curation36  # noqa: E402,F401
 from . import queries_curation37  # noqa: E402,F401
 from . import queries_curation38  # noqa: E402,F401
 from . import queries_curation39  # noqa: E402,F401
+from . import queries_curation40  # noqa: E402,F401
