@@ -114,6 +114,24 @@ def main(argv: list[str] | None = None) -> int:
                       help="directory or glob of .jsonl files")
     p_jl.add_argument("--output", required=True)
 
+    p_ab = sub.add_parser("ann-build",
+                          help="build a partitioned IVF ANN index "
+                          "from an embeddings parquet")
+    p_ab.add_argument("--input", required=True)
+    p_ab.add_argument("--output", required=True, help="index dir")
+    p_ab.add_argument("--lists", type=int, default=16)
+
+    p_aq = sub.add_parser("ann-query",
+                          help="top-k cosine search against a built "
+                          "index (reads only probed partitions)")
+    p_aq.add_argument("--index", required=True)
+    p_aq.add_argument("--queries", required=True,
+                      help="embeddings parquet holding query vectors")
+    p_aq.add_argument("--nq", type=int, default=5,
+                      help="use the first nq vectors as queries")
+    p_aq.add_argument("--k", type=int, default=5)
+    p_aq.add_argument("--probe", type=int, default=4)
+
     p_diag = sub.add_parser("diagnose", help="font/encoding diagnostic "
                             "for one PDF page (reference "
                             "tools/diagnose_font_encoding.rs)")
@@ -181,6 +199,25 @@ def main(argv: list[str] | None = None) -> int:
 
             print(json.dumps(run_training_prep(
                 args.input, args.output, quality_p=args.quality_p)))
+        elif args.cmd == "ann-build":
+            from .pipelines.ann_index import build_ivf_index
+
+            man = build_ivf_index(args.input, args.output,
+                                  n_lists=args.lists)
+            print(json.dumps(man))
+        elif args.cmd == "ann-query":
+            import numpy as np
+            import pyarrow.parquet as pq_
+
+            from .pipelines.ann_index import query_ivf_index
+
+            qt = pq_.read_table(args.queries,
+                                columns=["vec_id", "embedding"]) \
+                .to_pandas().sort_values("vec_id").head(args.nq)
+            qm = np.stack(qt["embedding"].to_numpy())
+            out = query_ivf_index(args.index, qm, k=args.k,
+                                  n_probe=args.probe)
+            print(json.dumps(out.to_dict("records")))
         elif args.cmd == "ingest-jsonl":
             from .sources.jsonl_docs import ingest_jsonl_dir
 
