@@ -121,6 +121,13 @@ def main(argv: list[str] | None = None) -> int:
     p_ab.add_argument("--output", required=True, help="index dir")
     p_ab.add_argument("--lists", type=int, default=16)
 
+    p_au = sub.add_parser("ann-update",
+                          help="incrementally add new vectors to an "
+                          "existing index (frozen quantizer, "
+                          "idempotent)")
+    p_au.add_argument("--input", required=True)
+    p_au.add_argument("--index", required=True)
+
     p_aq = sub.add_parser("ann-query",
                           help="top-k cosine search against a built "
                           "index (reads only probed partitions)")
@@ -205,6 +212,11 @@ def main(argv: list[str] | None = None) -> int:
             man = build_ivf_index(args.input, args.output,
                                   n_lists=args.lists)
             print(json.dumps(man))
+        elif args.cmd == "ann-update":
+            from .pipelines.ann_index import update_ivf_index
+
+            print(json.dumps(update_ivf_index(args.input,
+                                              args.index)))
         elif args.cmd == "ann-query":
             import numpy as np
             import pyarrow.parquet as pq_

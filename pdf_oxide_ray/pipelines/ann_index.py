@@ -35,6 +35,14 @@ import numpy as np
 import pandas as pd
 
 
+def _strip_pandas_meta(t):
+    """Drop schema-level pandas metadata before writing: blocks built
+    from pandas batches with ndarray cells record a dtype string
+    ("numpy.ndarray(shape=...)") that pyarrow cannot reconstruct on a
+    later to_pandas — written files must be arrow-clean."""
+    return t.replace_schema_metadata(None)
+
+
 def build_ivf_index(input_path: str, out_dir: str, *,
                     n_lists: int = 16, sample_rows: int = 2000,
                     seed: int = 7) -> dict:
@@ -80,7 +88,8 @@ def build_ivf_index(input_path: str, out_dir: str, *,
     assigned = ds.map_batches(
         lambda b: add_ivf_list(b, cent_ref)
         .rename(columns={"ivf_list": "list_id"}),
-        batch_format="pandas")
+        batch_format="pandas") \
+        .map_batches(_strip_pandas_meta, batch_format="pyarrow")
     assigned.write_parquet(os.path.join(out_dir, "assignments"),
                            partition_cols=["list_id"])
 
@@ -159,3 +168,96 @@ def query_ivf_index(out_dir: str, query_matrix: np.ndarray, *,
     out["score"] = np.round(out["score"].astype(np.float64), 4)
     return out.astype({"query_id": "int64", "rank": "int64",
                        "vec_id": "int64"})
+
+
+def update_ivf_index(input_path: str, out_dir: str) -> dict:
+    """Day-2 incremental index update: assign NEW vectors with the
+    FROZEN coarse quantizer (the standard IVF maintenance recipe —
+    retraining would invalidate every stored code) and append their
+    partition files next to the existing ones; vec_ids already in the
+    index are skipped (idempotent re-ingest, the `incremental_dedup`
+    anti-join shape with the existing id set broadcast as a sorted
+    int64 array). The manifest rewrites LAST (commit point). Returns
+    the updated manifest plus {'n_added': ...}.
+
+    Scale shape: existing ids load as ONE skinny int64 column (ids
+    only, never vectors); the new corpus streams through one
+    assignment pass; appended files land inside the existing
+    list_id=N directories so `query_ivf_index`'s pruning is
+    unchanged."""
+    import ray
+    import ray.data as rd
+
+    from ..functions.similarity import add_ivf_list
+    from ..stages.joins import _get_broadcast
+
+    man_path = os.path.join(out_dir, "_manifest.json")
+    with open(man_path) as f:
+        man = json.load(f)
+    cent_path = os.path.join(out_dir, "centroids.parquet")
+    if not os.path.exists(cent_path):  # empty index: nothing frozen
+        raise ValueError("index has no quantizer; run build first")
+    cents = pd.read_parquet(cent_path)
+    cmat = np.stack(cents["centroid"].to_numpy()).astype(np.float64)
+    cent_ref = ray.put(cmat)
+
+    adir = os.path.join(out_dir, "assignments")
+    have_files = [os.path.join(adir, d, f)
+                  for d in sorted(os.listdir(adir))
+                  if d.startswith("list_id=")
+                  for f in sorted(os.listdir(os.path.join(adir, d)))
+                  if f.endswith(".parquet")]
+    if have_files:
+        import pyarrow.dataset as pads
+
+        have = np.sort(pads.dataset(have_files)
+                       .to_table(columns=["vec_id"])
+                       .column("vec_id").to_numpy()
+                       .astype(np.int64))
+    else:
+        have = np.array([], dtype=np.int64)
+    have_ref = ray.put(have)
+
+    def assign_new(b: pd.DataFrame) -> pd.DataFrame:
+        keys = _get_broadcast(have_ref)
+        ids = b["vec_id"].to_numpy(np.int64)
+        if len(keys):
+            pos = np.searchsorted(keys, ids)
+            pos[pos == len(keys)] = 0
+            b = b[~(keys[pos] == ids)]
+        if not len(b):
+            return pd.DataFrame({
+                "vec_id": pd.Series([], dtype="int64"),
+                "embedding": pd.Series([], dtype=object),
+                "list_id": pd.Series([], dtype="int64")})
+        return add_ivf_list(b, cent_ref) \
+            .rename(columns={"ivf_list": "list_id"})
+
+    new_ds = rd.read_parquet(input_path,
+                             columns=["vec_id", "embedding"]) \
+        .map_batches(assign_new, batch_format="pandas") \
+        .map_batches(_strip_pandas_meta, batch_format="pyarrow") \
+        .materialize()
+    n_added = new_ds.count()
+    if n_added:
+        new_ds.write_parquet(adir, partition_cols=["list_id"])
+
+    # recount from parquet metadata (no vector re-read)
+    import pyarrow.dataset as pads
+
+    sizes = {}
+    n_total = 0
+    for name in sorted(os.listdir(adir)):
+        if not name.startswith("list_id="):
+            continue
+        n = sum(f.count_rows() for f in
+                pads.dataset(os.path.join(adir, name))
+                .get_fragments())
+        sizes[name.split("=", 1)[1]] = n
+        n_total += n
+    man.update({"n_vectors": n_total, "list_sizes": sizes})
+    with open(man_path, "w") as f:
+        json.dump(man, f)  # commit point
+    man = dict(man)
+    man["n_added"] = int(n_added)
+    return man

@@ -118,3 +118,36 @@ def test_cli_ann_build_and_query(tmp_path):
     rows = json.loads(r2.stdout.strip().splitlines()[-1])
     assert len(rows) == 6
     assert {r_["query_id"] for r_ in rows} == {0, 1}
+
+
+def test_incremental_update(ray_session, tmp_path):
+    """Build on the first half, update with the FULL table: only the
+    second half is added (idempotent anti-join), appended files land
+    in the existing partitions, and a re-update adds nothing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    from pdf_oxide_ray.pipelines.ann_index import update_ivf_index
+
+    emb = pd.read_parquet(EMB).sort_values("vec_id")
+    half = emb.head(len(emb) // 2)
+    src1 = tmp_path / "half.parquet"
+    half.to_parquet(src1, index=False)
+    out = str(tmp_path / "idx")
+    man1 = build_ivf_index(str(src1), out, n_lists=8)
+    assert man1["n_vectors"] == len(half)
+
+    man2 = update_ivf_index(EMB, out)
+    assert man2["n_added"] == len(emb) - len(half)
+    assert man2["n_vectors"] == len(emb)
+
+    # idempotent: nothing new on re-run
+    man3 = update_ivf_index(EMB, out)
+    assert man3["n_added"] == 0
+    assert man3["n_vectors"] == len(emb)
+
+    # the updated index serves vectors from BOTH generations
+    qm = np.stack(emb.tail(2)["embedding"].to_numpy())
+    got = query_ivf_index(out, qm, k=1, n_probe=8)
+    assert (got["score"] == 1.0).all()  # each finds itself
+    assert set(got["vec_id"]) == set(emb.tail(2)["vec_id"])
