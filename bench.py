@@ -137,6 +137,8 @@ BENCH_QUERIES = [
     "semantic_decontam",
     # round-5i family
     "norm_label_auc", "welch_ttest",
+    # round-5j family
+    "mmr_rerank",
     # round-4 perf-gated fixes (driver-visible walls for the record)
     "top_customers", "loyal_users", "user_type_breadth",
     "winnow_dup_pairs", "dup_components",

@@ -4151,3 +4151,4 @@ from . import queries_curation37  # noqa: E402,F401
 from . import queries_curation38  # noqa: E402,F401
 from . import queries_curation39  # noqa: E402,F401
 from . import queries_curation40  # noqa: E402,F401
+from . import queries_curation41  # noqa: E402,F401
