@@ -139,6 +139,21 @@ def main(argv: list[str] | None = None) -> int:
     p_aq.add_argument("--k", type=int, default=5)
     p_aq.add_argument("--probe", type=int, default=4)
 
+    p_rb = sub.add_parser("rag-build",
+                          help="chunk + embed + index a documents "
+                          "parquet for retrieval")
+    p_rb.add_argument("--input", required=True)
+    p_rb.add_argument("--output", required=True)
+    p_rb.add_argument("--lists", type=int, default=8)
+
+    p_rs = sub.add_parser("rag-search",
+                          help="text query -> top-k chunks from a "
+                          "built RAG index")
+    p_rs.add_argument("--index", required=True)
+    p_rs.add_argument("--query", required=True)
+    p_rs.add_argument("--k", type=int, default=5)
+    p_rs.add_argument("--probe", type=int, default=4)
+
     p_diag = sub.add_parser("diagnose", help="font/encoding diagnostic "
                             "for one PDF page (reference "
                             "tools/diagnose_font_encoding.rs)")
@@ -206,6 +221,18 @@ def main(argv: list[str] | None = None) -> int:
 
             print(json.dumps(run_training_prep(
                 args.input, args.output, quality_p=args.quality_p)))
+        elif args.cmd == "rag-build":
+            from .pipelines.rag_prep import build_rag_index
+
+            print(json.dumps(build_rag_index(args.input,
+                                             args.output,
+                                             n_lists=args.lists)))
+        elif args.cmd == "rag-search":
+            from .pipelines.rag_prep import rag_search
+
+            out = rag_search(args.index, args.query, k=args.k,
+                             n_probe=args.probe)
+            print(json.dumps(out.to_dict("records")))
         elif args.cmd == "ann-build":
             from .pipelines.ann_index import build_ivf_index
 
