@@ -139,6 +139,8 @@ BENCH_QUERIES = [
     "norm_label_auc", "welch_ttest",
     # round-5j family
     "mmr_rerank",
+    # round-5k family
+    "winnow_param_grid",
     # round-4 perf-gated fixes (driver-visible walls for the record)
     "top_customers", "loyal_users", "user_type_breadth",
     "winnow_dup_pairs", "dup_components",

@@ -698,18 +698,20 @@ def q_fingerprint_md5(sf_dir: str) -> pd.DataFrame:
 _WINNOW_PAIR_THRESHOLD = 20  # min shared fingerprints for a dup pair
 
 
-def _winnow_pair_counts_ds(sf_dir: str):
+def _winnow_pair_counts_ds(sf_dir: str, k: int = 16,
+                           window: int = 8):
     """Lazy Dataset of winnowing co-occurrence counts (id_a, id_b,
     sum(n)) — the shared upstream of q_winnow_dup_pairs (driver-side
-    report) and q_dup_components (distributed clustering). Only
-    (fp, doc_id) int pairs cross the shuffle, never text."""
+    report), q_dup_components (distributed clustering) and the
+    (k, window) sensitivity grid. Only (fp, doc_id) int pairs cross
+    the shuffle, never text."""
     ds = _pq(sf_dir, "documents", ["doc_id", "text"])
     num_buckets = 64
 
     def explode(b: pd.DataFrame) -> pd.DataFrame:
         ids, fps = [], []
         for doc_id, text in zip(b["doc_id"], b["text"].fillna("")):
-            f = ftext.winnow_fingerprints(text, k=16, window=8)
+            f = ftext.winnow_fingerprints(text, k=k, window=window)
             ids.extend([doc_id] * len(f))
             fps.extend(f.tolist())
         fp_arr = pd.Series(fps, dtype="uint64")
@@ -4152,3 +4154,4 @@ from . import queries_curation38  # noqa: E402,F401
 from . import queries_curation39  # noqa: E402,F401
 from . import queries_curation40  # noqa: E402,F401
 from . import queries_curation41  # noqa: E402,F401
+from . import queries_curation42  # noqa: E402,F401
