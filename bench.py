@@ -141,6 +141,8 @@ BENCH_QUERIES = [
     "mmr_rerank",
     # round-5k family
     "winnow_param_grid",
+    # round-5l family
+    "rrf_fusion",
     # round-4 perf-gated fixes (driver-visible walls for the record)
     "top_customers", "loyal_users", "user_type_breadth",
     "winnow_dup_pairs", "dup_components",
