@@ -143,6 +143,8 @@ BENCH_QUERIES = [
     "winnow_param_grid",
     # round-5l family
     "rrf_fusion",
+    # round-5m family
+    "dedup_lm_ab",
     # round-4 perf-gated fixes (driver-visible walls for the record)
     "top_customers", "loyal_users", "user_type_breadth",
     "winnow_dup_pairs", "dup_components",
