@@ -145,6 +145,8 @@ BENCH_QUERIES = [
     "rrf_fusion",
     # round-5m family
     "dedup_lm_ab",
+    # round-5n family
+    "session_gap_grid",
     # round-4 perf-gated fixes (driver-visible walls for the record)
     "top_customers", "loyal_users", "user_type_breadth",
     "winnow_dup_pairs", "dup_components",
