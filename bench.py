@@ -147,6 +147,8 @@ BENCH_QUERIES = [
     "dedup_lm_ab",
     # round-5n family
     "session_gap_grid",
+    # round-5o family
+    "decontam_lm_ab",
     # round-4 perf-gated fixes (driver-visible walls for the record)
     "top_customers", "loyal_users", "user_type_breadth",
     "winnow_dup_pairs", "dup_components",
