@@ -4159,3 +4159,4 @@ from . import queries_curation43  # noqa: E402,F401
 from . import queries_curation44  # noqa: E402,F401
 from . import queries_curation45  # noqa: E402,F401
 from . import queries_curation46  # noqa: E402,F401
+from . import queries_curation47  # noqa: E402,F401
