@@ -151,6 +151,8 @@ BENCH_QUERIES = [
     "decontam_lm_ab",
     # round-5p family
     "quality_lm_ab",
+    # round-5q family
+    "jackknife_variance",
     # round-4 perf-gated fixes (driver-visible walls for the record)
     "top_customers", "loyal_users", "user_type_breadth",
     "winnow_dup_pairs", "dup_components",

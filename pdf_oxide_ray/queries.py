@@ -4160,3 +4160,4 @@ from . import queries_curation44  # noqa: E402,F401
 from . import queries_curation45  # noqa: E402,F401
 from . import queries_curation46  # noqa: E402,F401
 from . import queries_curation47  # noqa: E402,F401
+from . import queries_curation48  # noqa: E402,F401
