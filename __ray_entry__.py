@@ -130,15 +130,15 @@ _DRIVER_WINDOW_R5 = [
 # (tools/correctness_sweep.py at sf0.01 AND sf0.1). The list exceeds
 # the 50-cap by 6 — take the FIRST 50; any RED rows in
 # CORRECTNESS_r05.json substitute for names from the TAIL of this list
-# (the tail 6 stay judge-sweep-verified either way). The 21 round-5
+# (the tail 6 stay judge-sweep-verified either way). The 22 round-5
 # additions (repetition_census, ccnet_buckets, substring_dup_pairs,
 # winnow_threshold_curve, anchor_stride_recall, join_size_estimate,
 # heldout_perplexity, pq_distortion, pq_adc_recall,
 # ngram_coverage_curve, unicode_nfc_census, semantic_decontam,
 # norm_label_auc, welch_ttest, mmr_rerank, winnow_param_grid,
 # rrf_fusion, dedup_lm_ab, session_gap_grid, decontam_lm_ab,
-# quality_lm_ab — all dual-scale sweep-green) queue behind these for
-# an r7 window.
+# quality_lm_ab, jackknife_variance — all dual-scale sweep-green)
+# queue behind these for an r7 window.
 _DRIVER_WINDOW_R6_PRECOMPUTED = [
     "knn_label_consistency", "embedding_margin", "geo_mean_by_type",
     "bpe_train_steps", "kcenter_coreset", "exchange_skew_census",
